@@ -1,0 +1,93 @@
+"""Per-record normalization — the analog of the reference's transformers.
+
+The reference registers per-index dict→dict Python transformers
+(/root/reference/multiversxetl/transformers.py:6-77): drop volatile ``api_*``
+/ ``nft_*`` columns (AccountsTransformer/TokensTransformer :31-64), drop a
+nested ``reserved`` subfield (BlocksTransformer :42-52), and scrub NULL
+elements out of REPEATED arrays (EventsTransformer :67-77).
+
+Here the whole surface is JVM-side column expressions (A6–A9 in SURVEY.md §2
+all can be) — whole-stage-codegen friendly, zero Python in the hot path —
+plus ONE Arrow-vectorized ``pandas_udf`` for content canonicalization, which
+genuinely needs string processing beyond builtin expressions and which
+BASELINE.json:input_hint requires to be vectorized (no per-row Python).
+
+A registry maps table name → normalization function, mirroring
+``TransformersRegistry.get_transformer`` (transformers.py:6-17).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, StringType, StructType
+
+
+def drop_volatile_columns(df: DataFrame, prefixes: tuple[str, ...] = ("api_", "nft_")) -> DataFrame:
+    """Drop columns whose name starts with a volatile prefix
+    (AccountsTransformer/TokensTransformer analog, transformers.py:31-64)."""
+    doomed = [c for c in df.columns if c.startswith(prefixes)]
+    return df.drop(*doomed) if doomed else df
+
+
+def scrub_null_array_elements(df: DataFrame, columns: list[str], fill: str = "") -> DataFrame:
+    """Replace NULL elements of string arrays with ``fill``
+    (EventsTransformer analog, transformers.py:67-77 — BQ REPEATED fields
+    reject NULL). Higher-order ``transform`` — no UDF."""
+    for c in columns:
+        df = df.withColumn(c, F.transform(F.col(c), lambda x: F.coalesce(x, F.lit(fill))))
+    return df
+
+
+def drop_nested_struct_field(df: DataFrame, array_column: str, field_name: str) -> DataFrame:
+    """Remove ``field_name`` from every struct in an array<struct> column
+    (BlocksTransformer analog for epochStartShardsData[].reserved,
+    transformers.py:42-52). Rebuilds the struct via ``transform`` —
+    Catalyst keeps this whole-stage-codegen'd."""
+    schema = df.schema[array_column].dataType
+    assert isinstance(schema, ArrayType) and isinstance(schema.elementType, StructType)
+    kept = [f.name for f in schema.elementType.fields if f.name != field_name]
+    return df.withColumn(
+        array_column,
+        F.transform(F.col(array_column), lambda s: F.struct(*[s[k].alias(k) for k in kept])),
+    )
+
+
+@F.pandas_udf(StringType())
+def canonicalize_content(content: pd.Series) -> pd.Series:
+    """Arrow-vectorized content canonicalization (the one allowed Python
+    boundary): normalize CRLF/CR line endings to LF and strip trailing
+    whitespace per line. Operates on whole Arrow batches via pandas string
+    kernels — never row-at-a-time Python."""
+    s = content.str.replace("\r\n", "\n", regex=False).str.replace("\r", "\n", regex=False)
+    return s.str.replace(r"[ \t]+(?=\n)", "", regex=True).str.replace(r"[ \t]+$", "", regex=True)
+
+
+def normalize_change_events(df: DataFrame) -> DataFrame:
+    """The change-log normalization applied before dedup/MERGE: drop volatile
+    columns, canonicalize content. Null-array scrubbing and nested-field
+    drops apply only when such columns exist (schema-evolution tolerant)."""
+    df = drop_volatile_columns(df)
+    array_str_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, ArrayType) and isinstance(f.dataType.elementType, StringType)
+    ]
+    if array_str_cols:
+        df = scrub_null_array_elements(df, array_str_cols)
+    if "content" in df.columns:
+        df = df.withColumn("content", canonicalize_content(F.col("content")))
+    return df
+
+
+#: table name → normalization fn (TransformersRegistry analog).
+REGISTRY: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "change_events": normalize_change_events,
+}
+
+
+def get_normalizer(table: str) -> Callable[[DataFrame], DataFrame]:
+    return REGISTRY.get(table, lambda df: df)

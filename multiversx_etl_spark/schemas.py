@@ -1,0 +1,91 @@
+"""Declared schemas (the analog of the reference's schema/*.json system).
+
+The reference declares one fixed BigQuery JSON schema per index and loads it
+verbatim (/root/reference/multiversxetl/bq_client.py:86 ``schema_from_json``);
+schemas are never inferred. We follow the same stance: every table the engine
+touches has a StructType declared here.
+
+Tables (see FIXTURES.md):
+- ``change_events`` — the append-only CDC log (analog of the reference's
+  append-only ES indices, /root/reference/multiversxetl/indexer.py:29-70).
+- ``repos`` — the lakehouse target (BASELINE.json:input_hint shape) plus
+  engine bookkeeping columns (``seq`` last-applied sequence, ``deleted``
+  tombstone flag — tombstones prevent late lower-seq updates from
+  resurrecting deleted keys).
+- ``lineage`` — per-batch per-bucket ledger (analog of the reference's task
+  status/lineage logging, /root/reference/multiversxetl/task.py:79-88 and
+  tasks_dashboard.py:88-94).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Valid CDC operation kinds.
+OPS = ("insert", "update", "delete")
+
+#: The append-only change-event log. ``offset`` is the arrival position in
+#: the log (Kafka-offset analog — what micro-batches slice on, mirroring the
+#: reference's half-open [start, end) interval scans at indexer.py:61-70);
+#: ``seq`` is the logical commit sequence (the dedup/ordering key). The two
+#: differ because delivery is out-of-order and at-least-once.
+CHANGE_EVENTS = StructType(
+    [
+        StructField("offset", LongType(), False),
+        StructField("seq", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("content", StringType(), True),
+        StructField("event_ts", TimestampType(), True),
+    ]
+)
+
+#: Payload columns carried from an event into the target (everything except
+#: log bookkeeping). Order matters: it is the canonical column order.
+PAYLOAD_COLUMNS = ["commit", "lang", "content", "event_ts"]
+
+#: Upsert key (analog of the ES ``_id`` document key,
+#: /root/reference/multiversxetl/tasks_runner.py:76).
+KEY_COLUMNS = ["repo", "path"]
+
+#: The lakehouse target table. ``deleted`` rows are tombstones retained in
+#: storage and filtered by the public read view.
+REPOS = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("content", StringType(), True),
+        StructField("event_ts", TimestampType(), True),
+        StructField("seq", LongType(), False),
+        StructField("deleted", BooleanType(), False),
+    ]
+)
+
+#: Per-batch, per-bucket lineage ledger (FIXTURES.md §3).
+LINEAGE = StructType(
+    [
+        StructField("epoch_id", LongType(), False),
+        StructField("bucket", IntegerType(), False),
+        StructField("offset_lo", LongType(), False),
+        StructField("offset_hi", LongType(), False),
+        StructField("rows_in", LongType(), False),
+        StructField("rows_deduped", LongType(), False),
+        StructField("rows_inserted", LongType(), False),
+        StructField("rows_updated", LongType(), False),
+        StructField("rows_deleted", LongType(), False),
+        StructField("committed_at", TimestampType(), False),
+    ]
+)

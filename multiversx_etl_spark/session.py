@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-minded defaults.
+
+The reference tunes its runtime via worker_config JSON (threads, interval
+sizes — /root/reference/multiversxetl/config/worker_config_mainnet.json:21-23).
+Our analog is Spark conf: AQE for runtime re-planning + skew splitting,
+Arrow for the vectorized Python boundary, and shuffle-partition counts sized
+to the sandbox (local[N]) while remaining overridable for a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults chosen for a 100 TB-class deployment, overridable per session.
+#: - AQE: runtime coalescing + skew-join splitting (monorepo skew).
+#: - Arrow: the only Python boundary we allow is vectorized (no per-row UDFs).
+#: - maxPartitionBytes 128m: keeps scan partitions executor-memory friendly.
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.parquet.compression.codec": "snappy",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "multiversx-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
+    real cluster the caller passes nothing and spark-submit supplies it.
+    ``shuffle_partitions`` defaults to 2× parallelism (micro-batches are small
+    relative to cluster size; AQE coalesces further at runtime).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 8)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,140 @@
+"""Deterministic synthetic change-event log (the test/bench input).
+
+Analog of the reference's Elasticsearch append-only indices — the source the
+pipeline tails by half-open ranges (/root/reference/multiversxetl/indexer.py:
+29-70). FIXTURES.md §1 specifies the shape: Zipf-skewed repo popularity
+(monorepo skew), ~10% deletes / ~50% updates, ~1% exact duplicate deliveries,
+bounded out-of-orderness.
+
+Everything is generated from ``spark.range(n)`` with pure column expressions —
+no driver-side data, no Python row functions — so a 10^10-row log is a lazy
+plan, not materialized data, and the generator is deterministic regardless of
+parallelism (we derive pseudo-randomness from ``xxhash64`` of the row id, NOT
+from ``rand()``, whose output depends on partition layout).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+#: 2^31-scale modulus for uniform deviates derived from xxhash64.
+_U_MOD = 1_000_003
+
+
+def _u01(col: Column, salt: int) -> Column:
+    """Deterministic uniform(0,1) deviate as a pure function of ``col``."""
+    return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(_U_MOD)) / F.lit(float(_U_MOD))
+
+
+def generate_change_log(
+    spark: SparkSession,
+    num_events: int,
+    num_repos: int = 100,
+    paths_per_repo: int = 200,
+    dup_fraction: float = 0.01,
+    skew: float = 3.0,
+    content_blocks: int = 4,
+    base_ts: int = 1_596_117_600,  # the reference's mainnet genesis (worker_config_mainnet.json:5)
+    partitions: int | None = None,
+) -> DataFrame:
+    """Build the change log as a lazy DataFrame of ``num_events * (1+dup)`` rows.
+
+    Row ``offset`` is the arrival position. Logical events are identified by
+    ``seq`` (a bounded permutation of arrival order — adjacent pair swaps —
+    so delivery is out-of-order). Rows with offset >= num_events are exact
+    re-deliveries of earlier events (at-least-once), arriving much later than
+    the original.
+
+    Zipf-ish repo popularity: ``repo_idx = floor(num_repos * u^skew)`` — with
+    skew=3 repo 0 receives ~vastly more events than the tail, modelling one
+    dominating monorepo.
+    """
+    n_dups = int(num_events * dup_fraction)
+    total = num_events + n_dups
+    rng = spark.range(0, total, 1, partitions) if partitions else spark.range(total)
+
+    # Effective logical row: duplicates re-deliver an earlier event verbatim.
+    eff = F.when(
+        F.col("id") < num_events, F.col("id")
+    ).otherwise(F.pmod(F.xxhash64(F.col("id"), F.lit(17)), F.lit(num_events)))
+    df = rng.select(F.col("id").alias("offset"), eff.alias("_eff"))
+
+    # seq: permutation of [0, num_events) via deterministic adjacent-pair
+    # swaps — bounded out-of-orderness (displacement 1) plus the duplicates,
+    # which re-deliver old seqs arbitrarily late.
+    pair = F.floor(F.col("_eff") / 2)
+    swap = F.pmod(F.xxhash64(pair, F.lit(19)), F.lit(2)) == 0
+    partner = F.col("_eff") + F.when(F.pmod(F.col("_eff"), F.lit(2)) == 0, 1).otherwise(-1)
+    in_range = (partner >= 0) & (partner < num_events)
+    seq = F.when(swap & in_range, partner).otherwise(F.col("_eff"))
+    df = df.withColumn("seq", seq)
+
+    # Key: Zipf-ish repo, uniform path within repo.
+    u_repo = _u01(F.col("seq"), 3)
+    repo_idx = F.least(
+        F.floor(F.lit(float(num_repos)) * F.pow(u_repo, F.lit(skew))).cast("long"),
+        F.lit(num_repos - 1),
+    )
+    path_idx = F.pmod(F.xxhash64(F.col("seq"), F.lit(7)), F.lit(paths_per_repo))
+    df = df.withColumn("repo", F.format_string("repo-%05d", repo_idx)).withColumn(
+        "path",
+        F.format_string(
+            "src/module_%d/file_%d.py", F.pmod(path_idx, F.lit(10)), path_idx
+        ),
+    )
+
+    # op mix: ~10% delete / ~50% update / ~40% insert (FIXTURES.md §1).
+    op_draw = F.pmod(F.xxhash64(F.col("seq"), F.lit(11)), F.lit(100))
+    df = df.withColumn(
+        "op",
+        F.when(op_draw < 10, F.lit("delete"))
+        .when(op_draw < 60, F.lit("update"))
+        .otherwise(F.lit("insert")),
+    )
+
+    # commit digest + nullable lang (~5% null) + deterministic content.
+    key_seq = F.concat_ws("|", "repo", "path", F.col("seq").cast("string"))
+    df = df.withColumn("commit", F.md5(key_seq))
+    langs = F.array(*[F.lit(x) for x in ("python", "go", "rust", "javascript", "c")])
+    lang_idx = F.pmod(F.xxhash64(F.col("repo")), F.lit(5))
+    df = df.withColumn(
+        "lang",
+        F.when(_u01(F.col("seq"), 23) < 0.05, F.lit(None).cast("string")).otherwise(
+            F.element_at(langs, (lang_idx + 1).cast("int"))
+        ),
+    )
+    blocks = [F.md5(F.concat_ws("#", key_seq, F.lit(str(i)))) for i in range(content_blocks)]
+    df = df.withColumn(
+        "content",
+        F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
+            F.concat_ws("\n", F.lit("// synthetic source"), *blocks)
+        ),
+    )
+
+    # event_ts: monotone in seq with <=60s backward jitter (the reference's
+    # END_TIME_DELTA late-data bound, constants.py:7).
+    jitter = F.pmod(F.xxhash64(F.col("seq"), F.lit(13)), F.lit(60))
+    df = df.withColumn(
+        "event_ts", F.timestamp_seconds(F.lit(base_ts) + F.col("seq") - jitter)
+    )
+
+    return df.select(
+        "offset", "seq", "op", "repo", "path", "commit", "lang", "content", "event_ts"
+    )
+
+
+def read_offset_range(log: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Half-open arrival-range scan [lo, hi) — the A1 range-scan source.
+
+    Catalyst pushes the predicate into the parquet scan (PushedFilters), the
+    analog of the reference building the ES range query into the scan request
+    (indexer.py:61-70).
+    """
+    return log.where((F.col("offset") >= lo) & (F.col("offset") < hi))
+
+
+def write_log_parquet(log: DataFrame, path: str, files: int | None = None) -> None:
+    """Materialize the log ordered by arrival, for file-source streaming tests."""
+    out = log.repartitionByRange(files, "offset") if files else log
+    out.write.mode("overwrite").parquet(path)

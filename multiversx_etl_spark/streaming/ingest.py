@@ -1,0 +1,178 @@
+"""Exactly-once resumable ingest: the reference's driver loop, Spark-first.
+
+Two drivers over the same merge core (operators/merge.py):
+
+- ``replay``: deterministic micro-batch replay of an offset range — the
+  analog of the reference's plan-bulk → consume → verify → checkpoint loop
+  (/root/reference/multiversxetl/app_controller.py:73-154). Epochs come from
+  the planner (plans/planner.py); each committed epoch is recorded inside the
+  table manifest atomically with its data, so a killed and restarted replay
+  resumes without loss or duplication.
+
+- ``stream_ingest``: genuine Structured Streaming — ``readStream`` over a
+  parquet log directory, ``foreachBatch`` applying the same merge.
+  foreachBatch is at-least-once; exactly-once comes from the epoch marker
+  committed atomically with the MERGE (SURVEY.md §7). NOTE: Structured
+  Streaming epoch ids are scoped to the checkpoint directory — the checkpoint
+  dir and the target table must live and die together (same as Iceberg's
+  documented foreachBatch guidance); the seq-conditional MERGE is defense in
+  depth if they ever diverge.
+
+Per-epoch lineage (offsets, row counts, merge stats per bucket — the analog
+of the reference's task ledger and per-bulk status report,
+/root/reference/multiversxetl/tasks_dashboard.py:88-94, logger.py:19-37) is
+written under ``<table>/_lineage/epoch=<id>/`` BEFORE the manifest commit;
+a crash between the two leaves orphan lineage that the replay overwrites
+(idempotent), and readers dedup by (epoch_id, bucket) — duplicates tolerated
+by design (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from multiversx_etl_spark.lake.table import LakeTable
+from multiversx_etl_spark.operators.merge import MergeStats, merge_batch
+from multiversx_etl_spark.operators.normalize import normalize_change_events
+from multiversx_etl_spark.plans.planner import plan_offset_ranges
+from multiversx_etl_spark.schemas import CHANGE_EVENTS, LINEAGE, REPOS
+from multiversx_etl_spark.sources.changelog import read_offset_range
+
+DEFAULT_STREAM_ID = "main"
+
+
+@dataclass
+class ReplaySummary:
+    epochs_run: int = 0
+    epochs_skipped: int = 0
+    rows_in: int = 0
+    rows_inserted: int = 0
+    rows_updated: int = 0
+    rows_deleted: int = 0
+    stats: list[MergeStats] = field(default_factory=list)
+
+
+def ensure_table(spark: SparkSession, root: str, num_buckets: int = 16) -> LakeTable:
+    if LakeTable.exists(root):
+        return LakeTable(spark, root)
+    return LakeTable.create(spark, root, REPOS, key_columns=["repo", "path"], num_buckets=num_buckets)
+
+
+def _write_lineage(table: LakeTable, epoch_id: int, per_bucket: list[dict]) -> None:
+    if not per_bucket:
+        return
+    rows = [
+        {**r, "committed_at": datetime.fromtimestamp(r["committed_at"], tz=timezone.utc)}
+        for r in per_bucket
+    ]
+    df = table.spark.createDataFrame(rows, LINEAGE)
+    path = os.path.join(table.root, "_lineage", f"epoch={epoch_id}")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_lineage(table: LakeTable) -> DataFrame:
+    """The ledger, deduped by (epoch_id, bucket) — duplicate rows from
+    crash-replays collapse here (max committed_at wins)."""
+    path = os.path.join(table.root, "_lineage")
+    if not os.path.exists(path):
+        return table.spark.createDataFrame([], LINEAGE)
+    df = table.spark.read.schema(LINEAGE).option("recursiveFileLookup", "true").parquet(path)
+    others = [c for c in df.columns if c not in ("epoch_id", "bucket")]
+    return (
+        df.groupBy("epoch_id", "bucket")
+        .agg(F.max(F.struct("committed_at", *[c for c in others if c != "committed_at"])).alias("_w"))
+        .select("epoch_id", "bucket", *[F.col(f"_w.{c}").alias(c) for c in others])
+    )
+
+
+def apply_epoch(
+    table: LakeTable,
+    batch: DataFrame,
+    stream_id: str,
+    epoch_id: int,
+    offset_lo: int,
+    offset_hi: int,
+    normalize: bool = True,
+) -> MergeStats:
+    """Normalize → dedup → MERGE → lineage → atomic marker+data commit."""
+    if normalize:
+        batch = normalize_change_events(batch)
+    stats = merge_batch(table, batch, stream_id, epoch_id, offset_lo, offset_hi)
+    _write_lineage(table, epoch_id, stats.per_bucket or [])
+    return stats
+
+
+def replay(
+    log: DataFrame,
+    table: LakeTable,
+    interval_size: int,
+    total_offsets: int | None = None,
+    stream_id: str = DEFAULT_STREAM_ID,
+    max_epochs: int | None = None,
+    on_epoch: Callable[[int, MergeStats], None] | None = None,
+) -> ReplaySummary:
+    """Replay the log in offset-range epochs, skipping committed ones."""
+    if total_offsets is None:
+        total_offsets = log.agg(F.max("offset")).collect()[0][0] + 1
+    summary = ReplaySummary()
+    for plan in plan_offset_ranges(total_offsets, interval_size):
+        if max_epochs is not None and summary.epochs_run >= max_epochs:
+            break
+        if table.is_epoch_committed(stream_id, plan.epoch_id):
+            summary.epochs_skipped += 1
+            continue
+        batch = read_offset_range(log, plan.offset_lo, plan.offset_hi)
+        stats = apply_epoch(table, batch, stream_id, plan.epoch_id, plan.offset_lo, plan.offset_hi)
+        summary.epochs_run += 1
+        summary.rows_in += stats.rows_in
+        summary.rows_inserted += stats.rows_inserted
+        summary.rows_updated += stats.rows_updated
+        summary.rows_deleted += stats.rows_deleted
+        summary.stats.append(stats)
+        if on_epoch:
+            on_epoch(plan.epoch_id, stats)
+    return summary
+
+
+def stream_ingest(
+    spark: SparkSession,
+    log_dir: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    stream_id: str = "stream",
+    max_files_per_trigger: int = 4,
+) -> None:
+    """Structured Streaming tail of a parquet log directory (availableNow).
+
+    ``maxFilesPerTrigger`` is the micro-batch knob — the analog of the
+    reference's interval_size × num_intervals_in_bulk planner parameters
+    (worker_config_mainnet.json:21-22)."""
+    src = (
+        spark.readStream.schema(CHANGE_EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(log_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if table.is_epoch_committed(stream_id, epoch_id):
+            return  # at-least-once redelivery of a committed epoch → no-op
+        bounds = batch_df.agg(
+            F.min("offset").alias("lo"), F.max("offset").alias("hi")
+        ).collect()[0]
+        lo = bounds["lo"] if bounds["lo"] is not None else 0
+        hi = (bounds["hi"] + 1) if bounds["hi"] is not None else 0
+        apply_epoch(table, batch_df, stream_id, epoch_id, lo, hi)
+
+    q = (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,127 @@
+"""End-to-end CDC correctness: replay vs an independent DuckDB oracle.
+
+Mirrors the reference's continuous counts-reconciliation-as-test strategy
+(/root/reference/multiversxetl/checks.py:21-93) with the stronger per-row
+sha256(content) invariant from BASELINE.json:input_hint.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from multiversx_etl_spark.lake.table import LakeTable
+from multiversx_etl_spark.operators.checks import reconcile
+from multiversx_etl_spark.operators.merge import merge_batch
+from multiversx_etl_spark.oracle import expected_state
+from multiversx_etl_spark.sources.changelog import generate_change_log, write_log_parquet
+from multiversx_etl_spark.streaming.ingest import ensure_table, read_lineage, replay
+
+N_EVENTS = 2000
+
+
+@pytest.fixture(scope="module")
+def log_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("log") / "change_events")
+    log = generate_change_log(spark, N_EVENTS, num_repos=20, paths_per_repo=25)
+    write_log_parquet(log, path, files=8)
+    return path
+
+
+def oracle_final_state(log_path: str):
+    """Independent last-writer-wins fold in DuckDB: (repo, path, sha256)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+          FROM read_parquet('{log_path}/*.parquet')
+        )
+        SELECT repo, path, sha256(coalesce(content, '')) AS content_sha
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+        ORDER BY repo, path
+        """
+    ).fetchall()
+    con.close()
+    return set(rows)
+
+
+def spark_final_state(spark, table: LakeTable):
+    rows = (
+        table.read()
+        .select("repo", "path", F.sha2(F.coalesce("content", F.lit("")), 256).alias("s"))
+        .collect()
+    )
+    return {(r["repo"], r["path"], r["s"]) for r in rows}
+
+
+def test_replay_matches_oracle(spark, log_path, tmp_path):
+    table = ensure_table(spark, str(tmp_path / "repos"), num_buckets=8)
+    log = spark.read.parquet(log_path)
+    summary = replay(log, table, interval_size=500)
+    assert summary.epochs_run > 0
+    assert spark_final_state(spark, table) == oracle_final_state(log_path)
+    # runtime reconciliation (A17 analog) also passes
+    report = reconcile(table, expected_state(log))
+    assert report.ok, report
+
+
+def test_resume_after_partial_replay(spark, log_path, tmp_path):
+    """Kill between epochs, restart: no loss, no duplication
+    (the reference's rewind/checkpoint semantics, app_controller.py:195-220)."""
+    table = ensure_table(spark, str(tmp_path / "repos"), num_buckets=8)
+    log = spark.read.parquet(log_path)
+    partial = replay(log, table, interval_size=500, max_epochs=2)
+    assert partial.epochs_run == 2
+    resumed = replay(log, table, interval_size=500)
+    assert resumed.epochs_skipped == 2
+    assert spark_final_state(spark, table) == oracle_final_state(log_path)
+
+
+def test_duplicate_epoch_replay_is_noop(spark, log_path, tmp_path):
+    """At-least-once redelivery: replaying a full epoch leaves the table
+    unchanged (seq-conditional merge — defense in depth below the marker)."""
+    table = ensure_table(spark, str(tmp_path / "repos"), num_buckets=8)
+    log = spark.read.parquet(log_path)
+    replay(log, table, interval_size=500)
+    before = spark_final_state(spark, table)
+    batch = log.where((F.col("offset") >= 0) & (F.col("offset") < 500))
+    stats = merge_batch(table, batch, "main", epoch_id=999, offset_lo=0, offset_hi=500)
+    assert stats.rows_inserted == 0 and stats.rows_updated == 0 and stats.rows_deleted == 0
+    assert spark_final_state(spark, table) == before
+
+
+def test_epoch_markers_skip_committed(spark, log_path, tmp_path):
+    table = ensure_table(spark, str(tmp_path / "repos"), num_buckets=8)
+    log = spark.read.parquet(log_path)
+    replay(log, table, interval_size=500)
+    again = replay(log, table, interval_size=500)
+    assert again.epochs_run == 0 and again.epochs_skipped > 0
+
+
+def test_lineage_ledger(spark, log_path, tmp_path):
+    table = ensure_table(spark, str(tmp_path / "repos"), num_buckets=8)
+    log = spark.read.parquet(log_path)
+    summary = replay(log, table, interval_size=500)
+    lineage = read_lineage(table)
+    agg = lineage.agg(
+        F.sum("rows_in").alias("rin"), F.sum("rows_inserted").alias("ins")
+    ).collect()[0]
+    assert agg["rin"] == summary.rows_in
+    assert agg["ins"] == summary.rows_inserted
+    # every epoch present, offsets half-open and non-overlapping
+    epochs = {r["epoch_id"] for r in lineage.select("epoch_id").distinct().collect()}
+    assert epochs == set(range(summary.epochs_run))
+
+
+def test_rollback_time_travel(spark, log_path, tmp_path):
+    table = ensure_table(spark, str(tmp_path / "repos"), num_buckets=8)
+    log = spark.read.parquet(log_path)
+    replay(log, table, interval_size=500, max_epochs=2)
+    v2 = table.current_version()
+    count_v2 = table.read().count()
+    replay(log, table, interval_size=500)
+    assert table.read().count() != count_v2 or table.current_version() != v2
+    table.rollback(v2)
+    assert table.read().count() == count_v2
