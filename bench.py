@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract).
+
+Runs the full registered query surface (`multiversx_etl_spark.queries`) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus the engine's headline CDC replay
+(synthetic change log → exactly-once MERGE fold into the lake table), and
+prints ONE JSON line:
+
+    {"metric": "bench_total", "value": <sec>, "unit": "sec",
+     "queries": {"q...": sec, ..., "cdc_replay": sec},
+     "sf": 0.1, "cdc_events_per_sec": N, ...}
+
+The CDC replay is the north-rule metric (BASELINE.json: "CDC events/sec
+sustained during replay"); `scaling.py` runs the same replay at two
+parallelism levels for the N→4N scaling-efficiency evidence.
+
+Knobs (env):
+  SPARK_GRAFT_SF_DIR   parquet table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SPARK_GRAFT_EVENTS   CDC replay log size (default 2_000_000)
+  SPARK_GRAFT_EPOCHS   number of replay micro-batches (default 4)
+  SPARK_GRAFT_BUCKETS  lake-table bucket count (default 64 — ≥2× cores so
+                       the bucketed write never caps parallelism)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+NUM_EVENTS = int(os.environ.get("SPARK_GRAFT_EVENTS", "2000000"))
+NUM_EPOCHS = int(os.environ.get("SPARK_GRAFT_EPOCHS", "4"))
+NUM_BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", str(max(64, 2 * CPUS))))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query_suite(spark, sf_dir: str) -> dict[str, float]:
+    """Execute every registered query end-to-end (noop sink: full execution,
+    zero driver-collect overhead) and return per-query wall seconds."""
+    from multiversx_etl_spark import queries as Q
+
+    timings: dict[str, float] = {}
+    for name in sorted(Q.QUERIES):
+        df = Q.QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    return timings
+
+
+def run_cdc_replay(spark, workdir: str) -> dict[str, float]:
+    """Headline: materialize a synthetic change log to parquet, then replay
+    it through the exactly-once MERGE pipeline in NUM_EPOCHS micro-batches.
+    Throughput counts only the replay (the log write is setup)."""
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.schemas import REPOS
+    from multiversx_etl_spark.sources.changelog import generate_change_log, write_log_parquet
+    from multiversx_etl_spark.streaming.ingest import replay
+
+    log_path = os.path.join(workdir, "log")
+    table_path = os.path.join(workdir, "table")
+    # Repo/path population scales with the log so the merge state is
+    # realistic (~25% of events hit a fresh key at the default mix).
+    num_repos = max(100, NUM_EVENTS // 2000)
+    log = generate_change_log(
+        spark, NUM_EVENTS, num_repos=num_repos, paths_per_repo=200,
+        partitions=max(CPUS * 2, 8),
+    )
+    t0 = time.perf_counter()
+    write_log_parquet(log, log_path, files=max(CPUS * 2, 8))
+    gen_sec = time.perf_counter() - t0
+
+    log_df = spark.read.parquet(log_path)
+    total = NUM_EVENTS + int(NUM_EVENTS * 0.01)  # incl. duplicate deliveries
+    interval = -(-total // NUM_EPOCHS)
+    table = LakeTable.create(
+        spark, table_path, REPOS, key_columns=["repo", "path"], num_buckets=NUM_BUCKETS
+    )
+    t0 = time.perf_counter()
+    summary = replay(log_df, table, interval_size=interval, total_offsets=total)
+    replay_sec = time.perf_counter() - t0
+    final_rows = table.read().count()
+    return {
+        "gen_sec": round(gen_sec, 3),
+        "replay_sec": round(replay_sec, 3),
+        "events": total,
+        "events_per_sec": round(total / replay_sec, 1),
+        "epochs": summary.epochs_run,
+        "final_rows": final_rows,
+        "rows_inserted": summary.rows_inserted,
+        "rows_updated": summary.rows_updated,
+        "rows_deleted": summary.rows_deleted,
+    }
+
+
+def main() -> None:
+    from multiversx_etl_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = tempfile.mkdtemp(prefix="mxetl-bench-")
+    try:
+        t_total = time.perf_counter()
+        timings = run_query_suite(spark, SF_DIR)
+        t0 = time.perf_counter()
+        cdc = run_cdc_replay(spark, workdir)
+        timings["cdc_replay"] = round(time.perf_counter() - t0, 4)
+        total = round(time.perf_counter() - t_total, 3)
+        out = {
+            "metric": "bench_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_of(SF_DIR),
+            "cpus": CPUS,
+            "cdc_events": cdc["events"],
+            "cdc_events_per_sec": cdc["events_per_sec"],
+            "cdc_replay_sec": cdc["replay_sec"],
+            "cdc_final_rows": cdc["final_rows"],
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -215,21 +215,21 @@ class LakeTable:
 
     # ---------- write ----------
 
-    def write_data_files(self, df: DataFrame, commit_tag: str) -> list[dict[str, Any]]:
+    def write_data_files(
+        self, df: DataFrame, commit_tag: str, bucket_aligned: bool = False
+    ) -> list[dict[str, Any]]:
         """Write ``df`` (which must carry a ``_bucket`` column) under
         ``data/<commit_tag>/_bucket=k/...`` and return manifest file entries.
 
-        ``repartition(_bucket)`` first so each task holds whole buckets —
-        file count stays O(touched buckets), not O(tasks × buckets). AQE
-        coalesces small partitions at runtime.
+        Unless ``bucket_aligned`` (caller already co-partitioned rows by
+        ``_bucket``, e.g. the merge aggregate), ``repartition(_bucket)``
+        first so each task holds whole buckets — file count stays O(touched
+        buckets), not O(tasks × buckets).
         """
         out_dir = os.path.join(self.root, "data", commit_tag)
-        (
-            df.repartition(F.col("_bucket"))
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        if not bucket_aligned:
+            df = df.repartition(F.col("_bucket"))
+        df.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
         entries: list[dict[str, Any]] = []
         for bucket_dir in sorted(os.listdir(out_dir)):
             if not bucket_dir.startswith("_bucket="):

@@ -36,6 +36,9 @@ depth).
 
 from __future__ import annotations
 
+import contextlib
+import os
+import sys
 import time
 from dataclasses import dataclass
 
@@ -47,6 +50,15 @@ from multiversx_etl_spark.lake.table import LakeTable, bucket_expr
 
 #: log bookkeeping columns that never enter the target table.
 _LOG_ONLY = ("offset", "op")
+
+
+@contextlib.contextmanager
+def _phase(name: str):
+    """Wall-clock a merge phase to stderr when MXETL_TIMING=1 (perf triage)."""
+    t0 = time.perf_counter()
+    yield
+    if os.environ.get("MXETL_TIMING"):
+        print(f"[merge] {name}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
 
 @dataclass
@@ -92,10 +104,11 @@ def merge_batch(
     changes = changes.withColumn("_bucket", bucket_expr(key, parent.num_buckets))
 
     # -- 1. rows_in per bucket + touched-bucket set (one tiny agg job).
-    in_counts = {
-        r["_bucket"]: r["n"]
-        for r in changes.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
-    }
+    with _phase("in_counts"):
+        in_counts = {
+            r["_bucket"]: r["n"]
+            for r in changes.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+        }
     touched = set(in_counts)
     stats.rows_in = sum(in_counts.values())
     stats.touched_buckets = len(touched)
@@ -108,16 +121,7 @@ def merge_batch(
         )
         return stats
 
-    # -- 2. dedup change-set to one row per key (partial-agg struct max).
-    value_cols = [c for c in changes.columns if c not in key]
-    ordered = ["seq"] + [c for c in value_cols if c != "seq"]
-    deduped = (
-        changes.groupBy(*key)
-        .agg(F.max(F.struct(*ordered)).alias("_w"))
-        .select(*key, *[F.col(f"_w.{c}").alias(c) for c in ordered])
-    )
-
-    # -- 3. schema evolution + align both sides to the evolved payload.
+    # -- 2. schema evolution + align both sides to the evolved payload.
     evolved = evolve_schema(parent.schema, changes, key)
     payload = [
         f.name for f in evolved.fields if f.name not in key and f.name not in ("seq", "deleted")
@@ -143,17 +147,31 @@ def merge_batch(
     target = table.read(buckets=touched, include_tombstones=True).withColumn(
         "_bucket", bucket_expr(key, parent.num_buckets)
     )
-    both = aligned(target, False).unionByName(aligned(deduped, True))
+    both = aligned(target, False).unionByName(aligned(changes, True))
 
-    # -- 4. one hash aggregate: winner + sides' seqs for stats classification.
-    #    Struct comparison is (seq, _is_change, ...): on a seq tie the change
-    #    row wins, carrying identical data (idempotent replay).
+    # -- 3. ONE shuffle, ONE hash aggregate: co-partition target + raw change
+    #    rows by bucket, then group by key. Because ``_bucket`` is a pure
+    #    function of the key and appears in the grouping keys, the explicit
+    #    HashPartitioning(_bucket) satisfies the aggregate's required
+    #    distribution — Catalyst inserts no second exchange, and the
+    #    downstream bucketed file write consumes the same partitioning (zero
+    #    further shuffles). The max-struct winner performs per-key dedup of
+    #    the change-set (A14) AND the MATCHED/NOT-MATCHED merge arms in the
+    #    same aggregation — duplicates, out-of-order seqs, and the target row
+    #    all collapse in one pass. Struct comparison is (seq, _is_change,
+    #    ...): on a seq tie the change row wins, carrying identical data
+    #    (idempotent replay).
     wstruct = F.struct("seq", "_is_change", "deleted", *payload, "_bucket")
-    merged = both.groupBy(*key).agg(
-        F.max(wstruct).alias("_w"),
-        F.max(F.when(~F.col("_is_change"), F.col("seq"))).alias("_tseq"),
-        F.max(F.when(~F.col("_is_change") & ~F.col("deleted"), True)).alias("_tlive"),
-        F.count(F.when(F.col("_is_change"), 1)).alias("_cn"),
+    merged = (
+        both.repartition(parent.num_buckets, F.col("_bucket"))
+        .groupBy(*key, "_bucket")
+        .agg(
+            F.max(wstruct).alias("_w"),
+            F.max(F.when(~F.col("_is_change"), F.col("seq"))).alias("_tseq"),
+            F.max(F.when(~F.col("_is_change") & ~F.col("deleted"), True)).alias("_tlive"),
+            F.count(F.when(F.col("_is_change"), 1)).alias("_cn"),
+        )
+        .drop("_bucket")
     )
     won_change = F.col("_w._is_change")
     was_live = F.coalesce(F.col("_tlive"), F.lit(False))
@@ -180,22 +198,26 @@ def merge_batch(
         # -- 5. write new bucket files (copy-on-write of touched buckets).
         out_cols = [*key, *payload, "seq", "deleted", "_bucket"]
         tag = f"{stream_id}-e{epoch_id:08d}"
-        new_files = table.write_data_files(merged.select(*out_cols), tag)
+        with _phase("merge_write"):
+            new_files = table.write_data_files(
+                merged.select(*out_cols), tag, bucket_aligned=True
+            )
 
         # -- 6. per-bucket merge stats for the lineage ledger.
-        bucket_stats = (
-            merged.groupBy("_bucket")
-            .agg(
-                F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
-                F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
-                F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("del"),
-                # rows remaining after per-key dedup (change-side keys seen)
-                F.sum(F.when(F.col("_cn") >= 1, 1).otherwise(0)).alias("dedup"),
+        with _phase("bucket_stats"):
+            bucket_stats = (
+                merged.groupBy("_bucket")
+                .agg(
+                    F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
+                    F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
+                    F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("del"),
+                    # rows remaining after per-key dedup (change-side keys seen)
+                    F.sum(F.when(F.col("_cn") >= 1, 1).otherwise(0)).alias("dedup"),
+                )
+                .collect()
+                if collect_per_bucket_stats
+                else []
             )
-            .collect()
-            if collect_per_bucket_stats
-            else []
-        )
         per_bucket = []
         now = time.time()
         for r in bucket_stats:

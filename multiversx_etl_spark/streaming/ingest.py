@@ -38,7 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from multiversx_etl_spark.lake.table import LakeTable
-from multiversx_etl_spark.operators.merge import MergeStats, merge_batch
+from multiversx_etl_spark.operators.merge import MergeStats, _phase, merge_batch
 from multiversx_etl_spark.operators.normalize import normalize_change_events
 from multiversx_etl_spark.plans.planner import plan_offset_ranges
 from multiversx_etl_spark.schemas import CHANGE_EVENTS, LINEAGE, REPOS
@@ -65,15 +65,34 @@ def ensure_table(spark: SparkSession, root: str, num_buckets: int = 16) -> LakeT
 
 
 def _write_lineage(table: LakeTable, epoch_id: int, per_bucket: list[dict]) -> None:
+    """Write the per-bucket ledger rows for one epoch.
+
+    The ledger is tiny (one row per touched bucket), so it's written directly
+    from the driver with pyarrow — launching a Spark job for 64 rows costs
+    seconds of fixed overhead per epoch and would dominate replay throughput.
+    Readers (`read_lineage`) still consume it through Spark as ordinary
+    parquet. Overwrite-by-rename keeps crash-replays idempotent."""
     if not per_bucket:
         return
-    rows = [
-        {**r, "committed_at": datetime.fromtimestamp(r["committed_at"], tz=timezone.utc)}
-        for r in per_bucket
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = [
+        "epoch_id", "bucket", "offset_lo", "offset_hi", "rows_in",
+        "rows_deduped", "rows_inserted", "rows_updated", "rows_deleted",
     ]
-    df = table.spark.createDataFrame(rows, LINEAGE)
+    arrays = {c: pa.array([int(r[c]) for r in per_bucket], type=pa.int64()) for c in cols}
+    arrays["bucket"] = arrays["bucket"].cast(pa.int32())
+    arrays["committed_at"] = pa.array(
+        [datetime.fromtimestamp(r["committed_at"], tz=timezone.utc) for r in per_bucket],
+        type=pa.timestamp("us", tz="UTC"),
+    )
+    batch = pa.table(arrays)
     path = os.path.join(table.root, "_lineage", f"epoch={epoch_id}")
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, ".part-0.parquet.tmp")
+    pq.write_table(batch, tmp)
+    os.replace(tmp, os.path.join(path, "part-0.parquet"))
 
 
 def read_lineage(table: LakeTable) -> DataFrame:
@@ -104,7 +123,8 @@ def apply_epoch(
     if normalize:
         batch = normalize_change_events(batch)
     stats = merge_batch(table, batch, stream_id, epoch_id, offset_lo, offset_hi)
-    _write_lineage(table, epoch_id, stats.per_bucket or [])
+    with _phase("lineage_write"):
+        _write_lineage(table, epoch_id, stats.per_bucket or [])
     return stats
 
 
