@@ -20,6 +20,7 @@ equivalent SQL run by DuckDB as an independent oracle.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -677,3 +678,487 @@ def q_mips_topk(spark, sf_dir):
         .orderBy(F.col("dot_e8").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection beyond exact hash (training-data surface):
+# SimHash, MinHash LSH band join, n-gram Jaccard, embedding-cosine near-dup,
+# LSH-bucketed ANN. All arithmetic is integer / fixed-point so Spark and the
+# DuckDB oracle agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+_HI_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def _simhash_sql() -> str:
+    """16-bit SimHash in portable SQL: bit i is the sign of the sum over
+    word tokens of +/-1, where the vote is the high bit of hex nibble i of
+    md5(token)."""
+    bit_exprs = []
+    for i in range(_SIMHASH_BITS):
+        vote = (
+            f"CASE WHEN substring(md5(t), {i + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"
+        )
+        bit_exprs.append(f"CASE WHEN sum({vote}) > 0 THEN '1' ELSE '0' END")
+    bits = " || ".join(bit_exprs)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, {bits} AS simhash FROM toks GROUP BY doc_id
+    """
+
+
+@_register("q_simhash", _simhash_sql())
+def q_simhash(spark, sf_dir):
+    """SimHash document signatures (near-dup detection): each word token
+    votes +/-1 per bit position from md5 nibble high-bits; the signature is
+    the sign vector. One explode + one hash aggregate (map-side combined) —
+    at 100 TB the shuffle carries |docs| x 16 ints, not tokens. Hamming-near
+    signatures are near-dup candidates."""
+    d = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    toks = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+    h = F.md5("t")
+    votes = [
+        F.sum(
+            F.when(F.substring(h, i + 1, 1).isin(*_HI_NIBBLE), 1).otherwise(-1)
+        ).alias(f"_s{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"_s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    return agg.select("doc_id", bits.alias("simhash"))
+
+
+_MINHASH_PAIR_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         list_min(list_transform(
+           list_transform(range(1, greatest(2, len(w) - 1), 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+           s -> md5('s1|' || s))) AS m1,
+         list_min(list_transform(
+           list_transform(range(1, greatest(2, len(w) - 1), 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+           s -> md5('s2|' || s))) AS m2,
+         list_min(list_transform(
+           list_transform(range(1, greatest(2, len(w) - 1), 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+           s -> md5('s3|' || s))) AS m3
+  FROM words WHERE len(w) >= 3
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sigs a JOIN sigs b
+  ON a.doc_id < b.doc_id
+ AND (a.m1 = b.m1 OR a.m2 = b.m2 OR a.m3 = b.m3)
+"""
+
+
+@_register("q_minhash_lsh_pairs", _MINHASH_PAIR_SQL)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash LSH band join: docs agreeing on ANY of 3 minhash bands are
+    near-dup candidate pairs. Physical plan: 3 equi-joins on one band value
+    each (shuffle on the band hash — never an all-pairs product), unioned
+    and deduped. This is THE scale path for near-dup at 100 TB: candidates
+    ~ O(dup pairs), not O(n^2)."""
+    sig = q_minhash_signatures(spark, sf_dir).where(F.col("minhash_1").isNotNull())
+    a, b = sig.alias("a"), sig.alias("b")
+    parts = []
+    for band in ("minhash_1", "minhash_2", "minhash_3"):
+        parts.append(
+            a.join(b, F.col(f"a.{band}") == F.col(f"b.{band}"))
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+_JACCARD_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(2, len(w) - 1), 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM words WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_common,
+       na.n + nb.n - c.n_common AS n_union
+FROM common c
+JOIN sizes na ON na.doc_id = c.id_a
+JOIN sizes nb ON nb.doc_id = c.id_b
+WHERE c.n_common * 10 >= 3 * (na.n + nb.n - c.n_common)
+"""
+
+
+@_register("q_ngram_jaccard_pairs", _JACCARD_SQL)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Word-3-gram Jaccard similarity >= 0.3 between doc pairs. Candidate
+    generation is an equi-join on the shingle value (inverted-index join),
+    so only docs sharing a shingle ever meet — integer set arithmetic, no
+    floats. At 100 TB you'd cap hot shingles (stopword shingles) first;
+    the join shuffles on the shingle hash and AQE splits skewed ones."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w")).where(
+        F.size("w") >= 3
+    )
+    idx = F.sequence(F.lit(0), F.size("w") - F.lit(3), F.lit(1))
+    sh = (
+        words.select("doc_id", F.explode(idx).alias("i"), "w")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("i") + 1),
+                F.element_at("w", F.col("i") + 2),
+                F.element_at("w", F.col("i") + 3),
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, F.col("a.s") == F.col("b.s"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
+        .where(F.col("n_common") * 10 >= 3 * F.col("n_union"))
+        .select("id_a", "id_b", "n_common", "n_union")
+    )
+
+
+_COS_DOT = """list_sum(list_transform(range(1, len(a.embedding) + 1, 1),
+      i -> CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+         * CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 10000) AS BIGINT)))"""
+
+_COS_NORM = """list_sum(list_transform({side}.embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+         * CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)))"""
+
+_COSINE_PAIR_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_DOT}::BIGINT AS dot_e8
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS_DOT} > 0
+  AND {_COS_DOT} * {_COS_DOT} * 400 >= 49 * ({_COS_NORM.format(side="a")}) * ({_COS_NORM.format(side="b")})
+"""
+
+
+@_register("q_embedding_cosine_near_dup", _COSINE_PAIR_SQL)
+def q_embedding_cosine_near_dup(spark, sf_dir):
+    """Embedding near-dup: pairs with cosine >= 0.35, in exact integer
+    arithmetic (quantize each coordinate to 1e4 fixed-point, integer dot and
+    norms; cos^2 comparison cross-multiplied: dot^2*400 >= 49*na*nb, i.e.
+    0.35^2 = 49/400 — no division, no floats, overflow-safe for unit-norm
+    vectors). Brute-force O(n^2) is the small-scale baseline; the LSH
+    variant (q_embedding_lsh_ann) is the 100 TB path."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def qvec(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * 10000).cast("long"))
+
+    qe = e.select("vec_id", qvec(F.col("embedding")).alias("q"))
+    norm = F.aggregate(
+        F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    qe = qe.withColumn("n2", norm)
+    a = qe.select(
+        F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("n2").alias("na")
+    )
+    b = qe.select(
+        F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("dot_e8", dot)
+        .where(
+            (F.col("dot_e8") > 0)
+            & (F.col("dot_e8") * F.col("dot_e8") * 400 >= 49 * F.col("na") * F.col("nb"))
+        )
+        .select("id_a", "id_b", "dot_e8")
+    )
+
+
+def _lsh_planes(num_planes: int = 8, dims: int = 64) -> list[list[int]]:
+    """Deterministic +/-1 hyperplane weights from md5 (seeded, engine-free):
+    both the Spark plan and the SQL oracle inline the same literals."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for i in range(dims):
+            h = hashlib.md5(f"lsh|{p}|{i}".encode()).digest()
+            row.append(1 if h[0] >= 128 else -1)
+        planes.append(row)
+    return planes
+
+
+def _lsh_bucket_sql(planes: list[list[int]]) -> str:
+    bits = []
+    for row in planes:
+        terms = " + ".join(
+            f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000) AS BIGINT) * ({w})"
+            for i, w in enumerate(row)
+        )
+        bits.append(f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+_LSH_PLANES = _lsh_planes()
+
+_LSH_ANN_SQL = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_lsh_bucket_sql(_LSH_PLANES)} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id, a.bucket, b.vec_id AS nn_id,
+         {_COS_DOT}::BIGINT AS dot_e8,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {_COS_DOT} DESC, b.vec_id) AS rn
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, bucket, nn_id, dot_e8 FROM pairs WHERE rn = 1
+"""
+
+
+@_register("q_embedding_lsh_ann", _LSH_ANN_SQL)
+def q_embedding_lsh_ann(spark, sf_dir):
+    """Approximate nearest neighbor via random-hyperplane LSH: 8 fixed
+    +/-1 hyperplanes (deterministic md5-seeded literals) give a 8-bit
+    bucket; each vector's nearest neighbor is searched ONLY within its
+    bucket (2^8 buckets => ~n^2/256 candidate pairs; recall traded for
+    256x less work — the IVF/LSH scale path). Dot products in exact
+    fixed-point; per-vector top-1 via ranking window."""
+    e = load(spark, sf_dir, "embeddings")
+    qcol = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"))
+    e = e.withColumn("q", qcol)
+    bits = []
+    for row in _LSH_PLANES:
+        w = F.array(*[F.lit(v) for v in row])
+        proj = F.aggregate(
+            F.zip_with("q", w, lambda x, wv: x * wv),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    e = e.withColumn("bucket", F.concat(*bits))
+    a = e.select(F.col("vec_id"), F.col("bucket"), F.transform("embedding", lambda x: F.floor(x.cast("double") * 10000).cast("long")).alias("qa"))
+    b = e.select(F.col("vec_id").alias("nn_id"), F.col("bucket").alias("bucket_b"), F.transform("embedding", lambda x: F.floor(x.cast("double") * 10000).cast("long")).alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    pairs = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_id") != F.col("nn_id")))
+        .withColumn("dot_e8", dot)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot_e8").desc(), "nn_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "bucket", "nn_id", "dot_e8")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language ID, BPE-ish tokenization, filtered views
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "value"),
+    "de": ("batch", "window"),
+    "fr": ("merge", "join"),
+    "es": ("scan", "group"),
+    "zh": ("spark", "stream"),
+}
+
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for lang, words in _LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ' '))) // {len(w) + 1}"
+            for w in words
+        )
+        score_cols.append(f"({terms}) AS score_{lang}")
+    scores = ", ".join(score_cols)
+    langs = list(_LANG_MARKERS)
+    best = f"score_{langs[0]}"
+    pick = f"'{langs[0]}'"
+    for lg in langs[1:]:
+        pick = f"CASE WHEN score_{lg} > {best} THEN '{lg}' ELSE {pick} END"
+        best = f"greatest(score_{lg}, {best})"
+    return f"""
+    WITH scored AS (SELECT doc_id, {scores} FROM documents)
+    SELECT doc_id, {", ".join("score_" + lg for lg in langs)}, {pick} AS lang_pred
+    FROM scored
+    """
+
+
+@_register("q_lang_id", _lang_id_sql())
+def q_lang_id(spark, sf_dir):
+    """N-gram/marker-word language ID heuristic: integer occurrence counts
+    of per-language marker words (exact-substring scan — replace-and-measure,
+    no regex), argmax with a deterministic earlier-language-wins tiebreak.
+    Pure column expressions; whole-stage codegen end to end."""
+    d = load(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    cols = [F.col("doc_id")]
+    langs = list(_LANG_MARKERS)
+    for lang, words in _LANG_MARKERS.items():
+        score = None
+        for w in words:
+            token = f" {w} "
+            cnt = F.floor(
+                (F.length(padded) - F.length(F.replace(padded, F.lit(token), F.lit(" "))))
+                / F.lit(len(w) + 1)
+            ).cast("long")
+            score = cnt if score is None else score + cnt
+        cols.append(score.alias(f"score_{lang}"))
+    d = d.select(*cols)
+    best = F.col(f"score_{langs[0]}")
+    pick = F.lit(langs[0])
+    for lg in langs[1:]:
+        pick = F.when(F.col(f"score_{lg}") > best, F.lit(lg)).otherwise(pick)
+        best = F.greatest(F.col(f"score_{lg}"), best)
+    return d.select("doc_id", *[f"score_{lg}" for lg in langs], pick.alias("lang_pred"))
+
+
+@_register(
+    "q_bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE-ish tokenizer counting: GPT-2-style pretokenization classes
+    (letter runs | digit runs | single punctuation) via regexp_extract_all —
+    the same pattern compiles identically under Java regex and RE2."""
+    d = load(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), F.lit(0))).alias(
+            "n_number_tokens"
+        ),
+    )
+
+
+@_register(
+    "q_view_purchases_by_user",
+    """
+    WITH view_purchases AS (
+      SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, count(*) AS n_purchases,
+           sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_micro
+    FROM view_purchases GROUP BY 1
+    """,
+)
+def q_view_purchases_by_user(spark, sf_dir):
+    """B13 filtered-projection view (maintenance/views.md:4-25 shape:
+    view_transactions = operations WHERE type='normal') consumed by an
+    aggregate — the filter pushes through the view into the scan."""
+    load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id", "value").createOrReplaceTempView("view_purchases")
+    return spark.sql(
+        """
+        SELECT user_id, count(*) AS n_purchases,
+               sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_micro
+        FROM view_purchases GROUP BY user_id
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (operators/multimodal.py): binary payloads + metadata
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_multimodal_metadata",
+    """
+    WITH media AS (
+      SELECT doc_id,
+             unhex(md5(text)) || unhex(md5('b1|' || text)) ||
+             unhex(md5('b2|' || text)) || unhex(md5('b3|' || text)) AS payload,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type
+      FROM documents
+    )
+    SELECT media_type, count(*) AS n_docs,
+           sum(octet_length(payload)) AS total_bytes,
+           min(octet_length(payload)) AS min_bytes
+    FROM media GROUP BY 1
+    """,
+)
+def q_multimodal_metadata(spark, sf_dir):
+    """Multimodal metadata rollup over the synthesized binary payload column
+    (operators/multimodal.py). Binary bytes stay columnar; only the typed
+    metadata struct reaches the aggregate (column pruning drops the payload
+    at the scan for real metadata-only plans)."""
+    from multiversx_etl_spark.operators.multimodal import synthesize_media
+
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    return (
+        media.groupBy(F.col("meta.media_type").alias("media_type"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+            F.min(F.col("meta.n_bytes")).alias("min_bytes"),
+        )
+    )
+
+
+@_register("q_multimodal_features")  # no SQL oracle: mapInPandas decode stub
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction (decode stub) over binary payloads —
+    mapInPandas, partition-preserving. Non-SQL-expressible (rows-only check);
+    unit tests assert the feature values against an independent Python fold."""
+    from multiversx_etl_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    return extract_features(media)
