@@ -1,0 +1,214 @@
+"""CLI driver — the engine's ``spark-submit`` surface.
+
+The reference exposes its flows as CLI subcommands
+(/root/reference/multiversxetl/app.py:38-55: process-append-only-indices,
+process-mutable-indices, rewind, find-latest-good-checkpoint); this is the
+Spark-first equivalent, runnable as
+
+    spark-submit --py-files mxetl.zip -m multiversx_etl_spark <cmd> ...
+    # or locally: python -m multiversx_etl_spark <cmd> ...
+
+Subcommands:
+  gen-log     write a deterministic synthetic change log (sources/changelog.py)
+  init        create the lake table
+  replay      exactly-once batch replay of an offset range (streaming/ingest.py)
+  stream      Structured Streaming tail of a log directory (availableNow)
+  status      lineage/epoch summary — the analog of the reference's task
+              dashboard status report (tasks_dashboard.py:88-94)
+  rollback    time-travel the table to an older snapshot (bq_client rewind
+              analog, O(1))
+  reconcile   per-row sha256 verification against a LWW fold of the log
+              (checks.py analog, stronger invariant)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import pyspark.sql.functions as F
+
+
+def _spark(args):
+    from multiversx_etl_spark.session import get_spark
+
+    return get_spark(
+        "multiversx-etl-spark",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="multiversx_etl_spark")
+    p.add_argument("--master", default=None, help="Spark master (default: from env/cluster)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-log", help="write a synthetic change log")
+    g.add_argument("path")
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--repos", type=int, default=100)
+    g.add_argument("--files", type=int, default=16)
+
+    i = sub.add_parser("init", help="create the lake table")
+    i.add_argument("table")
+    i.add_argument("--buckets", type=int, default=16)
+
+    r = sub.add_parser("replay", help="exactly-once replay of a parquet log")
+    r.add_argument("log")
+    r.add_argument("table")
+    r.add_argument("--interval-size", type=int, default=100_000)
+    r.add_argument("--buckets", type=int, default=16)
+    r.add_argument("--max-epochs", type=int, default=None)
+
+    s = sub.add_parser("stream", help="Structured Streaming tail (availableNow)")
+    s.add_argument("log_dir")
+    s.add_argument("table")
+    s.add_argument("checkpoint")
+    s.add_argument("--buckets", type=int, default=16)
+    s.add_argument("--max-files-per-trigger", type=int, default=4)
+
+    st = sub.add_parser("status", help="epoch/lineage summary")
+    st.add_argument("table")
+
+    rb = sub.add_parser("rollback", help="time-travel to snapshot version")
+    rb.add_argument("table")
+    rb.add_argument("version", type=int)
+
+    rc = sub.add_parser("reconcile", help="sha256 verification vs the log's LWW fold")
+    rc.add_argument("log")
+    rc.add_argument("table")
+
+    args = p.parse_args(argv)
+    spark = _spark(args)
+    try:
+        return _dispatch(spark, args)
+    finally:
+        spark.stop()
+
+
+def _dispatch(spark, args) -> int:
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.schemas import REPOS
+
+    if args.cmd == "gen-log":
+        from multiversx_etl_spark.sources.changelog import (
+            generate_change_log,
+            write_log_parquet,
+        )
+
+        log = generate_change_log(spark, args.events, num_repos=args.repos)
+        write_log_parquet(log, args.path, files=args.files)
+        print(json.dumps({"written": spark.read.parquet(args.path).count()}))
+        return 0
+
+    if args.cmd == "init":
+        LakeTable.create(
+            spark, args.table, REPOS, key_columns=["repo", "path"], num_buckets=args.buckets
+        )
+        print(json.dumps({"created": args.table, "buckets": args.buckets}))
+        return 0
+
+    if args.cmd == "replay":
+        from multiversx_etl_spark.streaming.ingest import ensure_table, replay
+
+        table = ensure_table(spark, args.table, num_buckets=args.buckets)
+        summary = replay(
+            spark.read.parquet(args.log),
+            table,
+            interval_size=args.interval_size,
+            max_epochs=args.max_epochs,
+        )
+        print(
+            json.dumps(
+                {
+                    "epochs_run": summary.epochs_run,
+                    "epochs_skipped": summary.epochs_skipped,
+                    "rows_in": summary.rows_in,
+                    "inserted": summary.rows_inserted,
+                    "updated": summary.rows_updated,
+                    "deleted": summary.rows_deleted,
+                    "final_rows": table.read().count(),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "stream":
+        from multiversx_etl_spark.streaming.ingest import ensure_table, stream_ingest
+
+        table = ensure_table(spark, args.table, num_buckets=args.buckets)
+        stream_ingest(
+            spark,
+            args.log_dir,
+            table,
+            args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        print(json.dumps({"version": table.current_version(), "rows": table.read().count()}))
+        return 0
+
+    if args.cmd == "status":
+        from multiversx_etl_spark.streaming.ingest import read_lineage
+
+        table = LakeTable(spark, args.table)
+        m = table.snapshot()
+        lineage = read_lineage(table)
+        agg = lineage.agg(
+            F.count("*").alias("ledger_rows"),
+            F.countDistinct("epoch_id").alias("epochs"),
+            F.sum("rows_in").alias("rows_in"),
+            F.sum("rows_inserted").alias("inserted"),
+            F.sum("rows_updated").alias("updated"),
+            F.sum("rows_deleted").alias("deleted"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "version": m.version,
+                    "operation": m.operation,
+                    "files": len(m.files),
+                    "buckets": m.num_buckets,
+                    "streams": {
+                        k: {"last_epoch": v.get("last_epoch"), "epochs": len(v.get("epochs", {}))}
+                        for k, v in m.streams.items()
+                    },
+                    "lineage": {k: (int(agg[k]) if agg[k] is not None else 0) for k in agg.asDict()},
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "rollback":
+        table = LakeTable(spark, args.table)
+        table.rollback(args.version)
+        print(json.dumps({"rolled_back_to": args.version, "version": table.current_version()}))
+        return 0
+
+    if args.cmd == "reconcile":
+        from multiversx_etl_spark.operators.checks import reconcile
+        from multiversx_etl_spark.oracle import expected_state
+
+        table = LakeTable(spark, args.table)
+        report = reconcile(table, expected_state(spark.read.parquet(args.log)))
+        print(
+            json.dumps(
+                {
+                    "ok": report.ok,
+                    "expected_rows": report.expected_rows,
+                    "actual_rows": report.actual_rows,
+                    "missing": report.missing,
+                    "unexpected": report.unexpected,
+                    "sha_mismatches": report.sha_mismatches,
+                }
+            )
+        )
+        return 0 if report.ok else 1
+
+    raise AssertionError(f"unhandled cmd {args.cmd}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
