@@ -36,7 +36,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 NUM_EVENTS = int(os.environ.get("SPARK_GRAFT_EVENTS", "2000000"))
 NUM_EPOCHS = int(os.environ.get("SPARK_GRAFT_EPOCHS", "4"))
-NUM_BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", str(max(64, 2 * CPUS))))
+#: 32 buckets measured fastest for the replay at this scale (fewer, larger
+#: reduce tasks/files beat per-task overhead; on a real cluster you size
+#: buckets to the table, not the bench).
+NUM_BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "32"))
 
 
 def _sf_of(path: str) -> float:

@@ -62,6 +62,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--interval-size", type=int, default=100_000)
     r.add_argument("--buckets", type=int, default=16)
     r.add_argument("--max-epochs", type=int, default=None)
+    r.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    r.add_argument("--compact-every", type=int, default=None)
 
     s = sub.add_parser("stream", help="Structured Streaming tail (availableNow)")
     s.add_argument("log_dir")
@@ -69,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("checkpoint")
     s.add_argument("--buckets", type=int, default=16)
     s.add_argument("--max-files-per-trigger", type=int, default=4)
+    s.add_argument("--mode", choices=["mor", "cow"], default="mor")
+
+    c = sub.add_parser("compact", help="fold merge-on-read deltas into base files")
+    c.add_argument("table")
 
     st = sub.add_parser("status", help="epoch/lineage summary")
     st.add_argument("table")
@@ -120,6 +126,8 @@ def _dispatch(spark, args) -> int:
             table,
             interval_size=args.interval_size,
             max_epochs=args.max_epochs,
+            mode=args.mode,
+            compact_every=args.compact_every,
         )
         print(
             json.dumps(
@@ -146,8 +154,16 @@ def _dispatch(spark, args) -> int:
             table,
             args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
+            mode=args.mode,
         )
         print(json.dumps({"version": table.current_version(), "rows": table.read().count()}))
+        return 0
+
+    if args.cmd == "compact":
+        table = LakeTable(spark, args.table)
+        before = len(table.snapshot().files)
+        m = table.compact()
+        print(json.dumps({"version": m.version, "files_before": before, "files_after": len(m.files)}))
         return 0
 
     if args.cmd == "status":

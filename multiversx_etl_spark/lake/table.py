@@ -4,12 +4,15 @@ No Iceberg/Delta runtime jar ships in this sandbox, so the engine's sink is
 this thin storage layer providing the same contract the north rule needs from
 Iceberg:
 
-- **bucketed layout**: data files are hash-bucketed on the upsert key
-  (``bucket = pmod(xxhash64(repo, path), B)``) so a MERGE touches (reads and
-  rewrites) only the buckets its change-set hashes into — the analog of
-  Iceberg's ``bucket(B, ...)`` partition transform and of the reference's
-  per-interval task decomposition (/root/reference/multiversxetl/
-  tasks_dashboard.py:35-46);
+- **bucketed layout**: every row has a logical bucket ``pmod(xxhash64(repo,
+  path), B)``; data files are written one-per-shuffle-partition of
+  ``repartition(B, _bucket)`` and labeled with their partition id (pid).
+  pid is a fixed function of the logical bucket (Murmur3 mod B — the same
+  hash Spark's shuffle uses), so bucket-scoped reads prune to the pid file
+  groups that can contain those buckets. This is the analog of Iceberg's
+  ``bucket(B, ...)`` partition transform; writing plain per-partition files
+  instead of ``partitionBy`` avoids the dynamic-partition writer, which
+  measures ~35% slower and anti-scales with cores on this box;
 - **atomic snapshot commits**: each commit writes an immutable manifest JSON
   (file list + row counts + schema + stream epoch markers) and atomically
   repoints a ``_current`` pointer via ``os.replace`` — crash-safe: a crash
@@ -19,6 +22,10 @@ Iceberg:
   step (strictly stronger than the reference's worker_state.json checkpoint,
   /root/reference/multiversxetl/worker_state.py:29-37, which is committed
   separately after verification);
+- **merge-on-read**: a MERGE may append delta files instead of rewriting
+  (``replaced_pids=set()``); reads then apply the per-key max-seq fold
+  (Iceberg v2 MOR semantics). ``compact()`` folds deltas back into one base
+  file per partition;
 - **time travel / rollback**: old manifests are retained;
   ``rollback(version)`` repoints ``_current`` (the analog of the reference's
   rewind-to-checkpoint DELETE, /root/reference/multiversxetl/bq_client.py:
@@ -36,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -48,9 +56,14 @@ from pyspark.sql.types import StructType
 _MANIFEST_DIR = "_manifests"
 _CURRENT = "_current"
 
+_PART_RE = re.compile(r"part-(\d+)-")
+
+#: num_buckets -> [pid of bucket k] (pid = Murmur3(k) % B, via Spark itself).
+_PID_CACHE: dict[int, list[int]] = {}
+
 
 def bucket_expr(key_columns: list[str], num_buckets: int) -> Column:
-    """Hash-bucket assignment — pure function of the upsert key.
+    """Logical hash-bucket assignment — pure function of the upsert key.
 
     Bucketing on the full ``(repo, path)`` key (not just ``repo``) keeps the
     physical distribution uniform even when one monorepo dominates the key
@@ -61,6 +74,26 @@ def bucket_expr(key_columns: list[str], num_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*key_columns), F.lit(num_buckets)).cast("int")
 
 
+def bucket_to_pid(spark: SparkSession, num_buckets: int) -> list[int]:
+    """pid of each logical bucket under ``repartition(B, _bucket)``.
+
+    Derived by running B rows through the actual partitioner (not by
+    reimplementing Murmur3), so it is exact by construction; cached per B.
+    """
+    m = _PID_CACHE.get(num_buckets)
+    if m is None:
+        df = (
+            spark.range(num_buckets)
+            .select(F.col("id").cast("int").alias("_bucket"))
+            .repartition(num_buckets, "_bucket")
+            .select("_bucket", F.spark_partition_id().alias("pid"))
+        )
+        pairs = {r["_bucket"]: r["pid"] for r in df.collect()}
+        m = [pairs[k] for k in range(num_buckets)]
+        _PID_CACHE[num_buckets] = m
+    return m
+
+
 @dataclass
 class Manifest:
     """One immutable snapshot of the table."""
@@ -69,7 +102,7 @@ class Manifest:
     schema_json: str
     num_buckets: int
     key_columns: list[str]
-    files: list[dict[str, Any]] = field(default_factory=list)  # {path, bucket, rows}
+    files: list[dict[str, Any]] = field(default_factory=list)  # {path, pid, rows}
     streams: dict[str, dict[str, Any]] = field(default_factory=dict)
     parent: int | None = None
     operation: str = "create"
@@ -80,10 +113,10 @@ class Manifest:
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
 
-    def files_for_buckets(self, buckets: set[int] | None) -> list[dict[str, Any]]:
-        if buckets is None:
+    def files_for_pids(self, pids: set[int] | None) -> list[dict[str, Any]]:
+        if pids is None:
             return list(self.files)
-        return [f for f in self.files if f["bucket"] in buckets]
+        return [f for f in self.files if f["pid"] in pids]
 
     def epoch_info(self, stream_id: str, epoch_id: int) -> dict[str, Any] | None:
         return self.streams.get(stream_id, {}).get("epochs", {}).get(str(epoch_id))
@@ -175,20 +208,34 @@ class LakeTable:
 
     # ---------- read ----------
 
+    def pids_for_buckets(self, buckets: set[int] | None, m: Manifest) -> set[int] | None:
+        if buckets is None:
+            return None
+        mapping = bucket_to_pid(self.spark, m.num_buckets)
+        return {mapping[b] for b in buckets}
+
     def read(
         self,
         version: int | None = None,
         buckets: set[int] | None = None,
         include_tombstones: bool = False,
+        raw: bool = False,
     ) -> DataFrame:
         """Read a snapshot (optionally bucket-pruned / time-travelled).
 
         The manifest schema is applied over every file, so files written
         before a column was added read as NULL (schema evolution).
         Iceberg analog: ``spark.read.option("snapshot-id", ...).table(t)``.
+
+        When merge-on-read delta files are outstanding (manifest property
+        ``mor_appends > 0``) a key may appear in several file generations;
+        the read applies the last-writer-wins fold (per-key max-seq struct
+        winner — Iceberg v2 MOR). ``raw=True`` skips the fold AND the
+        tombstone filter, returning every physical row — for callers (the
+        MERGE itself) that fold downstream anyway.
         """
         m = self.snapshot(version)
-        files = m.files_for_buckets(buckets)
+        files = m.files_for_pids(self.pids_for_buckets(buckets, m))
         schema = m.schema
         if not files:
             df = self.spark.createDataFrame([], schema)
@@ -196,6 +243,20 @@ class LakeTable:
             df = self.spark.read.schema(schema).parquet(*[
                 os.path.join(self.root, f["path"]) for f in files
             ])
+        if raw:
+            return df
+        if int(m.properties.get("mor_appends", 0)) > 0:
+            others = [c for c in df.columns if c not in m.key_columns and c != "seq"]
+            w = F.max(F.struct("seq", *others)).alias("_w")
+            df = (
+                df.groupBy(*m.key_columns)
+                .agg(w)
+                .select(
+                    *m.key_columns,
+                    F.col("_w.seq").alias("seq"),
+                    *[F.col(f"_w.{c}").alias(c) for c in others],
+                )
+            )
         if not include_tombstones and "deleted" in df.columns:
             df = df.where(~F.col("deleted"))
         return df
@@ -219,50 +280,57 @@ class LakeTable:
         self, df: DataFrame, commit_tag: str, bucket_aligned: bool = False
     ) -> list[dict[str, Any]]:
         """Write ``df`` (which must carry a ``_bucket`` column) under
-        ``data/<commit_tag>/_bucket=k/...`` and return manifest file entries.
+        ``data/<commit_tag>/`` as ONE plain parquet file per shuffle
+        partition of ``repartition(B, _bucket)`` and return manifest entries
+        labeled with the partition id parsed from the task's file name.
 
-        Unless ``bucket_aligned`` (caller already co-partitioned rows by
-        ``_bucket``, e.g. the merge aggregate), ``repartition(_bucket)``
-        first so each task holds whole buckets — file count stays O(touched
-        buckets), not O(tasks × buckets).
+        ``bucket_aligned=True`` promises the caller's plan already carries
+        exactly that partitioning (e.g. the merge aggregate), skipping the
+        exchange. Plain files beat ``partitionBy`` (dynamic-partition
+        writer): ~35% faster here and it scales with cores.
         """
+        m = self.snapshot()
         out_dir = os.path.join(self.root, "data", commit_tag)
         if not bucket_aligned:
-            df = df.repartition(F.col("_bucket"))
-        df.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+            df = df.repartition(m.num_buckets, F.col("_bucket"))
+        df.drop("_bucket").write.mode("overwrite").parquet(out_dir)
         entries: list[dict[str, Any]] = []
-        for bucket_dir in sorted(os.listdir(out_dir)):
-            if not bucket_dir.startswith("_bucket="):
+        for fname in sorted(os.listdir(out_dir)):
+            if not fname.endswith(".parquet"):
                 continue
-            bucket = int(bucket_dir.split("=", 1)[1])
-            for fname in sorted(os.listdir(os.path.join(out_dir, bucket_dir))):
-                if fname.endswith(".parquet"):
-                    entries.append(
-                        {
-                            "path": os.path.join("data", commit_tag, bucket_dir, fname),
-                            "bucket": bucket,
-                            "rows": None,
-                        }
-                    )
+            match = _PART_RE.match(fname)
+            if match is None:
+                raise RuntimeError(f"unexpected data file name: {fname}")
+            entries.append(
+                {
+                    "path": os.path.join("data", commit_tag, fname),
+                    "pid": int(match.group(1)),
+                    "rows": None,
+                }
+            )
         return entries
 
     def commit(
         self,
         new_files: list[dict[str, Any]],
-        replaced_buckets: set[int],
+        replaced_pids: set[int],
         operation: str,
         stream_id: str | None = None,
         epoch_id: int | None = None,
         epoch_info: dict[str, Any] | None = None,
         schema: StructType | None = None,
         expected_parent: int | None = None,
+        properties: dict[str, Any] | None = None,
     ) -> Manifest:
-        """Commit a copy-on-write replacement of ``replaced_buckets``.
+        """Commit new files, replacing ``replaced_pids`` file groups
+        (copy-on-write) — or none (``set()``): a merge-on-read delta append.
 
         Data files + epoch marker + schema change land in ONE atomic snapshot
         (Iceberg analog: MERGE commit + snapshot summary properties).
         ``expected_parent`` gives optimistic concurrency: the commit fails if
-        another writer advanced the table meanwhile.
+        another writer advanced the table meanwhile. ``properties`` merge
+        over the parent's (e.g. the ``mor_appends`` outstanding-delta
+        counter).
         """
         parent = self.snapshot()
         if expected_parent is not None and parent.version != expected_parent:
@@ -270,13 +338,16 @@ class LakeTable:
                 f"concurrent commit: expected parent {expected_parent}, "
                 f"found {parent.version}"
             )
-        kept = [f for f in parent.files if f["bucket"] not in replaced_buckets]
+        kept = [f for f in parent.files if f["pid"] not in replaced_pids]
         streams = json.loads(json.dumps(parent.streams))  # deep copy
         if stream_id is not None and epoch_id is not None:
             entry = streams.setdefault(stream_id, {"epochs": {}, "last_epoch": None})
             entry["epochs"][str(epoch_id)] = epoch_info or {}
             last = entry.get("last_epoch")
             entry["last_epoch"] = epoch_id if last is None else max(last, epoch_id)
+        props = dict(parent.properties)
+        if properties:
+            props.update(properties)
         manifest = Manifest(
             version=parent.version + 1,
             schema_json=json.dumps(schema.jsonValue()) if schema else parent.schema_json,
@@ -287,9 +358,29 @@ class LakeTable:
             parent=parent.version,
             operation=operation,
             committed_at=time.time(),
+            properties=props,
         )
         self._write_manifest(manifest)
         return manifest
+
+    def compact(self) -> Manifest:
+        """Fold all outstanding merge-on-read deltas into one base file per
+        partition (tombstones retained — a late lower-seq update must never
+        resurrect a deleted key, so tombstone seqs survive compaction).
+        Iceberg analog: rewrite_data_files maintenance. Resets
+        ``mor_appends`` so subsequent reads skip the fold."""
+        m = self.snapshot()
+        folded = self.read(include_tombstones=True).withColumn(
+            "_bucket", bucket_expr(m.key_columns, m.num_buckets)
+        )
+        new_files = self.write_data_files(folded, f"compact-v{m.version:08d}")
+        return self.commit(
+            new_files,
+            replaced_pids=set(range(m.num_buckets)),
+            operation="compact",
+            expected_parent=m.version,
+            properties={"mor_appends": 0},
+        )
 
     def rollback(self, version: int) -> None:
         """Repoint ``_current`` at an older snapshot (O(1) rewind — the
@@ -307,5 +398,6 @@ class LakeTable:
             parent=cur.version,
             operation=f"rollback_to_{version}",
             committed_at=time.time(),
+            properties=dict(target.properties),
         )
         self._write_manifest(manifest)

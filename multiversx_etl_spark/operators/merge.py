@@ -7,31 +7,42 @@ AND s.op != 'delete' THEN INSERT *`` — plus tombstone retention: deletes keep
 a ``deleted=true`` row carrying the delete's seq, so a late lower-seq update
 arriving in a later batch cannot resurrect the key (SURVEY.md §7 hard parts).
 
-Physical plan, scale-first:
+Two physical modes, both scale-first:
 
-1. **bucket pruning**: the change-set's distinct buckets are computed first
-   (a tiny agg — at most ``num_buckets`` values); only those buckets' files
-   are read and rewritten (copy-on-write). A micro-batch touching few repos
-   rewrites a small fraction of a 100 TB table. Analog of the reference's
-   interval-scoped loads (tasks_runner.py:93-104) and of Iceberg's
-   storage-partitioned MERGE on a bucket spec.
-2. **dedup before join**: the change-set collapses to one row per key via the
-   partial-agg struct max (operators/dedup.py) — the big side of the merge
-   shrinks before any shuffle.
-3. **union + single hash aggregate** instead of an outer join: target rows
+- ``mor`` (merge-on-read, the default): the batch's per-key winners are
+  APPENDED as delta files — write cost is O(batch), never O(table). Reads
+  fold generations per key (lake/table.py read); ``compact()`` folds deltas
+  back into base files. This is Iceberg v2 MOR, and the only shape that
+  survives a small micro-batch MERGE into a 100 TB table. The target is
+  still consulted — but only its narrow (key, seq, deleted) projection, for
+  merge-stat classification and the seq guard; content bytes of the target
+  never move.
+- ``cow`` (copy-on-write): touched partition file-groups are rewritten in
+  full — read-optimal (no fold), the right trade for low-churn tables.
+
+Shared physical plan:
+
+1. **partition pruning**: the change-set's distinct buckets are computed
+   first (a tiny agg); only those partitions' files are read. A micro-batch
+   touching few repos reads a small fraction of the table. Analog of the
+   reference's interval-scoped loads (tasks_runner.py:93-104).
+2. **union + single hash aggregate** instead of an outer join: target rows
    (tagged) and change rows (tagged) union and group by key; the max-struct
-   winner implements MATCHED/NOT-MATCHED arms uniformly. One shuffle total,
-   map-side combined; AQE handles residual skew. (A join would shuffle both
-   sides too — but also need null-handling per arm; the union-agg form is
-   both cheaper to reason about and partial-aggregatable.)
-4. **merge stats in the same pass**: per-key target/change seqs ride along,
-   classifying each output row as insert/update/delete/carry for the lineage
-   ledger (A17/A24 analogs) without a second scan of the inputs.
+   winner implements per-key dedup of the change-set (A14: max-commit-seq)
+   AND all MATCHED/NOT-MATCHED merge arms uniformly. One shuffle total,
+   partial-aggregated map-side; because ``_bucket`` is a pure function of
+   the key and appears in the grouping keys, the explicit
+   HashPartitioning(_bucket) satisfies the aggregate's required distribution
+   — no second exchange — and the bucket-aligned file write consumes the
+   same partitioning (zero further shuffles).
+3. **merge stats in the same pass**: the per-key target winner (max-seq
+   target struct) rides along, classifying each output row as
+   insert/update/delete/carry for the lineage ledger (A17/A24 analogs)
+   without a second scan.
 
-Idempotence: re-applying the same batch yields seq ties, which the winner
-comparison resolves in favor of identical data — a replayed MERGE is a no-op
-(the epoch marker normally short-circuits it earlier; this is defense in
-depth).
+Idempotence: re-applying the same batch yields seq ties, resolved as 'carry'
+(no-op) — a replayed MERGE changes nothing (the epoch marker normally
+short-circuits it earlier; this is defense in depth).
 """
 
 from __future__ import annotations
@@ -95,8 +106,10 @@ def merge_batch(
     offset_lo: int = 0,
     offset_hi: int = 0,
     collect_per_bucket_stats: bool = True,
+    mode: str = "mor",
 ) -> MergeStats:
     """Apply one micro-batch of change events and commit atomically."""
+    assert mode in ("mor", "cow"), mode
     parent = table.snapshot()
     key = parent.key_columns
     stats = MergeStats()
@@ -144,41 +157,37 @@ def merge_batch(
         cols.append(F.col("_bucket"))
         return df.select(*cols)
 
-    target = table.read(buckets=touched, include_tombstones=True).withColumn(
-        "_bucket", bucket_expr(key, parent.num_buckets)
-    )
+    # MOR consults only the target's narrow (key, seq, deleted) projection —
+    # target content never moves. COW reads full rows (it must rewrite them).
+    # raw=True returns every physical generation; the union-agg folds them.
+    target = table.read(buckets=touched, raw=True)
+    if mode == "mor":
+        target = target.select(*key, "seq", "deleted")
+    target = target.withColumn("_bucket", bucket_expr(key, parent.num_buckets))
     both = aligned(target, False).unionByName(aligned(changes, True))
 
-    # -- 3. ONE shuffle, ONE hash aggregate: co-partition target + raw change
-    #    rows by bucket, then group by key. Because ``_bucket`` is a pure
-    #    function of the key and appears in the grouping keys, the explicit
-    #    HashPartitioning(_bucket) satisfies the aggregate's required
-    #    distribution — Catalyst inserts no second exchange, and the
-    #    downstream bucketed file write consumes the same partitioning (zero
-    #    further shuffles). The max-struct winner performs per-key dedup of
-    #    the change-set (A14) AND the MATCHED/NOT-MATCHED merge arms in the
-    #    same aggregation — duplicates, out-of-order seqs, and the target row
-    #    all collapse in one pass. Struct comparison is (seq, _is_change,
-    #    ...): on a seq tie the change row wins, carrying identical data
-    #    (idempotent replay).
+    # -- 3. ONE shuffle, ONE aggregate (see module docstring step 2).
+    #    Winner struct compares (seq, _is_change, ...): on a seq tie the
+    #    change row wins, carrying identical data (idempotent replay).
+    #    The separate _tw struct is the TARGET-side winner — its deleted
+    #    flag (not "any generation was live") decides prior liveness, which
+    #    matters when several MOR generations of a key are present.
     wstruct = F.struct("seq", "_is_change", "deleted", *payload, "_bucket")
     merged = (
         both.repartition(parent.num_buckets, F.col("_bucket"))
         .groupBy(*key, "_bucket")
         .agg(
             F.max(wstruct).alias("_w"),
-            F.max(F.when(~F.col("_is_change"), F.col("seq"))).alias("_tseq"),
-            F.max(F.when(~F.col("_is_change") & ~F.col("deleted"), True)).alias("_tlive"),
+            F.max(F.when(~F.col("_is_change"), F.struct("seq", "deleted"))).alias("_tw"),
             F.count(F.when(F.col("_is_change"), 1)).alias("_cn"),
         )
-        .drop("_bucket")
     )
     won_change = F.col("_w._is_change")
-    was_live = F.coalesce(F.col("_tlive"), F.lit(False))
+    was_live = F.col("_tw").isNotNull() & ~F.col("_tw.deleted")
     action = (
         F.when(~won_change, F.lit("carry"))
         # seq tie = the same event re-applied (at-least-once replay): no-op
-        .when(F.col("_tseq").isNotNull() & (F.col("_w.seq") == F.col("_tseq")), F.lit("carry"))
+        .when(F.col("_tw").isNotNull() & (F.col("_w.seq") == F.col("_tw.seq")), F.lit("carry"))
         .when(F.col("_w.deleted") & was_live, F.lit("delete"))
         .when(F.col("_w.deleted"), F.lit("tombstone"))  # delete of an absent/dead key
         .when(was_live, F.lit("update"))
@@ -189,76 +198,98 @@ def merge_batch(
         F.col("_w.seq").alias("seq"),
         F.col("_w.deleted").alias("deleted"),
         *[F.col(f"_w.{p}").alias(p) for p in payload],
-        F.col("_w._bucket").alias("_bucket"),
+        F.col("_bucket"),
         action.alias("_action"),
         F.col("_cn"),
     )
-    merged = merged.persist()
-    try:
-        # -- 5. write new bucket files (copy-on-write of touched buckets).
-        out_cols = [*key, *payload, "seq", "deleted", "_bucket"]
-        tag = f"{stream_id}-e{epoch_id:08d}"
-        with _phase("merge_write"):
-            new_files = table.write_data_files(
-                merged.select(*out_cols), tag, bucket_aligned=True
-            )
 
-        # -- 6. per-bucket merge stats for the lineage ledger.
+    # -- 4. write. ``_action``/``_cn`` are written INTO the data files
+    #    (readers never see them: reads apply the manifest schema, so parquet
+    #    column pruning skips them entirely). Per-bucket merge stats are then
+    #    a narrow read-back of ONLY the just-written files — no second pass
+    #    over the inputs, no cache, and the ledger is derived from the
+    #    durable output itself (self-auditing).
+    out_cols = [*key, *payload, "seq", "deleted", "_action", "_cn", "_bucket"]
+    if mode == "mor":
+        # Only the delta rows are written; 'carry' (target won / seq tie)
+        # rewrites nothing. Appended files join the fold at read time.
+        to_write = merged.where(F.col("_action") != "carry").select(*out_cols)
+        replaced_pids: set[int] = set()
+        props = {"mor_appends": int(parent.properties.get("mor_appends", 0)) + 1}
+    else:
+        to_write = merged.select(*out_cols)
+        replaced_pids = table.pids_for_buckets(touched, parent)
+        props = None
+
+    tag = f"{stream_id}-e{epoch_id:08d}"
+    with _phase("merge_write"):
+        new_files = table.write_data_files(to_write, tag, bucket_aligned=True)
+
+    per_bucket = []
+    if collect_per_bucket_stats and new_files:
         with _phase("bucket_stats"):
-            bucket_stats = (
-                merged.groupBy("_bucket")
+            spark = changes.sparkSession
+            written = spark.read.parquet(
+                *[os.path.join(table.root, f["path"]) for f in new_files]
+            ).select(
+                bucket_expr(key, parent.num_buckets).alias("_bucket"), "_action", "_cn"
+            )
+            rows = (
+                written.groupBy("_bucket")
                 .agg(
                     F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
                     F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
                     F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("del"),
-                    # rows remaining after per-key dedup (change-side keys seen)
+                    # keys remaining after per-key dedup (change-side keys seen)
                     F.sum(F.when(F.col("_cn") >= 1, 1).otherwise(0)).alias("dedup"),
                 )
                 .collect()
-                if collect_per_bucket_stats
-                else []
             )
-        per_bucket = []
         now = time.time()
-        for r in bucket_stats:
+        by_bucket = {int(r["_bucket"]): r for r in rows}
+        for k in sorted(touched | set(by_bucket)):
+            r = by_bucket.get(k)
+            ins = int(r["ins"]) if r else 0
+            upd = int(r["upd"]) if r else 0
+            dele = int(r["del"]) if r else 0
+            dedup = int(r["dedup"]) if r else 0
             per_bucket.append(
                 {
                     "epoch_id": epoch_id,
-                    "bucket": int(r["_bucket"]),
+                    "bucket": int(k),
                     "offset_lo": offset_lo,
                     "offset_hi": offset_hi,
-                    "rows_in": int(in_counts.get(r["_bucket"], 0)),
-                    "rows_deduped": int(r["dedup"]),
-                    "rows_inserted": int(r["ins"]),
-                    "rows_updated": int(r["upd"]),
-                    "rows_deleted": int(r["del"]),
+                    "rows_in": int(in_counts.get(k, 0)),
+                    "rows_deduped": dedup,
+                    "rows_inserted": ins,
+                    "rows_updated": upd,
+                    "rows_deleted": dele,
                     "committed_at": now,
                 }
             )
-            stats.rows_inserted += int(r["ins"])
-            stats.rows_updated += int(r["upd"])
-            stats.rows_deleted += int(r["del"])
-            stats.rows_deduped += int(r["dedup"])
-        stats.per_bucket = per_bucket
+            stats.rows_inserted += ins
+            stats.rows_updated += upd
+            stats.rows_deleted += dele
+            stats.rows_deduped += dedup
+    stats.per_bucket = per_bucket
 
-        # -- 7. atomic commit: data files + epoch marker + evolved schema.
-        table.commit(
-            new_files,
-            touched,
-            "merge",
-            stream_id,
-            epoch_id,
-            {
-                "offset_lo": offset_lo,
-                "offset_hi": offset_hi,
-                "rows_in": stats.rows_in,
-                "inserted": stats.rows_inserted,
-                "updated": stats.rows_updated,
-                "deleted": stats.rows_deleted,
-            },
-            schema=evolved,
-            expected_parent=parent.version,
-        )
-    finally:
-        merged.unpersist()
+    # -- 5. atomic commit: data files + epoch marker + evolved schema.
+    table.commit(
+        new_files,
+        replaced_pids,
+        f"merge-{mode}",
+        stream_id,
+        epoch_id,
+        {
+            "offset_lo": offset_lo,
+            "offset_hi": offset_hi,
+            "rows_in": stats.rows_in,
+            "inserted": stats.rows_inserted,
+            "updated": stats.rows_updated,
+            "deleted": stats.rows_deleted,
+        },
+        schema=evolved,
+        expected_parent=parent.version,
+        properties=props,
+    )
     return stats

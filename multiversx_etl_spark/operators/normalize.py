@@ -63,7 +63,7 @@ def canonicalize_content(content: pd.Series) -> pd.Series:
     whitespace per line. Operates on whole Arrow batches via pandas string
     kernels — never row-at-a-time Python."""
     s = content.str.replace("\r\n", "\n", regex=False).str.replace("\r", "\n", regex=False)
-    return s.str.replace(r"[ \t]+(?=\n)", "", regex=True).str.replace(r"[ \t]+$", "", regex=True)
+    return s.str.replace(r"[ \t]+(?=\n|\Z)", "", regex=True)
 
 
 def normalize_change_events(df: DataFrame) -> DataFrame:

@@ -118,11 +118,12 @@ def apply_epoch(
     offset_lo: int,
     offset_hi: int,
     normalize: bool = True,
+    mode: str = "mor",
 ) -> MergeStats:
     """Normalize → dedup → MERGE → lineage → atomic marker+data commit."""
     if normalize:
         batch = normalize_change_events(batch)
-    stats = merge_batch(table, batch, stream_id, epoch_id, offset_lo, offset_hi)
+    stats = merge_batch(table, batch, stream_id, epoch_id, offset_lo, offset_hi, mode=mode)
     with _phase("lineage_write"):
         _write_lineage(table, epoch_id, stats.per_bucket or [])
     return stats
@@ -136,8 +137,15 @@ def replay(
     stream_id: str = DEFAULT_STREAM_ID,
     max_epochs: int | None = None,
     on_epoch: Callable[[int, MergeStats], None] | None = None,
+    mode: str = "mor",
+    compact_every: int | None = None,
 ) -> ReplaySummary:
-    """Replay the log in offset-range epochs, skipping committed ones."""
+    """Replay the log in offset-range epochs, skipping committed ones.
+
+    ``mode='mor'`` (default) appends delta files per epoch — O(batch) write
+    cost; ``compact_every=K`` folds deltas into base files after every K run
+    epochs (read-amplification bound, like Iceberg maintenance cadence).
+    """
     if total_offsets is None:
         total_offsets = log.agg(F.max("offset")).collect()[0][0] + 1
     summary = ReplaySummary()
@@ -148,8 +156,13 @@ def replay(
             summary.epochs_skipped += 1
             continue
         batch = read_offset_range(log, plan.offset_lo, plan.offset_hi)
-        stats = apply_epoch(table, batch, stream_id, plan.epoch_id, plan.offset_lo, plan.offset_hi)
+        stats = apply_epoch(
+            table, batch, stream_id, plan.epoch_id, plan.offset_lo, plan.offset_hi, mode=mode
+        )
         summary.epochs_run += 1
+        if compact_every and summary.epochs_run % compact_every == 0:
+            with _phase("compact"):
+                table.compact()
         summary.rows_in += stats.rows_in
         summary.rows_inserted += stats.rows_inserted
         summary.rows_updated += stats.rows_updated
@@ -167,6 +180,7 @@ def stream_ingest(
     checkpoint_dir: str,
     stream_id: str = "stream",
     max_files_per_trigger: int = 4,
+    mode: str = "mor",
 ) -> None:
     """Structured Streaming tail of a parquet log directory (availableNow).
 
@@ -187,7 +201,7 @@ def stream_ingest(
         ).collect()[0]
         lo = bounds["lo"] if bounds["lo"] is not None else 0
         hi = (bounds["hi"] + 1) if bounds["hi"] is not None else 0
-        apply_epoch(table, batch_df, stream_id, epoch_id, lo, hi)
+        apply_epoch(table, batch_df, stream_id, epoch_id, lo, hi, mode=mode)
 
     q = (
         src.writeStream.foreachBatch(handle)
