@@ -107,8 +107,13 @@ def merge_batch(
     offset_hi: int = 0,
     collect_per_bucket_stats: bool = True,
     mode: str = "mor",
+    in_counts: dict[int, int] | None = None,
 ) -> MergeStats:
-    """Apply one micro-batch of change events and commit atomically."""
+    """Apply one micro-batch of change events and commit atomically.
+
+    ``in_counts`` (bucket -> raw change-row count for THIS batch) can be
+    precomputed by the caller — replay() computes every epoch's counts in a
+    single pass over the log instead of one job per epoch."""
     assert mode in ("mor", "cow"), mode
     parent = table.snapshot()
     key = parent.key_columns
@@ -116,12 +121,14 @@ def merge_batch(
 
     changes = changes.withColumn("_bucket", bucket_expr(key, parent.num_buckets))
 
-    # -- 1. rows_in per bucket + touched-bucket set (one tiny agg job).
-    with _phase("in_counts"):
-        in_counts = {
-            r["_bucket"]: r["n"]
-            for r in changes.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
-        }
+    # -- 1. rows_in per bucket + touched-bucket set (one tiny agg job,
+    #    unless the caller precounted).
+    if in_counts is None:
+        with _phase("in_counts"):
+            in_counts = {
+                r["_bucket"]: r["n"]
+                for r in changes.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+            }
     touched = set(in_counts)
     stats.rows_in = sum(in_counts.values())
     stats.touched_buckets = len(touched)

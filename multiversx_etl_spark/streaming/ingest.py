@@ -37,7 +37,7 @@ from typing import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from multiversx_etl_spark.lake.table import LakeTable
+from multiversx_etl_spark.lake.table import LakeTable, bucket_expr
 from multiversx_etl_spark.operators.merge import MergeStats, _phase, merge_batch
 from multiversx_etl_spark.operators.normalize import normalize_change_events
 from multiversx_etl_spark.plans.planner import plan_offset_ranges
@@ -119,11 +119,14 @@ def apply_epoch(
     offset_hi: int,
     normalize: bool = True,
     mode: str = "mor",
+    in_counts: dict[int, int] | None = None,
 ) -> MergeStats:
     """Normalize → dedup → MERGE → lineage → atomic marker+data commit."""
     if normalize:
         batch = normalize_change_events(batch)
-    stats = merge_batch(table, batch, stream_id, epoch_id, offset_lo, offset_hi, mode=mode)
+    stats = merge_batch(
+        table, batch, stream_id, epoch_id, offset_lo, offset_hi, mode=mode, in_counts=in_counts
+    )
     with _phase("lineage_write"):
         _write_lineage(table, epoch_id, stats.per_bucket or [])
     return stats
@@ -148,6 +151,22 @@ def replay(
     """
     if total_offsets is None:
         total_offsets = log.agg(F.max("offset")).collect()[0][0] + 1
+    # one pass over the whole log counts every epoch's per-bucket rows_in
+    # (instead of one counting job per epoch)
+    with _phase("precount"):
+        m = table.snapshot()
+        counts: dict[int, dict[int, int]] = {}
+        rows = (
+            log.where(F.col("offset") < total_offsets)
+            .groupBy(
+                F.floor(F.col("offset") / interval_size).cast("int").alias("_epoch"),
+                bucket_expr(m.key_columns, m.num_buckets).alias("_bucket"),
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        for r in rows:
+            counts.setdefault(r["_epoch"], {})[r["_bucket"]] = r["n"]
     summary = ReplaySummary()
     for plan in plan_offset_ranges(total_offsets, interval_size):
         if max_epochs is not None and summary.epochs_run >= max_epochs:
@@ -157,7 +176,8 @@ def replay(
             continue
         batch = read_offset_range(log, plan.offset_lo, plan.offset_hi)
         stats = apply_epoch(
-            table, batch, stream_id, plan.epoch_id, plan.offset_lo, plan.offset_hi, mode=mode
+            table, batch, stream_id, plan.epoch_id, plan.offset_lo, plan.offset_hi,
+            mode=mode, in_counts=counts.get(plan.epoch_id, {}),
         )
         summary.epochs_run += 1
         if compact_every and summary.epochs_run % compact_every == 0:

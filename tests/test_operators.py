@@ -103,3 +103,52 @@ def test_frame_sampling(spark):
 def test_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_with_real_codec(b"", "image")
+
+
+# ---------------------------------------------------------------------------
+# dedup operators (A14 / B7)
+# ---------------------------------------------------------------------------
+
+
+def _dup_log(spark):
+    rows = [
+        (0, 5, "r1", "a", "v5"),
+        (1, 3, "r1", "a", "v3"),
+        (2, 9, "r1", "b", "v9"),
+        (3, 9, "r1", "b", "v9"),  # exact duplicate delivery (same seq)
+        (4, 1, "r2", "a", "v1"),
+    ]
+    return spark.createDataFrame(rows, ["offset", "seq", "repo", "path", "content"])
+
+
+def test_dedup_latest_agg(spark):
+    from multiversx_etl_spark.operators.dedup import dedup_latest
+
+    out = {
+        (r["repo"], r["path"]): (r["seq"], r["content"])
+        for r in dedup_latest(_dup_log(spark), ["repo", "path"]).collect()
+    }
+    assert out == {("r1", "a"): (5, "v5"), ("r1", "b"): (9, "v9"), ("r2", "a"): (1, "v1")}
+
+
+def test_dedup_window_salted_matches_agg(spark):
+    from multiversx_etl_spark.operators.dedup import dedup_latest, dedup_latest_window
+
+    df = _dup_log(spark)
+    base = {(r["repo"], r["path"], r["seq"]) for r in dedup_latest(df, ["repo", "path"]).collect()}
+    for salt in (None, 4):
+        win = {
+            (r["repo"], r["path"], r["seq"])
+            for r in dedup_latest_window(df, ["repo", "path"], salt_buckets=salt).collect()
+        }
+        assert win == base
+
+
+def test_top_k_per_group(spark):
+    from multiversx_etl_spark.operators.dedup import top_k_per_group
+
+    out = top_k_per_group(_dup_log(spark), ["repo"], "seq", k=2).collect()
+    got = {(r["repo"], r["seq"], r["rank"]) for r in out}
+    assert (("r1", 9, 1) in got or ("r1", 9, 2) in got)
+    assert len([r for r in out if r["repo"] == "r1"]) == 2
+    assert len([r for r in out if r["repo"] == "r2"]) == 1
