@@ -1,0 +1,109 @@
+"""Property-based CDC correctness: arbitrary event sequences (duplicates,
+out-of-order seqs, deletes, resurrections, multi-epoch splits) replayed
+through the MERGE core must always equal a trivial in-memory last-writer-wins
+fold. Complements the seeded generator tests with adversarial shapes the
+generator never produces (e.g. a delete followed by a lower-seq update in a
+LATER batch — the tombstone-guard case)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from multiversx_etl_spark.operators.merge import merge_batch
+from multiversx_etl_spark.streaming.ingest import ensure_table
+
+KEYS = [("r0", "a"), ("r0", "b"), ("r1", "a")]
+
+event_st = st.tuples(
+    st.integers(min_value=0, max_value=2),          # key index
+    st.sampled_from(["insert", "update", "delete"]),
+)
+# a scenario: up to 12 logical events; seqs are the list positions, but the
+# DELIVERY order is a permutation and ~some events are delivered twice
+scenario_st = st.tuples(
+    st.lists(event_st, min_size=1, max_size=12),
+    st.randoms(use_true_random=False),
+)
+
+
+def python_lww(events):
+    """The oracle: fold by seq; delete wins at its seq; lower-seq later
+    arrivals never resurrect."""
+    state = {}
+    for seq, (ki, op) in sorted(events):
+        state.setdefault(ki, (-1, None))
+        if seq > state[ki][0]:
+            state[ki] = (seq, None if op == "delete" else f"content-{ki}-{seq}")
+    return {
+        KEYS[ki]: content for ki, (seq, content) in state.items() if content is not None
+    }
+
+
+def spark_rows(events, order, n_batches):
+    """Deliver the events in `order`, duplicated per `order` construction,
+    split into n_batches contiguous chunks of the delivery order."""
+    rows = []
+    for off, (seq, (ki, op)) in enumerate(order):
+        repo, path = KEYS[ki]
+        rows.append(
+            (
+                off,
+                seq,
+                op,
+                repo,
+                path,
+                f"c{seq}",
+                "python",
+                None if op == "delete" else f"content-{ki}-{seq}",
+            )
+        )
+    size = -(-len(rows) // n_batches)
+    return [rows[i : i + size] for i in range(0, len(rows), size)]
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(scenario_st, st.integers(min_value=1, max_value=3))
+def test_lww_fold_matches_python_oracle(spark, tmp_path_factory, scenario, n_batches):
+    events_raw, rng = scenario
+    events = list(enumerate(events_raw))  # (seq, (key, op))
+    # delivery order: shuffled, with a random prefix re-delivered at the end
+    order = list(events)
+    rng.shuffle(order)
+    dup_count = rng.randint(0, min(3, len(order)))
+    order = order + order[:dup_count]
+
+    table = ensure_table(
+        spark, str(tmp_path_factory.mktemp("prop") / "t"), num_buckets=4
+    )
+    schema = (
+        "offset long, seq long, op string, repo string, path string, "
+        "commit string, lang string, content string"
+    )
+    for epoch, chunk in enumerate(spark_rows(events, order, n_batches)):
+        df = spark.createDataFrame(chunk, schema)
+        merge_batch(table, df, "prop", epoch, collect_per_bucket_stats=False)
+
+    got = {
+        (r["repo"], r["path"]): r["content"] for r in table.read().collect()
+    }
+    want = python_lww(events)
+    assert got == want
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    """Optimistic concurrency: a commit expecting a stale parent version
+    must fail instead of silently clobbering a concurrent writer."""
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.schemas import REPOS
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), REPOS, key_columns=["repo", "path"], num_buckets=4
+    )
+    v0 = table.current_version()
+    table.commit([], set(), "writer-a", expected_parent=v0)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        table.commit([], set(), "writer-b", expected_parent=v0)
