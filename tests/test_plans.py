@@ -1,0 +1,52 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in `.explain` — pushed-down filters at the scan, broadcast joins for
+small dims, TakeOrderedAndProject for top-k (no full sort), partial (map-
+side) aggregation for the CDC fold, column pruning, and NO row-at-a-time
+Python UDF anywhere in the surface."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from multiversx_etl_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EXPECT = {
+    "q_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate", "HashAggregate"],
+    "q_daily_value_sum": ["PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"],
+    "q_revenue_by_nation": ["BroadcastHashJoin"],
+    "q_top_customers": ["BroadcastHashJoin"],
+    "q_late_ship_priority": ["LeftSemi"],
+    "q_recent_events": ["TakeOrderedAndProject"],
+    "q_cte_top_value_days": ["TakeOrderedAndProject", "partial"],
+    "q_cdc_latest_state": ["partial"],
+    "q_token_counts": ["ReadSchema: struct<doc_id:bigint,text:string>"],
+    "q_mips_topk": ["TakeOrderedAndProject"],
+}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+        df.explain("extended")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(EXPECT))
+def test_expected_physical_plan(spark, name):
+    text = plan_text(Q.QUERIES[name](spark, SF_DIR)).lower()
+    for pat in EXPECT[name]:
+        assert pat.lower() in text, f"{name}: expected {pat!r} in plan"
+
+
+@pytest.mark.parametrize("name", sorted(Q.QUERIES))
+def test_no_row_at_a_time_python(spark, name):
+    """input_hint: vectorized pandas/Arrow UDFs only — a BatchEvalPython
+    node (per-row Python UDF) anywhere is a regression."""
+    text = plan_text(Q.QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in text, f"{name} uses a row-at-a-time Python UDF"
