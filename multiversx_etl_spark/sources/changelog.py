@@ -138,3 +138,22 @@ def write_log_parquet(log: DataFrame, path: str, files: int | None = None) -> No
     """Materialize the log ordered by arrival, for file-source streaming tests."""
     out = log.repartitionByRange(files, "offset") if files else log
     out.write.mode("overwrite").parquet(path)
+
+
+def write_log_ndjson(log: DataFrame, path: str, files: int | None = None) -> None:
+    """NDJSON form of the log — the reference's wire format (its extract
+    stage writes newline-delimited JSON staging files,
+    /root/reference/multiversxetl/tasks_runner.py:61-72; BigQuery loads
+    SourceFormat.NEWLINE_DELIMITED_JSON, bq_client.py:90). Parquet is the
+    engine's preferred format; NDJSON exists for interop."""
+    out = log.repartitionByRange(files, "offset") if files else log
+    out.write.mode("overwrite").json(path)
+
+
+def read_log_ndjson(spark: SparkSession, path: str) -> DataFrame:
+    """Read an NDJSON change log with the declared schema (schemas are
+    declared, never inferred — mirroring the reference's schema/*.json
+    stance). Timestamps are ISO strings in JSON; cast back."""
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+
+    return spark.read.schema(CHANGE_EVENTS).json(path)
