@@ -1162,3 +1162,113 @@ def q_multimodal_features(spark, sf_dir):
 
     media = synthesize_media(load(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Extended relational coverage beyond the reference's published surface
+# (window frames, lag, rollup, set ops) — same exact-integer stance.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_user_running_total",
+    """
+    SELECT user_id, event_id,
+           sum(CAST(floor(value * 1000000) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_micro
+    FROM events WHERE user_id < 50
+    """,
+)
+def q_user_running_total(spark, sf_dir):
+    """Non-ranking window frame: per-user running total (cumulative frame).
+    Exact because the frame sums pre-floored BIGINT micro-units in a
+    deterministic (ts, event_id) order."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(_micro(F.col("value"))).over(w).alias("running_micro"),
+        )
+    )
+
+
+@_register(
+    "q_user_event_gaps",
+    """
+    SELECT user_id, event_id,
+           event_id - lag(event_id) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS gap_from_prev
+    FROM events WHERE user_id < 50
+    """,
+)
+def q_user_event_gaps(spark, sf_dir):
+    """lag() analytic over a deterministic per-user ordering."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("event_id") - F.lag("event_id").over(w)).alias("gap_from_prev"),
+        )
+    )
+
+
+@_register(
+    "q_region_nation_rollup",
+    """
+    SELECT coalesce(r.r_name, '<all>') AS region,
+           coalesce(n.n_name, '<all>') AS nation,
+           count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_region_nation_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (region, nation) with coalesced subtotal keys."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            "n_customers",
+        )
+    )
+
+
+@_register(
+    "q_active_or_recent_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def q_active_or_recent_users(spark, sf_dir):
+    """Set operators: UNION (distinct) then EXCEPT."""
+    ev = load(spark, sf_dir, "events")
+    purchasers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    recent = ev.where(
+        F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
+    ).select("user_id")
+    erroring = ev.where(F.col("event_type") == "error").select("user_id")
+    return purchasers.union(recent).distinct().exceptAll(erroring.distinct())
