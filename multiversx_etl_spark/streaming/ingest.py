@@ -201,6 +201,7 @@ def stream_ingest(
     stream_id: str = "stream",
     max_files_per_trigger: int = 4,
     mode: str = "mor",
+    compact_every: int | None = None,
 ) -> None:
     """Structured Streaming tail of a parquet log directory (availableNow).
 
@@ -222,6 +223,8 @@ def stream_ingest(
         lo = bounds["lo"] if bounds["lo"] is not None else 0
         hi = (bounds["hi"] + 1) if bounds["hi"] is not None else 0
         apply_epoch(table, batch_df, stream_id, epoch_id, lo, hi, mode=mode)
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            table.compact()
 
     q = (
         src.writeStream.foreachBatch(handle)

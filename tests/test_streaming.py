@@ -69,3 +69,12 @@ def test_stream_fresh_checkpoint_replays_idempotently(spark, stream_log, tmp_pat
     before = _final_state(table)
     stream_ingest(spark, stream_log, table, str(tmp_path / "ckpt2"), max_files_per_trigger=3)
     assert _final_state(table) == before
+
+
+def test_stream_with_periodic_compaction(spark, stream_log, tmp_path):
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    stream_ingest(
+        spark, stream_log, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, compact_every=2,
+    )
+    assert _final_state(table) == _batch_oracle(spark, stream_log)
