@@ -86,8 +86,12 @@ def run_cdc_replay(spark, workdir: str) -> dict[str, float]:
     write_log_parquet(log, log_path, files=max(CPUS * 2, 8))
     gen_sec = time.perf_counter() - t0
 
+    import pyspark.sql.functions as F
+
     log_df = spark.read.parquet(log_path)
-    log_df.count()  # warm page cache: the metric is SUSTAINED replay throughput
+    # Warm the page cache by touching actual data pages (a bare count() reads
+    # only parquet footers): the metric is SUSTAINED replay throughput.
+    log_df.agg(F.sum(F.length("content")), F.sum("seq")).collect()
     total = NUM_EVENTS + int(NUM_EVENTS * 0.01)  # incl. duplicate deliveries
     interval = -(-total // NUM_EPOCHS)
     table = LakeTable.create(

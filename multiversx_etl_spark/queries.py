@@ -1271,4 +1271,35 @@ def q_active_or_recent_users(spark, sf_dir):
         F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
     ).select("user_id")
     erroring = ev.where(F.col("event_type") == "error").select("user_id")
-    return purchasers.union(recent).distinct().exceptAll(erroring.distinct())
+    # subtract() IS SQL's EXCEPT (distinct) — dedups the left side itself
+    return purchasers.union(recent).subtract(erroring)
+
+
+@_register(
+    "q_label_centroids",
+    """
+    SELECT label, i AS dim,
+           sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sum_e6,
+           count(*) AS n_vecs
+    FROM (
+      SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_label_centroids(spark, sf_dir):
+    """IVF building block: per-label centroid accumulators (per-dimension
+    fixed-point sums + counts; the centroid is sum/n downstream). posexplode
+    keeps it one explode + one partial-aggregated hash aggregate — the same
+    shape k-means assignment uses at scale. Integer sums, order-independent."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * 1_000_000).cast("long")).alias("sum_e6"),
+            F.count("*").alias("n_vecs"),
+        )
+    )

@@ -151,24 +151,33 @@ def replay(
     """
     if total_offsets is None:
         total_offsets = log.agg(F.max("offset")).collect()[0][0] + 1
-    # one pass over the whole log counts every epoch's per-bucket rows_in
-    # (instead of one counting job per epoch)
-    with _phase("precount"):
-        m = table.snapshot()
-        counts: dict[int, dict[int, int]] = {}
-        rows = (
-            log.where(F.col("offset") < total_offsets)
-            .groupBy(
-                F.floor(F.col("offset") / interval_size).cast("int").alias("_epoch"),
-                bucket_expr(m.key_columns, m.num_buckets).alias("_bucket"),
+    plans = list(plan_offset_ranges(total_offsets, interval_size))
+    pending = [p for p in plans if not table.is_epoch_committed(stream_id, p.epoch_id)]
+    # One pass over the UNCOMMITTED offset span counts every pending epoch's
+    # per-bucket rows_in (instead of one counting job per epoch). Skipped
+    # entirely on a fully-committed re-replay (zero Spark jobs), and when
+    # the (epochs x buckets) result would be driver-heavy — merge_batch then
+    # counts per epoch as before (bounded at num_buckets rows per collect).
+    m = table.snapshot()
+    counts: dict[int, dict[int, int]] = {}
+    precounted = bool(pending) and len(pending) * m.num_buckets <= 500_000
+    if precounted:
+        with _phase("precount"):
+            lo = min(p.offset_lo for p in pending)
+            hi = min(max(p.offset_hi for p in pending), total_offsets)
+            rows = (
+                log.where((F.col("offset") >= lo) & (F.col("offset") < hi))
+                .groupBy(
+                    F.floor(F.col("offset") / interval_size).cast("int").alias("_epoch"),
+                    bucket_expr(m.key_columns, m.num_buckets).alias("_bucket"),
+                )
+                .agg(F.count("*").alias("n"))
+                .collect()
             )
-            .agg(F.count("*").alias("n"))
-            .collect()
-        )
-        for r in rows:
-            counts.setdefault(r["_epoch"], {})[r["_bucket"]] = r["n"]
+            for r in rows:
+                counts.setdefault(r["_epoch"], {})[r["_bucket"]] = r["n"]
     summary = ReplaySummary()
-    for plan in plan_offset_ranges(total_offsets, interval_size):
+    for plan in plans:
         if max_epochs is not None and summary.epochs_run >= max_epochs:
             break
         if table.is_epoch_committed(stream_id, plan.epoch_id):
@@ -177,7 +186,7 @@ def replay(
         batch = read_offset_range(log, plan.offset_lo, plan.offset_hi)
         stats = apply_epoch(
             table, batch, stream_id, plan.epoch_id, plan.offset_lo, plan.offset_hi,
-            mode=mode, in_counts=counts.get(plan.epoch_id, {}),
+            mode=mode, in_counts=counts.get(plan.epoch_id, {}) if precounted else None,
         )
         summary.epochs_run += 1
         if compact_every and summary.epochs_run % compact_every == 0:
