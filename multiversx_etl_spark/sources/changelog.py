@@ -53,7 +53,49 @@ def generate_change_log(
     n_dups = int(num_events * dup_fraction)
     total = num_events + n_dups
     rng = spark.range(0, total, 1, partitions) if partitions else spark.range(total)
+    return _event_columns(rng, num_events, num_repos, paths_per_repo, skew,
+                          content_blocks, base_ts)
 
+
+def slice_change_log(
+    spark: SparkSession,
+    num_events: int,
+    lo: int,
+    hi: int,
+    num_repos: int = 100,
+    paths_per_repo: int = 200,
+    dup_fraction: float = 0.01,
+    skew: float = 3.0,
+    content_blocks: int = 4,
+    base_ts: int = 1_596_117_600,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The offset slice ``[lo, hi)`` of the ``num_events``-sized log,
+    constructed DIRECTLY as ``spark.range(lo, hi)`` — O(slice), never
+    O(num_events). Every column is a pure function of the offset id, so the
+    slice is row-identical to filtering the full log; this is what makes a
+    10^10-event log a usable *plan*: each replay epoch materializes only its
+    own slice. (The analog of the reference planning one [start, end) ES
+    interval at a time, never the whole history —
+    /root/reference/multiversxetl/tasks_dashboard.py:35-46.)"""
+    total = num_events + int(num_events * dup_fraction)
+    lo, hi = max(0, lo), min(hi, total)
+    rng = (
+        spark.range(lo, hi, 1, partitions) if partitions else spark.range(lo, hi)
+    )
+    return _event_columns(rng, num_events, num_repos, paths_per_repo, skew,
+                          content_blocks, base_ts)
+
+
+def _event_columns(
+    rng: DataFrame,
+    num_events: int,
+    num_repos: int,
+    paths_per_repo: int,
+    skew: float,
+    content_blocks: int,
+    base_ts: int,
+) -> DataFrame:
     # Effective logical row: duplicates re-deliver an earlier event verbatim.
     eff = F.when(
         F.col("id") < num_events, F.col("id")
