@@ -76,6 +76,20 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="fold merge-on-read deltas into base files")
     c.add_argument("table")
 
+    rs = sub.add_parser(
+        "replay-slice",
+        help="replay [lo, hi) of the SYNTHETIC num-events log lazily — "
+        "each epoch constructs only its own slice (10^10-scale driver)",
+    )
+    rs.add_argument("table")
+    rs.add_argument("--num-events", type=int, required=True)
+    rs.add_argument("--lo", type=int, required=True)
+    rs.add_argument("--hi", type=int, required=True)
+    rs.add_argument("--interval-size", type=int, default=1_000_000)
+    rs.add_argument("--buckets", type=int, default=16)
+    rs.add_argument("--repos", type=int, default=100)
+    rs.add_argument("--mode", choices=["mor", "cow"], default="mor")
+
     st = sub.add_parser("status", help="epoch/lineage summary")
     st.add_argument("table")
 
@@ -138,6 +152,40 @@ def _dispatch(spark, args) -> int:
                     "inserted": summary.rows_inserted,
                     "updated": summary.rows_updated,
                     "deleted": summary.rows_deleted,
+                    "final_rows": table.read().count(),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "replay-slice":
+        from multiversx_etl_spark.sources.changelog import slice_change_log
+        from multiversx_etl_spark.streaming.ingest import apply_epoch, ensure_table
+
+        table = ensure_table(spark, args.table, num_buckets=args.buckets)
+        applied = skipped = rows_in = 0
+        off = args.lo
+        while off < args.hi:
+            end = min(off + args.interval_size, args.hi)
+            epoch_id = off // args.interval_size
+            if table.is_epoch_committed("slice", epoch_id):
+                skipped += 1
+            else:
+                batch = slice_change_log(
+                    spark, args.num_events, off, end, num_repos=args.repos
+                )
+                stats = apply_epoch(
+                    table, batch, "slice", epoch_id, off, end, mode=args.mode
+                )
+                applied += 1
+                rows_in += stats.rows_in
+            off = end
+        print(
+            json.dumps(
+                {
+                    "epochs_run": applied,
+                    "epochs_skipped": skipped,
+                    "rows_in": rows_in,
                     "final_rows": table.read().count(),
                 }
             )
