@@ -108,6 +108,7 @@ def merge_batch(
     collect_per_bucket_stats: bool = True,
     mode: str = "mor",
     in_counts: dict[int, int] | None = None,
+    map_side_combine: bool = False,
 ) -> MergeStats:
     """Apply one micro-batch of change events and commit atomically.
 
@@ -171,6 +172,13 @@ def merge_batch(
     if mode == "mor":
         target = target.select(*key, "seq", "deleted")
     target = target.withColumn("_bucket", bucket_expr(key, parent.num_buckets))
+    if map_side_combine:
+        # partition-local pre-reduction of the change side (hot keys / heavy
+        # duplication): each shuffle partition then receives at most one row
+        # per (input partition x key). Opt-in — costs an Arrow round-trip.
+        from multiversx_etl_spark.operators.dedup import combine_partitions_latest
+
+        changes = combine_partitions_latest(changes, key)
     both = aligned(target, False).unionByName(aligned(changes, True))
 
     # -- 3. ONE shuffle, ONE aggregate (see module docstring step 2).

@@ -152,3 +152,25 @@ def test_top_k_per_group(spark):
     assert (("r1", 9, 1) in got or ("r1", 9, 2) in got)
     assert len([r for r in out if r["repo"] == "r1"]) == 2
     assert len([r for r in out if r["repo"] == "r2"]) == 1
+
+
+def test_combine_partitions_latest(spark):
+    from multiversx_etl_spark.operators.dedup import (
+        combine_partitions_latest,
+        dedup_latest,
+    )
+
+    df = _dup_log(spark).repartition(3)
+    combined = combine_partitions_latest(df, ["repo", "path"])
+    # partition-local only: may keep >1 row per key overall, but never loses
+    # the global winner, and a follow-up global dedup gives the exact answer
+    assert combined.count() <= df.count()
+    a = {
+        (r["repo"], r["path"], r["seq"])
+        for r in dedup_latest(combined, ["repo", "path"]).collect()
+    }
+    b = {
+        (r["repo"], r["path"], r["seq"])
+        for r in dedup_latest(df, ["repo", "path"]).collect()
+    }
+    assert a == b
