@@ -195,12 +195,26 @@ class LakeTable:
     def _write_manifest(self, manifest: Manifest) -> None:
         """Two-step atomic commit: exclusive manifest create, then atomic
         pointer swap. A crash between the steps leaves the old snapshot
-        current and the orphan manifest harmless (Iceberg behaves the same
-        with its metadata.json swap)."""
+        current; the orphan manifest is detected on the next commit of the
+        same version (it is above ``_current``, so it cannot be live) and
+        replaced — without that check a crashed commit would wedge every
+        retry on O_EXCL. A same-version manifest at or below ``_current``
+        is a genuine concurrent commit and raises."""
         path = self._manifest_path(manifest.version)
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as fh:
-            fh.write(manifest.to_json())
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(manifest.to_json())
+        except FileExistsError:
+            if self.current_version() >= manifest.version:
+                raise RuntimeError(
+                    f"concurrent commit: manifest v{manifest.version} already live"
+                )
+            # orphan from a crash between create and pointer swap: replace
+            tmp = os.path.join(self.root, _MANIFEST_DIR, f".m.{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                fh.write(manifest.to_json())
+            os.replace(tmp, path)
         tmp = os.path.join(self.root, _MANIFEST_DIR, f".current.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             fh.write(str(manifest.version))
@@ -245,6 +259,14 @@ class LakeTable:
             ])
         if raw:
             return df
+        if buckets is not None:
+            # bucket->pid is Murmur3 mod B (not injective): the pid file
+            # groups may contain sibling buckets — post-filter for an exact
+            # bucket-scoped result. raw=True callers (the MERGE) skip this:
+            # copy-on-write must rewrite whole pid groups.
+            df = df.where(
+                bucket_expr(m.key_columns, m.num_buckets).isin(*[int(b) for b in buckets])
+            )
         if int(m.properties.get("mor_appends", 0)) > 0:
             others = [c for c in df.columns if c not in m.key_columns and c != "seq"]
             w = F.max(F.struct("seq", *others)).alias("_w")
@@ -289,6 +311,8 @@ class LakeTable:
         exchange. Plain files beat ``partitionBy`` (dynamic-partition
         writer): ~35% faster here and it scales with cores.
         """
+        import pyarrow.parquet as pq
+
         m = self.snapshot()
         out_dir = os.path.join(self.root, "data", commit_tag)
         if not bucket_aligned:
@@ -301,13 +325,14 @@ class LakeTable:
             match = _PART_RE.match(fname)
             if match is None:
                 raise RuntimeError(f"unexpected data file name: {fname}")
-            entries.append(
-                {
-                    "path": os.path.join("data", commit_tag, fname),
-                    "pid": int(match.group(1)),
-                    "rows": None,
-                }
-            )
+            path = os.path.join("data", commit_tag, fname)
+            # footer-only read (driver-side, ~ms): record real row counts in
+            # the manifest and drop schema-only empty files (Spark writes one
+            # for an all-empty DataFrame — e.g. an all-carry MOR batch)
+            n_rows = pq.ParquetFile(os.path.join(self.root, path)).metadata.num_rows
+            if n_rows == 0:
+                continue
+            entries.append({"path": path, "pid": int(match.group(1)), "rows": n_rows})
         return entries
 
     def commit(

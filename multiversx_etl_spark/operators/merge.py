@@ -51,6 +51,7 @@ import contextlib
 import os
 import sys
 import time
+from collections.abc import Callable
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -109,6 +110,7 @@ def merge_batch(
     mode: str = "mor",
     in_counts: dict[int, int] | None = None,
     map_side_combine: bool = False,
+    pre_commit: "Callable[[MergeStats], None] | None" = None,
 ) -> MergeStats:
     """Apply one micro-batch of change events and commit atomically.
 
@@ -230,36 +232,43 @@ def merge_batch(
         # rewrites nothing. Appended files join the fold at read time.
         to_write = merged.where(F.col("_action") != "carry").select(*out_cols)
         replaced_pids: set[int] = set()
-        props = {"mor_appends": int(parent.properties.get("mor_appends", 0)) + 1}
     else:
         to_write = merged.select(*out_cols)
         replaced_pids = table.pids_for_buckets(touched, parent)
-        props = None
 
     tag = f"{stream_id}-e{epoch_id:08d}"
     with _phase("merge_write"):
         new_files = table.write_data_files(to_write, tag, bucket_aligned=True)
+    # an all-carry MOR batch adds no delta files: don't arm the read-time
+    # fold for nothing (and COW never sets the counter)
+    props = (
+        {"mor_appends": int(parent.properties.get("mor_appends", 0)) + 1}
+        if mode == "mor" and new_files
+        else None
+    )
 
     per_bucket = []
-    if collect_per_bucket_stats and new_files:
-        with _phase("bucket_stats"):
-            spark = changes.sparkSession
-            written = spark.read.parquet(
-                *[os.path.join(table.root, f["path"]) for f in new_files]
-            ).select(
-                bucket_expr(key, parent.num_buckets).alias("_bucket"), "_action", "_cn"
-            )
-            rows = (
-                written.groupBy("_bucket")
-                .agg(
-                    F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
-                    F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
-                    F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("del"),
-                    # keys remaining after per-key dedup (change-side keys seen)
-                    F.sum(F.when(F.col("_cn") >= 1, 1).otherwise(0)).alias("dedup"),
+    if collect_per_bucket_stats:
+        rows = []
+        if new_files:
+            with _phase("bucket_stats"):
+                spark = changes.sparkSession
+                written = spark.read.parquet(
+                    *[os.path.join(table.root, f["path"]) for f in new_files]
+                ).select(
+                    bucket_expr(key, parent.num_buckets).alias("_bucket"), "_action", "_cn"
                 )
-                .collect()
-            )
+                rows = (
+                    written.groupBy("_bucket")
+                    .agg(
+                        F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
+                        F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
+                        F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("del"),
+                        # keys remaining after per-key dedup (change-side keys seen)
+                        F.sum(F.when(F.col("_cn") >= 1, 1).otherwise(0)).alias("dedup"),
+                    )
+                    .collect()
+                )
         now = time.time()
         by_bucket = {int(r["_bucket"]): r for r in rows}
         for k in sorted(touched | set(by_bucket)):
@@ -287,6 +296,13 @@ def merge_batch(
             stats.rows_deleted += dele
             stats.rows_deduped += dedup
     stats.per_bucket = per_bucket
+
+    # lineage (and any other pre-commit bookkeeping) persists BEFORE the
+    # marker commit: a crash in between leaves orphan ledger rows that the
+    # idempotent re-run overwrites — never a committed epoch with a missing
+    # ledger (SURVEY.md §7 hard parts / ingest module docstring).
+    if pre_commit is not None:
+        pre_commit(stats)
 
     # -- 5. atomic commit: data files + epoch marker + evolved schema.
     table.commit(

@@ -535,7 +535,7 @@ def q_lang_source_stats(spark, sf_dir):
     "q_doc_fingerprint",
     """
     SELECT doc_id,
-           list_min(list_transform(range(1, greatest(2, length(text) - 15), 8),
+           list_min(list_transform(range(1, greatest(2, length(text) - 14), 8),
                     i -> md5(substring(text, CAST(i AS INT), 16)))) AS fingerprint
     FROM documents
     """,

@@ -77,6 +77,7 @@ REPOS = StructType(
 #: Per-batch, per-bucket lineage ledger (FIXTURES.md §3).
 LINEAGE = StructType(
     [
+        StructField("stream_id", StringType(), False),
         StructField("epoch_id", LongType(), False),
         StructField("bucket", IntegerType(), False),
         StructField("offset_lo", LongType(), False),

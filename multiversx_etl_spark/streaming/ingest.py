@@ -64,8 +64,10 @@ def ensure_table(spark: SparkSession, root: str, num_buckets: int = 16) -> LakeT
     return LakeTable.create(spark, root, REPOS, key_columns=["repo", "path"], num_buckets=num_buckets)
 
 
-def _write_lineage(table: LakeTable, epoch_id: int, per_bucket: list[dict]) -> None:
-    """Write the per-bucket ledger rows for one epoch.
+def _write_lineage(
+    table: LakeTable, epoch_id: int, per_bucket: list[dict], stream_id: str
+) -> None:
+    """Write the per-bucket ledger rows for one epoch of one stream.
 
     The ledger is tiny (one row per touched bucket), so it's written directly
     from the driver with pyarrow — launching a Spark job for 64 rows costs
@@ -83,30 +85,35 @@ def _write_lineage(table: LakeTable, epoch_id: int, per_bucket: list[dict]) -> N
     ]
     arrays = {c: pa.array([int(r[c]) for r in per_bucket], type=pa.int64()) for c in cols}
     arrays["bucket"] = arrays["bucket"].cast(pa.int32())
+    arrays["stream_id"] = pa.array([stream_id] * len(per_bucket), type=pa.string())
     arrays["committed_at"] = pa.array(
         [datetime.fromtimestamp(r["committed_at"], tz=timezone.utc) for r in per_bucket],
         type=pa.timestamp("us", tz="UTC"),
     )
     batch = pa.table(arrays)
-    path = os.path.join(table.root, "_lineage", f"epoch={epoch_id}")
+    path = os.path.join(table.root, "_lineage", f"stream={stream_id}", f"epoch={epoch_id}")
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, ".part-0.parquet.tmp")
     pq.write_table(batch, tmp)
     os.replace(tmp, os.path.join(path, "part-0.parquet"))
 
 
-def read_lineage(table: LakeTable) -> DataFrame:
-    """The ledger, deduped by (epoch_id, bucket) — duplicate rows from
-    crash-replays collapse here (max committed_at wins)."""
+def read_lineage(table: LakeTable, stream_id: str | None = None) -> DataFrame:
+    """The ledger, deduped by (stream_id, epoch_id, bucket) — duplicate rows
+    from crash-replays collapse here (max committed_at wins). Streams are
+    namespaced: two streams feeding one table keep separate ledgers."""
     path = os.path.join(table.root, "_lineage")
+    if stream_id is not None:
+        path = os.path.join(path, f"stream={stream_id}")
     if not os.path.exists(path):
         return table.spark.createDataFrame([], LINEAGE)
     df = table.spark.read.schema(LINEAGE).option("recursiveFileLookup", "true").parquet(path)
-    others = [c for c in df.columns if c not in ("epoch_id", "bucket")]
+    keys = ("stream_id", "epoch_id", "bucket")
+    others = [c for c in df.columns if c not in keys]
     return (
-        df.groupBy("epoch_id", "bucket")
+        df.groupBy(*keys)
         .agg(F.max(F.struct("committed_at", *[c for c in others if c != "committed_at"])).alias("_w"))
-        .select("epoch_id", "bucket", *[F.col(f"_w.{c}").alias(c) for c in others])
+        .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
     )
 
 
@@ -121,15 +128,22 @@ def apply_epoch(
     mode: str = "mor",
     in_counts: dict[int, int] | None = None,
 ) -> MergeStats:
-    """Normalize → dedup → MERGE → lineage → atomic marker+data commit."""
+    """Normalize → dedup → MERGE → lineage → atomic marker+data commit.
+
+    Lineage persists BEFORE the marker commit (merge_batch's pre_commit
+    hook): a crash in between leaves orphan ledger rows that the idempotent
+    re-run overwrites — never a committed epoch missing its ledger."""
     if normalize:
         batch = normalize_change_events(batch)
-    stats = merge_batch(
-        table, batch, stream_id, epoch_id, offset_lo, offset_hi, mode=mode, in_counts=in_counts
+
+    def write_ledger(stats: MergeStats) -> None:
+        with _phase("lineage_write"):
+            _write_lineage(table, epoch_id, stats.per_bucket or [], stream_id)
+
+    return merge_batch(
+        table, batch, stream_id, epoch_id, offset_lo, offset_hi,
+        mode=mode, in_counts=in_counts, pre_commit=write_ledger,
     )
-    with _phase("lineage_write"):
-        _write_lineage(table, epoch_id, stats.per_bucket or [])
-    return stats
 
 
 def replay(
@@ -150,9 +164,16 @@ def replay(
     epochs (read-amplification bound, like Iceberg maintenance cadence).
     """
     if total_offsets is None:
-        total_offsets = log.agg(F.max("offset")).collect()[0][0] + 1
+        mx = log.agg(F.max("offset")).collect()[0][0]
+        total_offsets = 0 if mx is None else mx + 1  # empty log → empty summary
     plans = list(plan_offset_ranges(total_offsets, interval_size))
-    pending = [p for p in plans if not table.is_epoch_committed(stream_id, p.epoch_id)]
+    # one manifest read decides skips (the manifest grows O(epochs); reading
+    # it per plan would be O(epochs^2) JSON parsing on long resumes)
+    committed_epochs = {
+        int(e)
+        for e in table.snapshot().streams.get(stream_id, {}).get("epochs", {})
+    }
+    pending = [p for p in plans if p.epoch_id not in committed_epochs]
     # One pass over the UNCOMMITTED offset span counts every pending epoch's
     # per-bucket rows_in (instead of one counting job per epoch). Skipped
     # entirely on a fully-committed re-replay (zero Spark jobs), and when
@@ -180,7 +201,7 @@ def replay(
     for plan in plans:
         if max_epochs is not None and summary.epochs_run >= max_epochs:
             break
-        if table.is_epoch_committed(stream_id, plan.epoch_id):
+        if plan.epoch_id in committed_epochs:
             summary.epochs_skipped += 1
             continue
         batch = read_offset_range(log, plan.offset_lo, plan.offset_hi)
@@ -226,12 +247,24 @@ def stream_ingest(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if table.is_epoch_committed(stream_id, epoch_id):
             return  # at-least-once redelivery of a committed epoch → no-op
-        bounds = batch_df.agg(
-            F.min("offset").alias("lo"), F.max("offset").alias("hi")
-        ).collect()[0]
-        lo = bounds["lo"] if bounds["lo"] is not None else 0
-        hi = (bounds["hi"] + 1) if bounds["hi"] is not None else 0
-        apply_epoch(table, batch_df, stream_id, epoch_id, lo, hi, mode=mode)
+        # one aggregation supplies offset bounds AND per-bucket rows_in —
+        # the batch is scanned once here, once by the merge itself
+        m = table.snapshot()
+        rows = (
+            batch_df.groupBy(bucket_expr(m.key_columns, m.num_buckets).alias("_bucket"))
+            .agg(
+                F.count("*").alias("n"),
+                F.min("offset").alias("lo"),
+                F.max("offset").alias("hi"),
+            )
+            .collect()
+        )
+        in_counts = {r["_bucket"]: r["n"] for r in rows}
+        lo = min((r["lo"] for r in rows), default=0)
+        hi = max((r["hi"] + 1 for r in rows), default=0)
+        apply_epoch(
+            table, batch_df, stream_id, epoch_id, lo, hi, mode=mode, in_counts=in_counts
+        )
         if compact_every and (epoch_id + 1) % compact_every == 0:
             table.compact()
 

@@ -1,0 +1,113 @@
+"""Regression tests for crash/edge bugs found in review: orphan-manifest
+recovery, empty-log replay, per-stream lineage, all-carry epochs, spurious
+fold arming, and exact bucket-scoped reads."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from multiversx_etl_spark.lake.table import LakeTable, bucket_expr
+from multiversx_etl_spark.operators.merge import merge_batch
+from multiversx_etl_spark.schemas import CHANGE_EVENTS, REPOS
+from multiversx_etl_spark.sources.changelog import generate_change_log, write_log_parquet
+from multiversx_etl_spark.streaming.ingest import ensure_table, read_lineage, replay
+
+
+def _mk_table(spark, tmp_path, name="t", buckets=4):
+    return LakeTable.create(
+        spark, str(tmp_path / name), REPOS, key_columns=["repo", "path"], num_buckets=buckets
+    )
+
+
+def _batch(spark, rows):
+    cols = "offset long, seq long, op string, repo string, path string, commit string, lang string, content string"
+    return spark.createDataFrame(rows, cols)
+
+
+def test_orphan_manifest_does_not_wedge_commits(spark, tmp_path):
+    """Crash between manifest create and pointer swap leaves an orphan
+    vN+1 file; the retried commit must replace it, not die on O_EXCL."""
+    table = _mk_table(spark, tmp_path)
+    v = table.current_version()
+    # simulate the crash: next version's manifest exists, pointer unmoved
+    orphan = table._manifest_path(v + 1)
+    with open(orphan, "w") as fh:
+        fh.write(table.snapshot().to_json())
+    assert table.current_version() == v
+    b = _batch(spark, [(0, 0, "insert", "r", "a.py", "c", "py", "v0")])
+    merge_batch(table, b, "main", 0, 0, 1)  # must not raise
+    assert table.current_version() == v + 1
+    assert table.read().count() == 1
+
+
+def test_concurrent_same_version_commit_still_raises(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    b = _batch(spark, [(0, 0, "insert", "r", "a.py", "c", "py", "v0")])
+    merge_batch(table, b, "main", 0, 0, 1)
+    live = table.current_version()
+    manifest = table.snapshot()
+    manifest.version = live  # attempt to re-commit the LIVE version
+    with pytest.raises(RuntimeError, match="concurrent"):
+        table._write_manifest(manifest)
+
+
+def test_replay_empty_log(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    empty = spark.createDataFrame([], CHANGE_EVENTS)
+    summary = replay(empty, table, interval_size=100)
+    assert summary.epochs_run == 0 and summary.rows_in == 0
+
+
+def test_lineage_is_per_stream(spark, tmp_path):
+    """Two streams feeding one table keep separate ledgers (same epoch ids
+    must not overwrite each other)."""
+    table = _mk_table(spark, tmp_path)
+    log = generate_change_log(spark, 300, num_repos=5, paths_per_repo=10)
+    path = str(tmp_path / "log")
+    write_log_parquet(log, path, files=2)
+    df = spark.read.parquet(path)
+    replay(df, table, interval_size=200, stream_id="alpha")
+    replay(df, table, interval_size=200, stream_id="beta")  # dedup no-ops, same epochs
+    lin = read_lineage(table)
+    streams = {r["stream_id"] for r in lin.select("stream_id").distinct().collect()}
+    assert streams == {"alpha", "beta"}
+    a = read_lineage(table, "alpha").agg(F.sum("rows_in")).collect()[0][0]
+    b = read_lineage(table, "beta").agg(F.sum("rows_in")).collect()[0][0]
+    assert a == b == 303  # both streams saw every arrival
+
+
+def test_all_carry_epoch_keeps_ledger_and_fold_unarmed(spark, tmp_path):
+    """Re-delivering applied events under a NEW epoch id must still write
+    ledger rows (rows_in > 0, zero merge actions) and must not arm the
+    merge-on-read fold when no delta files were added."""
+    table = _mk_table(spark, tmp_path)
+    b = _batch(spark, [(0, 0, "insert", "r", "a.py", "c", "py", "v0")])
+    merge_batch(table, b, "main", 0, 0, 1)
+    table.compact()
+    assert int(table.snapshot().properties["mor_appends"]) == 0
+    stats = merge_batch(table, b, "main", 7, 0, 1)  # same rows, new epoch
+    assert stats.rows_in == 1
+    assert (stats.rows_inserted, stats.rows_updated, stats.rows_deleted) == (0, 0, 0)
+    assert stats.per_bucket and stats.per_bucket[0]["rows_in"] == 1
+    assert int(table.snapshot().properties["mor_appends"]) == 0  # not armed
+    assert table.is_epoch_committed("main", 7)
+
+
+def test_bucket_scoped_read_is_exact(spark, tmp_path):
+    """read(buckets={k}) must return ONLY bucket k's rows even when another
+    bucket collides into the same pid file group."""
+    table = _mk_table(spark, tmp_path, buckets=4)
+    rows = [
+        (i, i, "insert", f"repo-{i}", f"f{i}.py", "c", "py", f"v{i}") for i in range(40)
+    ]
+    merge_batch(table, _batch(spark, rows), "main", 0, 0, 40)
+    m = table.snapshot()
+    for k in range(m.num_buckets):
+        got = table.read(buckets={k})
+        bad = got.where(bucket_expr(m.key_columns, m.num_buckets) != k).count()
+        assert bad == 0, f"bucket {k}: {bad} foreign rows"
+    total = sum(table.read(buckets={k}).count() for k in range(m.num_buckets))
+    assert total == table.read().count() == 40

@@ -49,7 +49,10 @@ def test_mor_appends_only(spark, mor_log, tmp_path):
     replay(log, table, interval_size=400, mode="mor",
            on_epoch=lambda e, s: seen.append(len(table.snapshot().files)))
     assert seen == sorted(seen)  # monotone non-decreasing
-    assert int(table.snapshot().properties["mor_appends"]) == len(seen)
+    # the counter tracks epochs that actually ADDED delta files (an
+    # all-carry epoch, e.g. the duplicate tail, does not arm the fold)
+    grew = sum(1 for a, b in zip([0] + seen, seen) if b > a)
+    assert int(table.snapshot().properties["mor_appends"]) == grew >= 1
 
 
 def test_compaction_preserves_state_and_resets_fold(spark, mor_log, tmp_path):
