@@ -160,15 +160,28 @@ def _dispatch(spark, args) -> int:
 
     if args.cmd == "replay-slice":
         from multiversx_etl_spark.sources.changelog import slice_change_log
-        from multiversx_etl_spark.streaming.ingest import apply_epoch, ensure_table
+        from multiversx_etl_spark.streaming.ingest import ensure_table, apply_epoch
 
+        k = args.interval_size
+        # Epoch ids are absolute (offset // interval): lo/hi must sit on
+        # epoch boundaries or a partial range would be committed under a
+        # full epoch's id and a follow-up run would silently skip the rest.
+        if args.lo % k != 0 or args.hi % k != 0:
+            raise SystemExit(
+                f"--lo/--hi must be multiples of --interval-size {k} "
+                "(epoch ids are absolute offset intervals)"
+            )
         table = ensure_table(spark, args.table, num_buckets=args.buckets)
+        committed = {
+            int(e)
+            for e in table.snapshot().streams.get("slice", {}).get("epochs", {})
+        }
         applied = skipped = rows_in = 0
         off = args.lo
         while off < args.hi:
-            end = min(off + args.interval_size, args.hi)
-            epoch_id = off // args.interval_size
-            if table.is_epoch_committed("slice", epoch_id):
+            end = off + k
+            epoch_id = off // k
+            if epoch_id in committed:
                 skipped += 1
             else:
                 batch = slice_change_log(

@@ -557,7 +557,9 @@ def q_doc_fingerprint(spark, sf_dir):
     "q_minhash_signatures",
     """
     WITH words AS (
+      -- a doc needs >= 3 tokens to have any 3-gram shingle
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
     ),
     shingles AS (
       SELECT doc_id,
@@ -577,7 +579,11 @@ def q_minhash_signatures(spark, sf_dir):
     min-hashes (portable across engines; on a cluster you'd use xxhash64).
     Band-join on any equal signature column finds near-dup candidates."""
     d = load(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    # docs with < 3 tokens have no 3-gram shingles (and element_at on a
+    # missing position is an ANSI error in Spark 4 — never index past size)
+    words = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w")).where(
+        F.size("w") >= 3
+    )
     idx = F.sequence(F.lit(0), F.greatest(F.lit(0), F.size("w") - F.lit(3)), F.lit(1))
     sh = words.select(
         "doc_id",
@@ -772,7 +778,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     each (shuffle on the band hash — never an all-pairs product), unioned
     and deduped. This is THE scale path for near-dup at 100 TB: candidates
     ~ O(dup pairs), not O(n^2)."""
-    sig = q_minhash_signatures(spark, sf_dir).where(F.col("minhash_1").isNotNull())
+    sig = q_minhash_signatures(spark, sf_dir)  # already filtered to >=3 tokens
     a, b = sig.alias("a"), sig.alias("b")
     parts = []
     for band in ("minhash_1", "minhash_2", "minhash_3"):
@@ -850,8 +856,8 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     return (
-        common.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        common.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_common"))
         .where(F.col("n_common") * 10 >= 3 * F.col("n_union"))
         .select("id_a", "id_b", "n_common", "n_union")

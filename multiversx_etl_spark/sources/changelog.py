@@ -18,7 +18,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-#: 2^31-scale modulus for uniform deviates derived from xxhash64.
+#: ~2^20 prime modulus for uniform deviates from xxhash64 (1e-6 quantization
+#: steps — ample for the op-mix/null-rate/Zipf draws it feeds).
 _U_MOD = 1_000_003
 
 
