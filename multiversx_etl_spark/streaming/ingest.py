@@ -21,10 +21,13 @@ Two drivers over the same merge core (operators/merge.py):
 Per-epoch lineage (offsets, row counts, merge stats per bucket — the analog
 of the reference's task ledger and per-bulk status report,
 /root/reference/multiversxetl/tasks_dashboard.py:88-94, logger.py:19-37) is
-written under ``<table>/_lineage/epoch=<id>/`` BEFORE the manifest commit;
-a crash between the two leaves orphan lineage that the replay overwrites
-(idempotent), and readers dedup by (epoch_id, bucket) — duplicates tolerated
-by design (SURVEY.md §7 hard parts).
+written under ``<table>/_lineage/stream=<id>/epoch=<id>/`` BEFORE the
+manifest commit; a crash between the two leaves orphan lineage that the
+replay overwrites (idempotent), and readers dedup by (stream_id, epoch_id,
+bucket) — duplicates tolerated by design (SURVEY.md §7 hard parts).
+
+``bootstrap_snapshot`` is the reference's mutable-index truncate-and-reload
+flow: load a full-state snapshot, then tail the change log on top.
 """
 
 from __future__ import annotations
@@ -275,3 +278,44 @@ def stream_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def bootstrap_snapshot(
+    table: LakeTable, snapshot: DataFrame, seq_column: str | None = "seq"
+) -> int:
+    """Truncate-and-reload: replace the ENTIRE table with a full-state
+    snapshot — the reference's mutable-index flow (TRUNCATE then full
+    reload, /root/reference/multiversxetl/app_controller.py:55-71) and the
+    bootstrap/backfill path of CDC: load the initial snapshot here, then
+    tail the change log with replay()/stream_ingest() on top.
+
+    Rows carry ``seq`` from ``seq_column`` (or 0), so subsequent MERGE
+    batches apply the usual seq guard against the snapshot. Returns the
+    committed snapshot row count."""
+    m = table.snapshot()
+    cols = [F.col(c) for c in m.key_columns]
+    seq = (F.col(seq_column) if seq_column and seq_column in snapshot.columns else F.lit(0))
+    cols.append(seq.cast("long").alias("seq"))
+    cols.append(F.lit(False).alias("deleted"))
+    payload = [
+        f.name
+        for f in m.schema.fields
+        if f.name not in m.key_columns and f.name not in ("seq", "deleted")
+    ]
+    for p in payload:
+        typ = m.schema[p].dataType
+        cols.append(
+            (F.col(p).cast(typ) if p in snapshot.columns else F.lit(None).cast(typ)).alias(p)
+        )
+    df = snapshot.select(*cols).withColumn(
+        "_bucket", bucket_expr(m.key_columns, m.num_buckets)
+    )
+    new_files = table.write_data_files(df, f"bootstrap-v{m.version:08d}")
+    table.commit(
+        new_files,
+        replaced_pids=set(range(m.num_buckets)),
+        operation="bootstrap",
+        expected_parent=m.version,
+        properties={"mor_appends": 0},
+    )
+    return sum(f["rows"] for f in new_files)

@@ -78,3 +78,33 @@ def test_stream_with_periodic_compaction(spark, stream_log, tmp_path):
         max_files_per_trigger=2, compact_every=2,
     )
     assert _final_state(table) == _batch_oracle(spark, stream_log)
+
+
+def test_bootstrap_then_tail(spark, stream_log, tmp_path):
+    """Snapshot bootstrap (the reference's truncate-and-reload mutable flow)
+    followed by an incremental tail: final state == pure replay of the log
+    when the snapshot is the log's own prefix fold."""
+    import pyspark.sql.functions as FF
+    from multiversx_etl_spark.streaming.ingest import bootstrap_snapshot, replay
+
+    log = spark.read.parquet(stream_log)
+    prefix = log.where(FF.col("offset") < 800)
+    # snapshot = LWW fold of the prefix (live rows only)
+    w = FF.max(FF.struct("seq", "op", "commit", "lang", "content")).alias("w")
+    snap = (
+        prefix.groupBy("repo", "path").agg(w)
+        .where(FF.col("w.op") != "delete")
+        .select("repo", "path", FF.col("w.seq").alias("seq"),
+                FF.col("w.commit").alias("commit"), FF.col("w.lang").alias("lang"),
+                FF.col("w.content").alias("content"))
+    )
+    t_boot = ensure_table(spark, str(tmp_path / "boot"), num_buckets=4)
+    n = bootstrap_snapshot(t_boot, snap)
+    assert n == snap.count()
+    # tail the remainder of the log on top of the snapshot
+    replay(log.where(FF.col("offset") >= 800), t_boot, interval_size=500,
+           total_offsets=log.agg(FF.max("offset")).collect()[0][0] + 1)
+
+    t_full = ensure_table(spark, str(tmp_path / "full"), num_buckets=4)
+    replay(log, t_full, interval_size=500)
+    assert _final_state(t_boot) == _final_state(t_full)
