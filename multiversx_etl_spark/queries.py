@@ -100,7 +100,7 @@ def q_daily_event_counts(spark, sf_dir):
     "q_daily_value_sum",
     """
     SELECT CAST(ts AS DATE) AS day,
-           sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_val_micro
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_val_micro
     FROM events WHERE event_type = 'purchase' GROUP BY 1
     """,
 )
@@ -154,7 +154,7 @@ def q_type_day_having(spark, sf_dir):
     """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day,
-             sum(CAST(floor(value * 1000000) AS BIGINT)) AS vol_micro
+             CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS vol_micro
       FROM events GROUP BY 1
     )
     SELECT day, vol_micro FROM daily ORDER BY vol_micro DESC, day LIMIT 5
@@ -201,7 +201,7 @@ def q_top3_per_day(spark, sf_dir):
 @_register(
     "q_props_json_k_sum",
     """
-    SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+    SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY 1
     """,
 )
@@ -301,9 +301,9 @@ def q_interval_counts(spark, sf_dir):
     "q_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-           sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS sum_qty_micro,
-           sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents
+           CAST(sum(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS BIGINT) AS sum_qty_micro,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
     GROUP BY 1, 2
     """,
@@ -329,7 +329,7 @@ def q_pricing_summary(spark, sf_dir):
     "q_revenue_by_nation",
     """
     SELECT n.n_name AS nation,
-           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -361,7 +361,7 @@ def q_revenue_by_nation(spark, sf_dir):
     "q_top_customers",
     """
     SELECT c.c_custkey, c.c_name,
-           sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1, 2 ORDER BY total_cents DESC, c_custkey LIMIT 10
     """,
@@ -519,7 +519,7 @@ def q_quality_scores(spark, sf_dir):
 @_register(
     "q_lang_source_stats",
     """
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY 1, 2
     """,
 )
@@ -1100,7 +1100,7 @@ def q_bpe_token_counts(spark, sf_dir):
       SELECT user_id, event_id, value FROM events WHERE event_type = 'purchase'
     )
     SELECT user_id, count(*) AS n_purchases,
-           sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_micro
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
     FROM view_purchases GROUP BY 1
     """,
 )
@@ -1136,7 +1136,7 @@ def q_view_purchases_by_user(spark, sf_dir):
       FROM documents
     )
     SELECT media_type, count(*) AS n_docs,
-           sum(octet_length(payload)) AS total_bytes,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
            min(octet_length(payload)) AS min_bytes
     FROM media GROUP BY 1
     """,
@@ -1180,9 +1180,9 @@ def q_multimodal_features(spark, sf_dir):
     "q_user_running_total",
     """
     SELECT user_id, event_id,
-           sum(CAST(floor(value * 1000000) AS BIGINT))
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_micro
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_micro
     FROM events WHERE user_id < 50
     """,
 )
@@ -1285,7 +1285,7 @@ def q_active_or_recent_users(spark, sf_dir):
     "q_label_centroids",
     """
     SELECT label, i AS dim,
-           sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sum_e6,
+           CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6,
            count(*) AS n_vecs
     FROM (
       SELECT label, unnest(embedding) AS x,

@@ -27,10 +27,16 @@ def ddb():
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize for exact comparison. Integer WIDTH (int32 vs int64) is
+    normalized to Int64, but integer-vs-float is deliberately preserved so a
+    DuckDB HUGEINT aggregate (arrow decimal128 -> pandas float64) fails the
+    dtype check like it fails the driver's value hash (VERDICT r01 defect #1)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
         elif df[c].dtype == object:
             sample = df[c].dropna()
             if len(sample) and hasattr(sample.iloc[0], "isoformat"):
@@ -56,7 +62,7 @@ def test_query_matches_oracle(spark, ddb, name):
         f"{name}: row count {len(spark_df)} vs {len(oracle_df)}"
     )
     a, b = canon(spark_df), canon(oracle_df)
-    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
 
 
 def test_entry_smoke(spark):
