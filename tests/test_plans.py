@@ -44,6 +44,34 @@ def test_expected_physical_plan(spark, name):
         assert pat.lower() in text, f"{name}: expected {pat!r} in plan"
 
 
+def test_cosine_near_dup_no_all_pairs(spark):
+    """VERDICT r01 defect #2: near-dup must candidate-generate through LSH
+    band equi-joins, never an all-pairs BroadcastNestedLoopJoin."""
+    text = plan_text(Q.QUERIES["q_embedding_cosine_near_dup"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+
+
+def test_cosine_near_dup_recall_vs_exact(spark):
+    """Banded candidates are a subset of the exact all-pairs result, and
+    high-cosine pairs (the actual near-dups) are recalled: theory says
+    ~0.99 at cos 0.9 with 4 bands x 8 bits."""
+    banded = {
+        (r.id_a, r.id_b): r.dot_e8
+        for r in Q.QUERIES["q_embedding_cosine_near_dup"](spark, SF_DIR).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.dot_e8 for r in Q.cosine_all_pairs(spark, SF_DIR).collect()
+    }
+    assert set(banded) <= set(exact)
+    assert all(banded[k] == exact[k] for k in banded)
+    # cos >= 0.9 <=> dot^2*100 >= 81*na*nb; dot_e8 ~ cos*1e8 for unit vectors
+    high = {k for k, d in exact.items() if d >= 90_000_000}
+    if high:
+        recalled = len(high & set(banded)) / len(high)
+        assert recalled >= 0.9, f"high-cos recall {recalled:.2f} < 0.9"
+
+
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
 def test_no_row_at_a_time_python(spark, name):
     """input_hint: vectorized pandas/Arrow UDFs only — a BatchEvalPython
