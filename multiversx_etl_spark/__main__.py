@@ -172,16 +172,15 @@ def _dispatch(spark, args) -> int:
                 "(epoch ids are absolute offset intervals)"
             )
         table = ensure_table(spark, args.table, num_buckets=args.buckets)
-        committed = {
-            int(e)
-            for e in table.snapshot().streams.get("slice", {}).get("epochs", {})
-        }
+        slice_state = table.snapshot().streams.get("slice", {})
+        committed_through = int(slice_state.get("epochs_through", -1))
+        committed = {int(e) for e in slice_state.get("epochs", {})}
         applied = skipped = rows_in = 0
         off = args.lo
         while off < args.hi:
             end = off + k
             epoch_id = off // k
-            if epoch_id in committed:
+            if epoch_id <= committed_through or epoch_id in committed:
                 skipped += 1
             else:
                 batch = slice_change_log(
@@ -249,7 +248,11 @@ def _dispatch(spark, args) -> int:
                     "files": len(m.files),
                     "buckets": m.num_buckets,
                     "streams": {
-                        k: {"last_epoch": v.get("last_epoch"), "epochs": len(v.get("epochs", {}))}
+                        k: {
+                            "last_epoch": v.get("last_epoch"),
+                            "epochs_through": v.get("epochs_through", -1),
+                            "sparse_markers": len(v.get("epochs", {})),
+                        }
                         for k, v in m.streams.items()
                     },
                     "lineage": {k: (int(agg[k]) if agg[k] is not None else 0) for k in agg.asDict()},

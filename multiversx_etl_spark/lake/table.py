@@ -41,6 +41,7 @@ every public method has a direct Iceberg equivalent (noted per method).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import re
@@ -57,6 +58,10 @@ _MANIFEST_DIR = "_manifests"
 _CURRENT = "_current"
 
 _PART_RE = re.compile(r"part-(\d+)-")
+
+#: committed-epoch markers kept in full below the contiguous watermark
+#: (debuggability window; everything older answers {"compacted": True}).
+_EPOCH_INFO_KEEP = 16
 
 #: num_buckets -> [pid of bucket k] (pid = Murmur3(k) % B, via Spark itself).
 _PID_CACHE: dict[int, list[int]] = {}
@@ -119,7 +124,25 @@ class Manifest:
         return [f for f in self.files if f["pid"] in pids]
 
     def epoch_info(self, stream_id: str, epoch_id: int) -> dict[str, Any] | None:
-        return self.streams.get(stream_id, {}).get("epochs", {}).get(str(epoch_id))
+        """Info for a committed epoch, or None if the epoch never committed.
+
+        Epoch markers below the stream's contiguous watermark
+        (``epochs_through``) are compacted away at commit time — the manifest
+        stays O(recent + out-of-order) instead of O(all epochs), which is
+        what keeps the per-commit JSON rewrite flat at 10^10-event epoch
+        counts. A compacted epoch answers ``{"compacted": True}`` (its full
+        stats live durably in the lineage ledger)."""
+        s = self.streams.get(stream_id, {})
+        info = s.get("epochs", {}).get(str(epoch_id))
+        if info is not None:
+            return info
+        if epoch_id <= s.get("epochs_through", -1):
+            return {"compacted": True}
+        return None
+
+    def committed_epochs_through(self, stream_id: str) -> int:
+        """Highest W such that ALL epochs 0..W have committed (-1 if none)."""
+        return self.streams.get(stream_id, {}).get("epochs_through", -1)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -193,32 +216,44 @@ class LakeTable:
             return Manifest.from_json(fh.read())
 
     def _write_manifest(self, manifest: Manifest) -> None:
-        """Two-step atomic commit: exclusive manifest create, then atomic
-        pointer swap. A crash between the steps leaves the old snapshot
-        current; the orphan manifest is detected on the next commit of the
-        same version (it is above ``_current``, so it cannot be live) and
-        replaced — without that check a crashed commit would wedge every
-        retry on O_EXCL. A same-version manifest at or below ``_current``
-        is a genuine concurrent commit and raises."""
-        path = self._manifest_path(manifest.version)
+        """Atomic commit under an exclusive advisory lock: exclusive manifest
+        create, then atomic ``_current`` pointer swap, both inside a
+        ``flock`` on ``_commit.lock``. The lock serializes the create+swap
+        critical section across processes (the stand-in for an Iceberg
+        catalog's compare-and-swap), which makes the orphan-recovery path
+        sound: while we hold the lock, a same-version manifest file that is
+        NOT live can only be the leftover of a crashed writer (a live writer
+        would be holding the lock between its create and swap; the OS
+        releases the lock on process death), so replacing it is safe. A
+        same-version manifest that IS live (``current_version() >=
+        version``) is a lost optimistic-concurrency race and raises. A crash
+        between create and swap leaves the previous snapshot current."""
+        lock_path = os.path.join(self.root, _MANIFEST_DIR, "_commit.lock")
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_WRONLY)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as fh:
-                fh.write(manifest.to_json())
-        except FileExistsError:
-            if self.current_version() >= manifest.version:
-                raise RuntimeError(
-                    f"concurrent commit: manifest v{manifest.version} already live"
-                )
-            # orphan from a crash between create and pointer swap: replace
-            tmp = os.path.join(self.root, _MANIFEST_DIR, f".m.{uuid.uuid4().hex}")
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            path = self._manifest_path(manifest.version)
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(manifest.to_json())
+            except FileExistsError:
+                if self.current_version() >= manifest.version:
+                    raise RuntimeError(
+                        f"concurrent commit: manifest v{manifest.version} already live"
+                    )
+                # crash orphan (see docstring: provably stale under the lock)
+                tmp = os.path.join(self.root, _MANIFEST_DIR, f".m.{uuid.uuid4().hex}")
+                with open(tmp, "w") as fh:
+                    fh.write(manifest.to_json())
+                os.replace(tmp, path)
+            tmp = os.path.join(self.root, _MANIFEST_DIR, f".current.{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
-                fh.write(manifest.to_json())
-            os.replace(tmp, path)
-        tmp = os.path.join(self.root, _MANIFEST_DIR, f".current.{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            fh.write(str(manifest.version))
-        os.replace(tmp, os.path.join(self.root, _MANIFEST_DIR, _CURRENT))
+                fh.write(str(manifest.version))
+            os.replace(tmp, os.path.join(self.root, _MANIFEST_DIR, _CURRENT))
+        finally:
+            fcntl.flock(lock_fd, fcntl.LOCK_UN)
+            os.close(lock_fd)
 
     # ---------- read ----------
 
@@ -299,7 +334,11 @@ class LakeTable:
     # ---------- write ----------
 
     def write_data_files(
-        self, df: DataFrame, commit_tag: str, bucket_aligned: bool = False
+        self,
+        df: DataFrame,
+        commit_tag: str,
+        bucket_aligned: bool = False,
+        keep_bucket: bool = False,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (which must carry a ``_bucket`` column) under
         ``data/<commit_tag>/`` as ONE plain parquet file per shuffle
@@ -310,6 +349,11 @@ class LakeTable:
         exactly that partitioning (e.g. the merge aggregate), skipping the
         exchange. Plain files beat ``partitionBy`` (dynamic-partition
         writer): ~35% faster here and it scales with cores.
+
+        ``keep_bucket=True`` writes the ``_bucket`` column into the files
+        (readers never see it — reads apply the manifest schema, so parquet
+        prunes it): the MERGE uses it to derive per-bucket ledger stats from
+        the written files without recomputing the hash.
         """
         import pyarrow.parquet as pq
 
@@ -317,7 +361,9 @@ class LakeTable:
         out_dir = os.path.join(self.root, "data", commit_tag)
         if not bucket_aligned:
             df = df.repartition(m.num_buckets, F.col("_bucket"))
-        df.drop("_bucket").write.mode("overwrite").parquet(out_dir)
+        if not keep_bucket:
+            df = df.drop("_bucket")
+        df.write.mode("overwrite").parquet(out_dir)
         entries: list[dict[str, Any]] = []
         for fname in sorted(os.listdir(out_dir)):
             if not fname.endswith(".parquet"):
@@ -370,6 +416,19 @@ class LakeTable:
             entry["epochs"][str(epoch_id)] = epoch_info or {}
             last = entry.get("last_epoch")
             entry["last_epoch"] = epoch_id if last is None else max(last, epoch_id)
+            # advance the contiguous-commit watermark and drop markers under
+            # it, keeping the most recent _EPOCH_INFO_KEEP for observability:
+            # the manifest carries O(recent + out-of-order) markers, not
+            # O(all epochs) — at 10^10 events / thousands of epochs the
+            # per-commit JSON rewrite would otherwise grow without bound.
+            w = int(entry.get("epochs_through", -1))
+            epochs = entry["epochs"]
+            while str(w + 1) in epochs:
+                w += 1
+            entry["epochs_through"] = w
+            cutoff = w - _EPOCH_INFO_KEEP
+            for e in [e for e in epochs if int(e) <= cutoff]:
+                del epochs[e]
         props = dict(parent.properties)
         if properties:
             props.update(properties)

@@ -55,10 +55,76 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql.types import StructType
 
 from multiversx_etl_spark.lake.table import LakeTable, bucket_expr
+
+#: written-row ceiling for deriving per-bucket ledger stats on the driver
+#: with pyarrow (3 narrow columns, ~ms) instead of a Spark job (~0.3 s fixed
+#: scheduling overhead per epoch — the round-1 per-epoch serial floor).
+_DRIVER_STATS_MAX_ROWS = 4_000_000
+
+
+def _per_bucket_counts(
+    table: LakeTable, new_files: list[dict], spark
+) -> dict[int, tuple[int, int, int, int]]:
+    """(insert, update, delete, deduped-keys) per bucket from the files just
+    written (which carry ``_bucket``/``_action``/``_cn``). Small epochs (the
+    common CDC case) aggregate driver-side over parquet with numpy —
+    no Spark job; epochs above ``_DRIVER_STATS_MAX_ROWS`` use a Spark job
+    (the read-back is then a real distributed aggregation, worth its fixed
+    cost)."""
+    if not new_files:
+        return {}
+    total_rows = sum(f["rows"] for f in new_files)
+    paths = [os.path.join(table.root, f["path"]) for f in new_files]
+    if total_rows <= _DRIVER_STATS_MAX_ROWS:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pa.concat_tables(
+            pq.read_table(p, columns=["_bucket", "_action", "_cn"]) for p in paths
+        )
+        bucket = t["_bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        nb = int(bucket.max()) + 1 if len(bucket) else 0
+        counts = {}
+        for name, mask in (
+            ("ins", pc.equal(t["_action"], "insert")),
+            ("upd", pc.equal(t["_action"], "update")),
+            ("del", pc.equal(t["_action"], "delete")),
+            ("dedup", pc.greater_equal(t["_cn"], 1)),
+        ):
+            m = mask.combine_chunks().to_numpy(zero_copy_only=False)
+            counts[name] = np.bincount(bucket[m], minlength=nb)
+        return {
+            int(b): (
+                int(counts["ins"][b]),
+                int(counts["upd"][b]),
+                int(counts["del"][b]),
+                int(counts["dedup"][b]),
+            )
+            for b in np.nonzero(
+                counts["ins"] + counts["upd"] + counts["del"] + counts["dedup"]
+            )[0]
+        }
+    rows = (
+        spark.read.parquet(*paths)
+        .groupBy("_bucket")
+        .agg(
+            F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
+            F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
+            F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("del"),
+            F.sum(F.when(F.col("_cn") >= 1, 1).otherwise(0)).alias("dedup"),
+        )
+        .collect()
+    )
+    return {
+        int(r["_bucket"]): (int(r["ins"]), int(r["upd"]), int(r["del"]), int(r["dedup"]))
+        for r in rows
+    }
 
 #: log bookkeeping columns that never enter the target table.
 _LOG_ONLY = ("offset", "op")
@@ -220,13 +286,26 @@ def merge_batch(
         F.col("_cn"),
     )
 
-    # -- 4. write. ``_action``/``_cn`` are written INTO the data files
-    #    (readers never see them: reads apply the manifest schema, so parquet
-    #    column pruning skips them entirely). Per-bucket merge stats are then
-    #    a narrow read-back of ONLY the just-written files — no second pass
-    #    over the inputs, no cache, and the ledger is derived from the
-    #    durable output itself (self-auditing).
+    # -- 4. write. ``_action``/``_cn``/``_bucket`` are written INTO the data
+    #    files (readers never see them: reads apply the manifest schema, so
+    #    parquet column pruning skips them entirely). GLOBAL merge stats are
+    #    collected by an Observation on the write job itself (CollectMetrics
+    #    sits below the carry filter, so carries ARE counted — exact in both
+    #    modes, zero extra jobs); per-bucket ledger stats are then a narrow
+    #    read-back of ONLY the just-written files — no second pass over the
+    #    inputs, no cache, and the ledger is derived from the durable output
+    #    itself (self-auditing).
     out_cols = [*key, *payload, "seq", "deleted", "_action", "_cn", "_bucket"]
+    obs = Observation(f"merge-{stream_id}-{epoch_id}")
+    merged = merged.observe(
+        obs,
+        F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
+        F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
+        F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("del"),
+        # change-side distinct keys (carries included — the pre-filter node
+        # sees every merged row, fixing the MOR undercount)
+        F.sum(F.when(F.col("_cn") >= 1, 1).otherwise(0)).alias("dedup"),
+    )
     if mode == "mor":
         # Only the delta rows are written; 'carry' (target won / seq tie)
         # rewrites nothing. Appended files join the fold at read time.
@@ -238,7 +317,14 @@ def merge_batch(
 
     tag = f"{stream_id}-e{epoch_id:08d}"
     with _phase("merge_write"):
-        new_files = table.write_data_files(to_write, tag, bucket_aligned=True)
+        new_files = table.write_data_files(
+            to_write, tag, bucket_aligned=True, keep_bucket=True
+        )
+    metrics = obs.get
+    stats.rows_inserted = int(metrics["ins"] or 0)
+    stats.rows_updated = int(metrics["upd"] or 0)
+    stats.rows_deleted = int(metrics["del"] or 0)
+    stats.rows_deduped = int(metrics["dedup"] or 0)
     # an all-carry MOR batch adds no delta files: don't arm the read-time
     # fold for nothing (and COW never sets the counter)
     props = (
@@ -247,36 +333,20 @@ def merge_batch(
         else None
     )
 
+    # Per-bucket ledger rows. NOTE on MOR semantics (ledger contract, see
+    # schemas.LINEAGE): per-bucket counts are derived from WRITTEN delta
+    # rows, so in mor mode 'carry' outcomes contribute nothing per bucket
+    # (a bucket touched only by carries gets an all-zero stat row, and
+    # rows_deduped per bucket counts only written keys). The GLOBAL
+    # MergeStats fields above are exact in both modes (carries observed
+    # pre-filter). In cow mode every row is written, so per-bucket == exact.
     per_bucket = []
     if collect_per_bucket_stats:
-        rows = []
-        if new_files:
-            with _phase("bucket_stats"):
-                spark = changes.sparkSession
-                written = spark.read.parquet(
-                    *[os.path.join(table.root, f["path"]) for f in new_files]
-                ).select(
-                    bucket_expr(key, parent.num_buckets).alias("_bucket"), "_action", "_cn"
-                )
-                rows = (
-                    written.groupBy("_bucket")
-                    .agg(
-                        F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
-                        F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
-                        F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("del"),
-                        # keys remaining after per-key dedup (change-side keys seen)
-                        F.sum(F.when(F.col("_cn") >= 1, 1).otherwise(0)).alias("dedup"),
-                    )
-                    .collect()
-                )
+        with _phase("bucket_stats"):
+            by_bucket = _per_bucket_counts(table, new_files, changes.sparkSession)
         now = time.time()
-        by_bucket = {int(r["_bucket"]): r for r in rows}
         for k in sorted(touched | set(by_bucket)):
-            r = by_bucket.get(k)
-            ins = int(r["ins"]) if r else 0
-            upd = int(r["upd"]) if r else 0
-            dele = int(r["del"]) if r else 0
-            dedup = int(r["dedup"]) if r else 0
+            ins, upd, dele, dedup = by_bucket.get(k, (0, 0, 0, 0))
             per_bucket.append(
                 {
                     "epoch_id": epoch_id,
@@ -291,10 +361,6 @@ def merge_batch(
                     "committed_at": now,
                 }
             )
-            stats.rows_inserted += ins
-            stats.rows_updated += upd
-            stats.rows_deleted += dele
-            stats.rows_deduped += dedup
     stats.per_bucket = per_bucket
 
     # lineage (and any other pre-commit bookkeeping) persists BEFORE the

@@ -170,13 +170,18 @@ def replay(
         mx = log.agg(F.max("offset")).collect()[0][0]
         total_offsets = 0 if mx is None else mx + 1  # empty log → empty summary
     plans = list(plan_offset_ranges(total_offsets, interval_size))
-    # one manifest read decides skips (the manifest grows O(epochs); reading
-    # it per plan would be O(epochs^2) JSON parsing on long resumes)
-    committed_epochs = {
-        int(e)
-        for e in table.snapshot().streams.get(stream_id, {}).get("epochs", {})
-    }
-    pending = [p for p in plans if p.epoch_id not in committed_epochs]
+    # one manifest read decides skips. Markers under the contiguous
+    # watermark are compacted out of the manifest (lake/table.py), so
+    # committed = (epoch <= watermark) OR (epoch in the sparse marker map) —
+    # the manifest stays O(recent) even after thousands of epochs.
+    stream_state = table.snapshot().streams.get(stream_id, {})
+    watermark = int(stream_state.get("epochs_through", -1))
+    sparse_epochs = {int(e) for e in stream_state.get("epochs", {})}
+
+    def is_committed(epoch_id: int) -> bool:
+        return epoch_id <= watermark or epoch_id in sparse_epochs
+
+    pending = [p for p in plans if not is_committed(p.epoch_id)]
     # One pass over the UNCOMMITTED offset span counts every pending epoch's
     # per-bucket rows_in (instead of one counting job per epoch). Skipped
     # entirely on a fully-committed re-replay (zero Spark jobs), and when
@@ -204,7 +209,7 @@ def replay(
     for plan in plans:
         if max_epochs is not None and summary.epochs_run >= max_epochs:
             break
-        if plan.epoch_id in committed_epochs:
+        if is_committed(plan.epoch_id):
             summary.epochs_skipped += 1
             continue
         batch = read_offset_range(log, plan.offset_lo, plan.offset_hi)
@@ -290,8 +295,13 @@ def bootstrap_snapshot(
     tail the change log with replay()/stream_ingest() on top.
 
     Rows carry ``seq`` from ``seq_column`` (or 0), so subsequent MERGE
-    batches apply the usual seq guard against the snapshot. Returns the
-    committed snapshot row count."""
+    batches apply the usual seq guard against the snapshot. The snapshot is
+    pre-folded per key (max-seq winner) before write: a snapshot export with
+    duplicate keys would otherwise land verbatim in base files with no MOR
+    fold armed (``mor_appends=0``) and reads would return duplicates.
+    Returns the committed snapshot row count."""
+    from multiversx_etl_spark.operators.dedup import dedup_latest
+
     m = table.snapshot()
     cols = [F.col(c) for c in m.key_columns]
     seq = (F.col(seq_column) if seq_column and seq_column in snapshot.columns else F.lit(0))
@@ -307,7 +317,7 @@ def bootstrap_snapshot(
         cols.append(
             (F.col(p).cast(typ) if p in snapshot.columns else F.lit(None).cast(typ)).alias(p)
         )
-    df = snapshot.select(*cols).withColumn(
+    df = dedup_latest(snapshot.select(*cols), m.key_columns).withColumn(
         "_bucket", bucket_expr(m.key_columns, m.num_buckets)
     )
     new_files = table.write_data_files(df, f"bootstrap-v{m.version:08d}")

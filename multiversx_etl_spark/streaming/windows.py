@@ -46,10 +46,12 @@ def windowed_event_counts(
         else F.window("event_ts", window_duration)
     )
     # exact COUNT(DISTINCT) is not allowed on streaming aggregations —
-    # the HLL sketch is the streaming-native answer (B5's cheap variant)
-    n_repos = (
-        F.approx_count_distinct("repo") if events.isStreaming else F.countDistinct("repo")
-    )
+    # the HLL sketch is the streaming-native answer (B5's cheap variant).
+    # The schema is identical in both modes, but the semantics differ, so
+    # the output SAYS which it computed: n_repos_exact=false marks the
+    # sketch (consumers must not equality-compare approx counts).
+    exact = not events.isStreaming
+    n_repos = F.countDistinct("repo") if exact else F.approx_count_distinct("repo")
     return (
         events.groupBy(win.alias("win"), "op")
         .agg(
@@ -64,6 +66,7 @@ def windowed_event_counts(
             "op",
             "n_events",
             "n_repos",
+            F.lit(exact).alias("n_repos_exact"),
             "min_seq",
             "max_seq",
         )

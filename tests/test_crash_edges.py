@@ -111,3 +111,102 @@ def test_bucket_scoped_read_is_exact(spark, tmp_path):
         assert bad == 0, f"bucket {k}: {bad} foreign rows"
     total = sum(table.read(buckets={k}).count() for k in range(m.num_buckets))
     assert total == table.read().count() == 40
+
+
+def test_inflight_commit_not_lost_to_orphan_reclaim(spark, tmp_path):
+    """The ADVICE race: writer A holds the commit lock having created
+    manifest vN+1 but not yet swapped _current. Writer B must BLOCK on the
+    lock (not reclaim A's manifest as an orphan); once A finishes, B's
+    same-version commit loses the optimistic race and raises — A's commit
+    survives intact."""
+    import fcntl
+    import json
+    import threading
+    import time as _time
+
+    table = _mk_table(spark, tmp_path)
+    v = table.current_version()
+    a_manifest = table.snapshot()
+    a_manifest.version = v + 1
+    a_manifest.operation = "writer-A"
+
+    lock_path = os.path.join(table.root, "_manifests", "_commit.lock")
+    lock_fd = os.open(lock_path, os.O_CREAT | os.O_WRONLY)
+    fcntl.flock(lock_fd, fcntl.LOCK_EX)
+    # writer A: inside the critical section, manifest created, pointer not yet swapped
+    with open(table._manifest_path(v + 1), "w") as fh:
+        fh.write(a_manifest.to_json())
+
+    b_manifest = table.snapshot()
+    b_manifest.version = v + 1
+    b_manifest.operation = "writer-B"
+    b_err: list[Exception] = []
+
+    def writer_b():
+        try:
+            table._write_manifest(b_manifest)
+        except Exception as e:  # expected: optimistic-concurrency failure
+            b_err.append(e)
+
+    t = threading.Thread(target=writer_b)
+    t.start()
+    _time.sleep(0.3)
+    assert t.is_alive(), "writer B should be blocked on the commit lock"
+    # writer A completes: swap pointer, release lock
+    with open(os.path.join(table.root, "_manifests", ".cur.tmp"), "w") as fh:
+        fh.write(str(v + 1))
+    os.replace(
+        os.path.join(table.root, "_manifests", ".cur.tmp"),
+        os.path.join(table.root, "_manifests", "_current"),
+    )
+    fcntl.flock(lock_fd, fcntl.LOCK_UN)
+    os.close(lock_fd)
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert b_err and "concurrent" in str(b_err[0])
+    with open(table._manifest_path(v + 1)) as fh:
+        assert json.load(fh)["operation"] == "writer-A"  # A's commit intact
+
+
+def test_bootstrap_snapshot_dedups_duplicate_keys(spark, tmp_path):
+    """A snapshot export with duplicate (repo, path) rows must be pre-folded
+    (max-seq winner) — duplicates in base files would otherwise persist
+    until a compact, since bootstrap leaves the MOR fold unarmed."""
+    from multiversx_etl_spark.streaming.ingest import bootstrap_snapshot
+
+    table = _mk_table(spark, tmp_path)
+    snap = _batch(
+        spark,
+        [
+            (0, 1, "insert", "r", "a.py", "c1", "py", "old"),
+            (1, 5, "insert", "r", "a.py", "c2", "py", "new"),
+            (2, 3, "insert", "r", "b.py", "c3", "py", "only"),
+        ],
+    ).drop("offset", "op")
+    n = bootstrap_snapshot(table, snap)
+    assert n == 2
+    rows = {r["path"]: r for r in table.read().collect()}
+    assert set(rows) == {"a.py", "b.py"}
+    assert rows["a.py"]["content"] == "new" and rows["a.py"]["seq"] == 5
+
+
+def test_epoch_watermark_compacts_markers_and_resume_skips(spark, tmp_path):
+    """Committed-epoch markers below the contiguous watermark are compacted
+    out of the manifest (bounded commit JSON at 10^10-event epoch counts);
+    a re-replay must still skip every committed epoch."""
+    from multiversx_etl_spark.lake.table import _EPOCH_INFO_KEEP
+
+    table = _mk_table(spark, tmp_path)
+    log = generate_change_log(spark, 3000, num_repos=5, paths_per_repo=10)
+    path = str(tmp_path / "log")
+    write_log_parquet(log, path, files=2)
+    df = spark.read.parquet(path)
+    s1 = replay(df, table, interval_size=100)  # ~31 epochs
+    assert s1.epochs_run >= 30
+    st = table.snapshot().streams["main"]
+    assert st["epochs_through"] == s1.epochs_run - 1
+    assert len(st["epochs"]) <= _EPOCH_INFO_KEEP + 1
+    assert table.is_epoch_committed("main", 0)  # below the kept window
+    assert table.snapshot().epoch_info("main", 0) == {"compacted": True}
+    s2 = replay(df, table, interval_size=100)
+    assert s2.epochs_run == 0 and s2.epochs_skipped == s1.epochs_run

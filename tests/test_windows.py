@@ -38,17 +38,17 @@ def test_stream_matches_batch(spark, win_log, tmp_path):
     stream_windowed_counts(
         spark, win_log, out_dir, str(tmp_path / "ckpt"), window_duration="10 minutes"
     )
-    # n_repos is HLL-approximate on the streaming side — compare n_events
-    got = {
-        (r["window_start"], r["op"]): r["n_events"]
-        for r in spark.read.parquet(out_dir).collect()
-    }
-    want = {
-        (r["window_start"], r["op"]): r["n_events"]
-        for r in windowed_event_counts(
-            spark.read.parquet(win_log), "10 minutes"
-        ).collect()
-    }
+    # n_repos is HLL-approximate on the streaming side — the output self-
+    # declares the divergence via n_repos_exact, and only n_events (exact in
+    # both modes) is equality-compared
+    stream_rows = spark.read.parquet(out_dir).collect()
+    assert all(r["n_repos_exact"] is False for r in stream_rows)
+    got = {(r["window_start"], r["op"]): r["n_events"] for r in stream_rows}
+    batch_rows = windowed_event_counts(
+        spark.read.parquet(win_log), "10 minutes"
+    ).collect()
+    assert all(r["n_repos_exact"] is True for r in batch_rows)
+    want = {(r["window_start"], r["op"]): r["n_events"] for r in batch_rows}
     # append mode may hold back the final (unclosed) window; everything
     # emitted must match the batch result exactly
     assert got
