@@ -18,7 +18,12 @@ Subcommands:
   rollback    time-travel the table to an older snapshot (bq_client rewind
               analog, O(1))
   reconcile   per-row sha256 verification against a LWW fold of the log
-              (checks.py analog, stronger invariant)
+              (checks.py analog, stronger invariant; --erratum accepts known
+              signed count drift like the reference's counts_checks_errata)
+  find-latest-good
+              walk snapshots newest->oldest, reconcile each against the log
+              fold, roll back to the newest consistent one (the reference's
+              find-latest-good-checkpoint walk, app.py:115-143)
 """
 
 from __future__ import annotations
@@ -72,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--buckets", type=int, default=16)
     s.add_argument("--max-files-per-trigger", type=int, default=4)
     s.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    s.add_argument(
+        "--trigger-interval", default=None, metavar="DURATION",
+        help="run CONTINUOUSLY with a processingTime trigger (e.g. '3600 seconds', "
+        "the reference's loop cadence) until interrupted; default drains once",
+    )
 
     c = sub.add_parser("compact", help="fold merge-on-read deltas into base files")
     c.add_argument("table")
@@ -100,6 +110,22 @@ def main(argv: list[str] | None = None) -> int:
     rc = sub.add_parser("reconcile", help="sha256 verification vs the log's LWW fold")
     rc.add_argument("log")
     rc.add_argument("table")
+    rc.add_argument(
+        "--erratum", type=int, default=0,
+        help="accepted signed count drift (reference counts_checks_errata)",
+    )
+
+    fg = sub.add_parser(
+        "find-latest-good",
+        help="walk snapshots newest->oldest, reconcile each against the log "
+        "fold, roll back to the newest consistent one (reference "
+        "find-latest-good-checkpoint, app.py:115-143)",
+    )
+    fg.add_argument("log")
+    fg.add_argument("table")
+    fg.add_argument("--stream-id", default="main")
+    fg.add_argument("--no-rollback", action="store_true")
+    fg.add_argument("--max-candidates", type=int, default=None)
 
     args = p.parse_args(argv)
     spark = _spark(args)
@@ -208,14 +234,20 @@ def _dispatch(spark, args) -> int:
         from multiversx_etl_spark.streaming.ingest import ensure_table, stream_ingest
 
         table = ensure_table(spark, args.table, num_buckets=args.buckets)
-        stream_ingest(
+        q = stream_ingest(
             spark,
             args.log_dir,
             table,
             args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
             mode=args.mode,
+            trigger_interval=args.trigger_interval,
         )
+        if q is not None:  # continuous: block until Ctrl-C / external stop
+            try:
+                q.awaitTermination()
+            except KeyboardInterrupt:
+                q.stop()
         print(json.dumps({"version": table.current_version(), "rows": table.read().count()}))
         return 0
 
@@ -272,7 +304,9 @@ def _dispatch(spark, args) -> int:
         from multiversx_etl_spark.oracle import expected_state
 
         table = LakeTable(spark, args.table)
-        report = reconcile(table, expected_state(spark.read.parquet(args.log)))
+        report = reconcile(
+            table, expected_state(spark.read.parquet(args.log)), erratum=args.erratum
+        )
         print(
             json.dumps(
                 {
@@ -282,10 +316,34 @@ def _dispatch(spark, args) -> int:
                     "missing": report.missing,
                     "unexpected": report.unexpected,
                     "sha_mismatches": report.sha_mismatches,
+                    "erratum": report.erratum,
                 }
             )
         )
         return 0 if report.ok else 1
+
+    if args.cmd == "find-latest-good":
+        from multiversx_etl_spark.operators.checks import find_latest_good_version
+
+        table = LakeTable(spark, args.table)
+        before = table.current_version()
+        good = find_latest_good_version(
+            table,
+            spark.read.parquet(args.log),
+            stream_id=args.stream_id,
+            rollback=not args.no_rollback,
+            max_candidates=args.max_candidates,
+        )
+        print(
+            json.dumps(
+                {
+                    "latest_good_version": good,
+                    "version_before": before,
+                    "version_now": table.current_version(),
+                }
+            )
+        )
+        return 0 if good is not None else 1
 
     raise AssertionError(f"unhandled cmd {args.cmd}")
 

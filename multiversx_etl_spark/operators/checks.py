@@ -22,6 +22,35 @@ class CountsMismatchError(Exception):
     """Analog of the reference's CountsMismatchError (checks.py:87-93)."""
 
 
+def check_counts(
+    expected_counts: dict[str, int],
+    actual_counts: dict[str, int],
+    errata: dict[str, int] | None = None,
+) -> dict[str, int]:
+    """Per-table signed-delta counts check with accepted-drift errata.
+
+    Mirrors the reference exactly (checks.py:56-93, worker_config.py:93-104;
+    values like ``{"miniblocks": -53193}`` in worker_config_mainnet.json):
+    ``delta = expected - actual + erratum`` per table; any adjusted delta
+    != 0 raises — positive means data missing in the sink, negative means
+    probable duplicates. Real deployments always accumulate known historical
+    drift; errata let operations encode it without disabling the check.
+    Returns the adjusted deltas per table."""
+    errata = errata or {}
+    deltas = {}
+    problems = []
+    for t in sorted(set(expected_counts) | set(actual_counts)):
+        delta = expected_counts.get(t, 0) - actual_counts.get(t, 0) + errata.get(t, 0)
+        deltas[t] = delta
+        if delta > 0:
+            problems.append(f"missing data in sink for '{t}': adjusted delta {delta}")
+        elif delta < 0:
+            problems.append(f"probable duplicates in sink for '{t}': adjusted delta {delta}")
+    if problems:
+        raise CountsMismatchError("; ".join(problems))
+    return deltas
+
+
 @dataclass
 class ReconcileReport:
     expected_rows: int
@@ -29,9 +58,15 @@ class ReconcileReport:
     missing: int     # in expected, not in table (delta>0: "missing data")
     unexpected: int  # in table, not in expected (delta<0: "duplicates")
     sha_mismatches: int
+    erratum: int = 0  # accepted signed drift (reference checks.py:82-85)
 
     @property
     def ok(self) -> bool:
+        if self.erratum:
+            # reference semantics at the count level: known drift cancels
+            # the signed delta exactly; content equality stays strict.
+            adjusted = self.missing - self.unexpected + self.erratum
+            return adjusted == 0 and self.sha_mismatches == 0
         return self.missing == 0 and self.unexpected == 0 and self.sha_mismatches == 0
 
 
@@ -45,12 +80,18 @@ def reconcile(
     expected: DataFrame,
     key_columns: list[str] | None = None,
     raise_on_mismatch: bool = False,
+    erratum: int = 0,
+    version: int | None = None,
 ) -> ReconcileReport:
     """Compare the table's live rows against an expected-state DataFrame on
     (key, sha256(content)). Both sides reduce to (key, sha) projections before
-    the anti-joins, so at scale only narrow columns shuffle."""
+    the anti-joins, so at scale only narrow columns shuffle.
+
+    ``erratum`` accepts a known signed count drift (reference
+    checks.py:82-85); ``version`` reconciles a time-travelled snapshot
+    (the checkpoint-search building block)."""
     key = key_columns or KEY_COLUMNS
-    actual = content_sha(table.read()).select(*key, "content_sha")
+    actual = content_sha(table.read(version=version)).select(*key, "content_sha")
     exp = content_sha(expected).select(*key, "content_sha")
 
     missing = exp.join(actual, on=key, how="left_anti").count()
@@ -63,10 +104,66 @@ def reconcile(
         missing=missing,
         unexpected=unexpected,
         sha_mismatches=sha_mismatch,
+        erratum=erratum,
     )
     if raise_on_mismatch and not report.ok:
         raise CountsMismatchError(repr(report))
     return report
+
+
+def find_latest_good_version(
+    table: LakeTable,
+    log: DataFrame,
+    stream_id: str = "main",
+    rollback: bool = False,
+    max_candidates: int | None = None,
+) -> int | None:
+    """A20 checkpoint search: walk snapshots newest → oldest, reconciling
+    each time-travelled version against the change-log-derived expected
+    state, and return (optionally roll back to) the newest consistent one.
+
+    The reference walks candidate end-timestamps backwards re-running the
+    counts check until one passes (app.py:115-143); here the candidates are
+    manifest versions, the truth is the log fold (oracle.expected_state),
+    and the criterion is the strict key+sha reconcile. A candidate that
+    fails for ANY reason — counts mismatch, sha drift, an unreadable
+    (corrupted/truncated) data file — is skipped; version 0 (empty table vs
+    empty-prefix fold) is the always-good floor. Returns None only when
+    every candidate was tried and failed (or ``max_candidates`` ran out)."""
+    from multiversx_etl_spark.oracle import expected_state
+
+    tried = 0
+    for v in range(table.current_version(), -1, -1):
+        if max_candidates is not None and tried >= max_candidates:
+            return None
+        try:
+            m = table.snapshot(v)
+        except FileNotFoundError:
+            continue  # expired/retention-pruned manifest
+        s = m.streams.get(stream_id, {})
+        last = s.get("last_epoch")
+        if last is not None:
+            info = m.epoch_info(stream_id, last) or {}
+            hi = info.get("offset_hi")
+            if hi is None:
+                continue  # marker compacted away: offset bound unknown
+        else:
+            hi = 0  # pre-stream snapshot: expected state is empty
+        tried += 1
+        try:
+            reconcile(
+                table,
+                expected_state(log, offset_hi=hi, key_columns=m.key_columns),
+                key_columns=m.key_columns,
+                raise_on_mismatch=True,
+                version=v,
+            )
+        except Exception:
+            continue  # corrupt/inconsistent candidate: walk further back
+        if rollback and v != table.current_version():
+            table.rollback(v)
+        return v
+    return None
 
 
 def count_in_range(log: DataFrame, lo: int, hi: int) -> int:

@@ -240,8 +240,19 @@ def stream_ingest(
     max_files_per_trigger: int = 4,
     mode: str = "mor",
     compact_every: int | None = None,
-) -> None:
-    """Structured Streaming tail of a parquet log directory (availableNow).
+    trigger_interval: str | None = None,
+):
+    """Structured Streaming tail of a parquet log directory.
+
+    Default trigger is ``availableNow`` (drain the backlog, then stop —
+    the bounded-replay/bench mode): the call blocks until done and returns
+    None. ``trigger_interval`` (e.g. ``"5 seconds"``) switches to a
+    genuinely CONTINUOUS ``processingTime`` tail — the analog of the
+    reference's forever-loop driver cadence (app.py:74-106,
+    sleep_between_iterations=3600): the call returns the live
+    ``StreamingQuery`` immediately; the caller owns its lifecycle
+    (``stop()`` for a graceful shutdown — exactly-once markers make any
+    in-flight epoch replay-safe).
 
     ``maxFilesPerTrigger`` is the micro-batch knob — the analog of the
     reference's interval_size × num_intervals_in_bulk planner parameters
@@ -276,13 +287,14 @@ def stream_ingest(
         if compact_every and (epoch_id + 1) % compact_every == 0:
             table.compact()
 
-    q = (
-        src.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = src.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if trigger_interval is not None:
+        return writer.trigger(processingTime=trigger_interval).start()
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+    return None
 
 
 def bootstrap_snapshot(

@@ -108,3 +108,52 @@ def test_bootstrap_then_tail(spark, stream_log, tmp_path):
     t_full = ensure_table(spark, str(tmp_path / "full"), num_buckets=4)
     replay(log, t_full, interval_size=500)
     assert _final_state(t_boot) == _final_state(t_full)
+
+
+def test_continuous_trigger_tails_new_files_then_stops(spark, tmp_path):
+    """processingTime trigger (the reference's forever-loop cadence,
+    app.py:74-106): the query returns immediately, processes the initial
+    backlog, picks up files that arrive LATER, and stops gracefully."""
+    import time
+
+    log_dir = str(tmp_path / "log")
+    first = generate_change_log(spark, 400, num_repos=8, paths_per_repo=10)
+    write_log_parquet(first.where(F.col("offset") < 200), log_dir, files=1)
+
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    q = stream_ingest(
+        spark, log_dir, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=8, trigger_interval="1 seconds",
+    )
+    assert q is not None and q.isActive
+    try:
+        deadline = time.time() + 60
+        while table.read().count() == 0 and time.time() < deadline:
+            time.sleep(0.5)
+        rows_after_first = table.read().count()
+        assert rows_after_first > 0
+
+        # a second batch of files arrives while the query keeps running
+        import uuid
+
+        extra_dir = str(tmp_path / f"extra-{uuid.uuid4().hex}")
+        first.where(F.col("offset") >= 200).write.parquet(extra_dir)
+        import glob, shutil
+
+        for i, f in enumerate(sorted(glob.glob(f"{extra_dir}/part-*.parquet"))):
+            shutil.move(f, f"{log_dir}/late-{i}.parquet")
+
+        want = _batch_oracle_df(spark, log_dir)
+        while time.time() < deadline and _final_state(table) != want:
+            time.sleep(0.5)
+        assert _final_state(table) == want
+    finally:
+        q.stop()
+    deadline = time.time() + 30
+    while q.isActive and time.time() < deadline:
+        time.sleep(0.2)
+    assert not q.isActive  # graceful stop
+
+
+def _batch_oracle_df(spark, log_dir):
+    return _batch_oracle(spark, log_dir)
