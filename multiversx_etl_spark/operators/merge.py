@@ -150,6 +150,25 @@ class MergeStats:
     per_bucket: list[dict] | None = None
 
 
+def _fully_nullable(dt):
+    """Deep-nullable copy of a data type: lake columns are always nullable
+    (old files read new columns as NULL), and a batch whose expression
+    happens to prove non-null (e.g. coalesce-scrubbed array elements) must
+    not bake containsNull=false into the table schema — later batches with
+    nullable elements could never cast to it."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [StructField(f.name, _fully_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_fully_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_fully_nullable(dt.keyType), _fully_nullable(dt.valueType), True)
+    return dt
+
+
 def evolve_schema(target_schema: StructType, changes: DataFrame, key_columns: list[str]) -> StructType:
     """Union of the target schema and the change-set's payload columns —
     new columns append (old files read them as NULL), dropped columns stay
@@ -161,7 +180,7 @@ def evolve_schema(target_schema: StructType, changes: DataFrame, key_columns: li
     for f in changes.schema.fields:
         if f.name in existing or f.name in _LOG_ONLY or f.name.startswith("_"):
             continue  # engine-internal (_bucket etc.) and log bookkeeping stay out
-        out.add(f.name, f.dataType, True)
+        out.add(f.name, _fully_nullable(f.dataType), True)
     return out
 
 

@@ -112,18 +112,52 @@ def decode_with_real_codec(payload: bytes, media_type: str) -> dict:
     )
 
 
+def _payload_buffer(payloads: pd.Series):
+    """One contiguous (data, offsets) view over a batch of byte payloads via
+    Arrow's native binary layout — the vectorization substrate for every
+    fake-codec kernel (no per-row Python anywhere)."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = pa.array(payloads.to_numpy(dtype=object), type=pa.large_binary())
+    assert arr.null_count == 0
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data_buf = arr.buffers()[2]
+    buf = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return buf, offs
+
+
 def _fake_decode(pdf: pd.DataFrame) -> pd.DataFrame:
     """Deterministic fake decode with the exact output schema of the real
-    path: vectorized byte statistics over the payload column."""
-    payloads = pdf["payload"]
+    path: byte statistics computed over the batch's contiguous Arrow buffer
+    with numpy — prefix-sum for per-row byte sums, offset gathers for
+    first/last bytes. Zero per-row Python."""
+    import numpy as np
+
+    buf, offs = _payload_buffer(pdf["payload"])
+    lens = np.diff(offs)
+    csum = np.concatenate([[0], np.cumsum(buf, dtype=np.int64)])
+    byte_sum = csum[offs[1:]] - csum[offs[:-1]]
+    nonempty = lens > 0
+    first = np.zeros(len(lens), dtype=np.int32)
+    last = np.zeros(len(lens), dtype=np.int32)
+    if buf.size:
+        first[nonempty] = buf[offs[:-1][nonempty]]
+        last[nonempty] = buf[offs[1:][nonempty] - 1]
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"].astype("int64"),
             "media_type": pdf["media_type"],
-            "n_bytes": payloads.map(len).astype("int64"),
-            "byte_sum": payloads.map(lambda b: sum(b)).astype("int64"),
-            "first_byte": payloads.map(lambda b: b[0] if b else 0).astype("int32"),
-            "last_byte": payloads.map(lambda b: b[-1] if b else 0).astype("int32"),
+            "n_bytes": lens.astype("int64"),
+            "byte_sum": byte_sum,
+            "first_byte": first,
+            "last_byte": last,
         }
     )
 
@@ -152,16 +186,39 @@ def sample_frames(media: DataFrame, frame_size: int = 32) -> DataFrame:
     row per frame."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pyarrow as pa
+
         for pdf in batches:
-            rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_len": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for idx, off in enumerate(range(0, len(payload), frame_size)):
-                    chunk = payload[off : off + frame_size]
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(idx)
-                    rows["frame_bytes"].append(chunk)
-                    rows["frame_len"].append(len(chunk))
-            yield pd.DataFrame(rows)
+            buf, offs = _payload_buffer(pdf["payload"])
+            lens = np.diff(offs)
+            n_frames = -(-lens // frame_size)  # ceil-div; empty payload -> 0
+            total = int(n_frames.sum())
+            if total == 0:
+                yield pd.DataFrame(
+                    {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_len": []}
+                )
+                continue
+            doc_id = np.repeat(pdf["doc_id"].to_numpy(), n_frames)
+            # frame_idx = global position minus each row's first-frame position
+            frame_base = np.concatenate([[0], np.cumsum(n_frames)[:-1]])
+            frame_idx = np.arange(total, dtype=np.int64) - np.repeat(frame_base, n_frames)
+            # frames tile each payload contiguously and payloads are
+            # contiguous in buf, so every frame boundary is a cut point in
+            # buf: build the output binary column zero-copy from (cuts, buf)
+            starts = np.repeat(offs[:-1], n_frames) + frame_idx * frame_size
+            cuts = np.append(starts, offs[-1]).astype(np.int64)
+            frames = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), total, [None, pa.py_buffer(cuts), pa.py_buffer(buf)]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_id,
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_bytes": frames.to_pandas(),
+                    "frame_len": np.diff(cuts),
+                }
+            )
 
     videos = media.where(F.col("meta.media_type") == "video").select("doc_id", "payload")
     return videos.mapInPandas(run, FRAME_SCHEMA)

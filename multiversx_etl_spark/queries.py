@@ -793,16 +793,25 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return out.distinct()
 
 
-_JACCARD_SQL = """
+#: document-frequency cap: shingles occurring in more than this many
+#: documents (stopword shingles) are dropped BEFORE the inverted-index
+#: self-join — the skew/fan-out control that makes the join survive at
+#: 100 TB. At sf0.1 shingles with df > 10 are 37% of the index but 63% of
+#: all candidate pairs; a hot shingle in D docs alone fans out D^2 rows.
+_JACCARD_DF_CAP = 10
+
+_JACCARD_SQL = f"""
 WITH words AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(2, len(w) - 1), 1),
                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
   FROM words WHERE len(w) >= 3
 ),
+keep AS (SELECT s FROM sh_all GROUP BY 1 HAVING count(*) <= {_JACCARD_DF_CAP}),
+sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN keep USING (s)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -820,17 +829,22 @@ WHERE c.n_common * 10 >= 3 * (na.n + nb.n - c.n_common)
 
 @_register("q_ngram_jaccard_pairs", _JACCARD_SQL)
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Word-3-gram Jaccard similarity >= 0.3 between doc pairs. Candidate
-    generation is an equi-join on the shingle value (inverted-index join),
-    so only docs sharing a shingle ever meet — integer set arithmetic, no
-    floats. At 100 TB you'd cap hot shingles (stopword shingles) first;
-    the join shuffles on the shingle hash and AQE splits skewed ones."""
+    """Word-3-gram Jaccard similarity >= 0.3 between doc pairs, over the
+    DISCRIMINATIVE shingle universe: shingles present in more than
+    ``_JACCARD_DF_CAP`` documents are dropped before the inverted-index
+    equi-join (and before the per-doc set sizes, so the Jaccard is
+    self-consistent over the capped universe). Hot stopword shingles are
+    exactly the ones that carry no similarity signal but quadratic join
+    fan-out — this is the standard prefix/df-filter from set-similarity
+    joins, and the oracle mirrors it identically. Integer set arithmetic,
+    no floats; the join shuffles on the shingle hash and AQE splits any
+    residual skew."""
     d = load(spark, sf_dir, "documents")
     words = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w")).where(
         F.size("w") >= 3
     )
     idx = F.sequence(F.lit(0), F.size("w") - F.lit(3), F.lit(1))
-    sh = (
+    sh_all = (
         words.select("doc_id", F.explode(idx).alias("i"), "w")
         .select(
             "doc_id",
@@ -843,6 +857,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         )
         .distinct()
     )
+    keep = (
+        sh_all.groupBy("s")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= _JACCARD_DF_CAP)
+        .select("s")
+    )
+    sh = sh_all.join(keep, "s")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -1312,6 +1333,53 @@ def q_user_running_total(spark, sf_dir):
             "event_id",
             F.sum(_micro(F.col("value"))).over(w).alias("running_micro"),
         )
+    )
+
+
+@_register(
+    "q_nested_daily_activity",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    nested AS (
+      SELECT user_id, list(struct_pack(day := day, n := n) ORDER BY day) AS days
+      FROM daily GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(len(days) AS BIGINT) AS n_active_days,
+           CAST(list_sum(list_transform(days, x -> x.n)) AS BIGINT) AS total_events,
+           CAST(list_max(list_transform(days, x -> x.n)) AS BIGINT) AS max_day_events,
+           CAST(len(list_filter(days, x -> x.n >= 5)) AS BIGINT) AS busy_days
+    FROM nested
+    """,
+)
+def q_nested_daily_activity(spark, sf_dir):
+    """Nested RECORD-REPEATED shape end to end (the reference's schemas are
+    deeply nested array<struct> — schema/blocks.json:75-164): build a per-
+    user array<struct<day,n>> (sorted for determinism), then consume it
+    with higher-order functions only — size / transform / aggregate /
+    array_max / filter, all JVM-side lambda expressions, no explode-refold
+    round trip and no UDF. The nested column never leaves the plan; the
+    output is flat scalars so the oracle compares exactly."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    nested = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("days")
+    )
+    ns = F.transform("days", lambda x: x["n"])
+    return nested.select(
+        "user_id",
+        F.size("days").cast("long").alias("n_active_days"),
+        F.aggregate(ns, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "total_events"
+        ),
+        F.array_max(ns).alias("max_day_events"),
+        F.size(F.filter("days", lambda x: x["n"] >= 5)).cast("long").alias("busy_days"),
     )
 
 
