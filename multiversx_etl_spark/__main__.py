@@ -127,6 +127,15 @@ def main(argv: list[str] | None = None) -> int:
     fg.add_argument("--no-rollback", action="store_true")
     fg.add_argument("--max-candidates", type=int, default=None)
 
+    rcfg = sub.add_parser(
+        "run-config",
+        help="run one configured iteration from a JSON worker config "
+        "(the reference's worker_config.json operator interface)",
+    )
+    rcfg.add_argument("config")
+    rcfg.add_argument("--streaming", action="store_true")
+    rcfg.add_argument("--checkpoint", default=None)
+
     args = p.parse_args(argv)
     spark = _spark(args)
     try:
@@ -344,6 +353,23 @@ def _dispatch(spark, args) -> int:
             )
         )
         return 0 if good is not None else 1
+
+    if args.cmd == "run-config":
+        from multiversx_etl_spark.config import load_worker_config, run_from_config
+
+        cfg = load_worker_config(args.config)
+        summary = run_from_config(
+            spark, cfg, streaming=args.streaming, checkpoint_dir=args.checkpoint
+        )
+        q = summary.pop("streaming_query", None)
+        if q is not None:  # continuous: block until Ctrl-C
+            try:
+                q.awaitTermination()
+            except KeyboardInterrupt:
+                q.stop()
+            summary["stopped"] = True
+        print(json.dumps(summary))
+        return 0 if summary.get("reconcile_ok", True) else 1
 
     raise AssertionError(f"unhandled cmd {args.cmd}")
 

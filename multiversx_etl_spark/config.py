@@ -1,0 +1,142 @@
+"""Per-deployment JSON worker configuration — the reference's primary
+operator interface, Spark-first.
+
+The reference drives each network deployment from a JSON worker config
+(/root/reference/multiversxetl/worker_config.py:51-104 — interval sizes,
+bulk sizes, thread counts, counts-check toggles and per-table errata, loaded
+per iteration so ops can edit it live). The engine analog maps those knobs
+onto replay/stream parameters and the reconciliation errata:
+
+    {
+      "table_root": "/data/repos_table",
+      "log_path": "/data/change_log",
+      "stream_id": "mainnet",
+      "interval_size": 8000000,          # events per epoch (planner knob)
+      "num_buckets": 64,                 # bucket(B, repo, path) layout
+      "mode": "mor",                     # merge-on-read | cow
+      "compact_every": 16,               # epochs between delta folds
+      "max_files_per_trigger": 4,        # streaming micro-batch knob
+      "trigger_interval": "3600 seconds",# continuous cadence (null = drain)
+      "fail_on_counts_mismatch": true,
+      "counts_checks_errata": {"repos": -3}   # accepted signed drift
+    }
+
+``load_worker_config`` validates and applies defaults; ``run_from_config``
+executes the configured flow (replay or continuous stream) against a
+SparkSession, re-reading nothing mid-run — like the reference, edits take
+effect on the next invocation.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+class ConfigError(ValueError):
+    """Invalid or incomplete worker configuration."""
+
+
+@dataclass
+class WorkerConfig:
+    table_root: str
+    log_path: str
+    stream_id: str = "main"
+    interval_size: int = 1_000_000
+    num_buckets: int = 16
+    mode: str = "mor"
+    compact_every: int | None = None
+    max_files_per_trigger: int = 4
+    trigger_interval: str | None = None
+    fail_on_counts_mismatch: bool = True
+    counts_checks_errata: dict[str, int] = field(default_factory=dict)
+
+    def erratum_for(self, table: str) -> int:
+        """Accepted signed drift for a table (reference
+        worker_config.py:101-104: absent tables default to 0)."""
+        return int(self.counts_checks_errata.get(table, 0))
+
+
+_REQUIRED = ("table_root", "log_path")
+_KNOWN = {
+    "table_root", "log_path", "stream_id", "interval_size", "num_buckets",
+    "mode", "compact_every", "max_files_per_trigger", "trigger_interval",
+    "fail_on_counts_mismatch", "counts_checks_errata",
+}
+
+
+def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig:
+    unknown = set(data) - _KNOWN
+    if unknown:
+        raise ConfigError(f"unknown config keys: {sorted(unknown)}")
+    missing = [k for k in _REQUIRED if k not in data]
+    if missing:
+        raise ConfigError(f"missing required config keys: {missing}")
+    cfg = WorkerConfig(**data)
+    if cfg.mode not in ("mor", "cow"):
+        raise ConfigError(f"mode must be 'mor' or 'cow', got {cfg.mode!r}")
+    if cfg.interval_size <= 0:
+        raise ConfigError("interval_size must be positive")
+    if cfg.num_buckets <= 0:
+        raise ConfigError("num_buckets must be positive")
+    if not all(isinstance(v, int) for v in cfg.counts_checks_errata.values()):
+        raise ConfigError("counts_checks_errata values must be signed integers")
+    return cfg
+
+
+def load_worker_config(path: str) -> WorkerConfig:
+    with open(path) as fh:
+        return worker_config_from_dict(json.load(fh))
+
+
+def run_from_config(spark, cfg: WorkerConfig, streaming: bool = False,
+                    checkpoint_dir: str | None = None) -> dict[str, Any]:
+    """Execute one configured iteration: batch replay (default) or a
+    Structured Streaming tail, then the counts/sha reconciliation with the
+    configured errata — the reference's process-*-indices loop body
+    (app.py:74-106: load -> transfer -> check)."""
+    from multiversx_etl_spark.operators.checks import reconcile
+    from multiversx_etl_spark.oracle import expected_state
+    from multiversx_etl_spark.streaming.ingest import (
+        ensure_table,
+        replay,
+        stream_ingest,
+    )
+
+    table = ensure_table(spark, cfg.table_root, num_buckets=cfg.num_buckets)
+    log = spark.read.parquet(cfg.log_path)
+    if streaming:
+        if checkpoint_dir is None:
+            raise ConfigError("streaming=True requires checkpoint_dir")
+        q = stream_ingest(
+            spark, cfg.log_path, table, checkpoint_dir,
+            stream_id=cfg.stream_id,
+            max_files_per_trigger=cfg.max_files_per_trigger,
+            mode=cfg.mode,
+            compact_every=cfg.compact_every,
+            trigger_interval=cfg.trigger_interval,
+        )
+        if q is not None:  # continuous mode: caller owns the query lifecycle
+            return {"streaming_query": q}
+        summary: dict[str, Any] = {}
+    else:
+        s = replay(
+            log, table,
+            interval_size=cfg.interval_size,
+            stream_id=cfg.stream_id,
+            mode=cfg.mode,
+            compact_every=cfg.compact_every,
+        )
+        summary = {"epochs_run": s.epochs_run, "epochs_skipped": s.epochs_skipped,
+                   "rows_in": s.rows_in}
+    report = reconcile(
+        table,
+        expected_state(log),
+        erratum=cfg.erratum_for("repos"),
+        raise_on_mismatch=cfg.fail_on_counts_mismatch,
+    )
+    summary["reconcile_ok"] = report.ok
+    summary["missing"] = report.missing
+    summary["unexpected"] = report.unexpected
+    return summary

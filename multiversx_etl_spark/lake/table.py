@@ -466,6 +466,46 @@ class LakeTable:
             properties={"mor_appends": 0},
         )
 
+    def promote_from(self, staging: "LakeTable") -> Manifest:
+        """Staging→main promotion: atomically replace THIS table's contents
+        with the staging table's current snapshot (the reference loads into
+        ``<table>_staging`` then copies over main, bq_client.py:103-116).
+
+        Data files are hard-linked (same filesystem) — promotion is a
+        metadata operation, O(files) not O(bytes), and the staging table
+        remains intact and readable. Stream epoch markers are NOT imported:
+        the promoted table keeps its own stream lineage (the reference
+        likewise tracks worker state per target dataset)."""
+        src = staging.snapshot()
+        cur = self.snapshot()
+        if src.num_buckets != cur.num_buckets or src.key_columns != cur.key_columns:
+            raise ValueError(
+                "promotion requires identical bucket layout: "
+                f"staging ({src.num_buckets}, {src.key_columns}) vs "
+                f"main ({cur.num_buckets}, {cur.key_columns})"
+            )
+        tag = f"promote-v{cur.version + 1:08d}"
+        out_dir = os.path.join(self.root, "data", tag)
+        os.makedirs(out_dir, exist_ok=True)
+        new_files = []
+        for i, f in enumerate(src.files):
+            name = f"part-{f['pid']:05d}-{i:05d}.parquet"
+            dst = os.path.join(out_dir, name)
+            if os.path.exists(dst):
+                os.remove(dst)  # crashed earlier promotion attempt
+            os.link(os.path.join(staging.root, f["path"]), dst)
+            new_files.append(
+                {"path": os.path.join("data", tag, name), "pid": f["pid"], "rows": f["rows"]}
+            )
+        return self.commit(
+            new_files,
+            replaced_pids=set(range(cur.num_buckets)),
+            operation="promote",
+            schema=src.schema,
+            expected_parent=cur.version,
+            properties={"mor_appends": int(src.properties.get("mor_appends", 0))},
+        )
+
     def rollback(self, version: int) -> None:
         """Repoint ``_current`` at an older snapshot (O(1) rewind — the
         reference's analog is a DELETE-above-checkpoint scan,

@@ -58,12 +58,28 @@ def drop_nested_struct_field(df: DataFrame, array_column: str, field_name: str) 
 
 @F.pandas_udf(StringType())
 def canonicalize_content(content: pd.Series) -> pd.Series:
-    """Arrow-vectorized content canonicalization (the one allowed Python
-    boundary): normalize CRLF/CR line endings to LF and strip trailing
-    whitespace per line. Operates on whole Arrow batches via pandas string
-    kernels — never row-at-a-time Python."""
+    """Arrow-vectorized content canonicalization (the vectorized Python
+    boundary the input_hint calls for): normalize CRLF/CR line endings to LF
+    and strip trailing whitespace per line. Operates on whole Arrow batches
+    via pandas string kernels — never row-at-a-time Python.
+
+    The replay hot path uses ``canonicalize_content_expr`` instead (same
+    semantics, asserted equal in tests): a JVM expression stays inside
+    whole-stage codegen and ships zero content bytes across the Arrow
+    boundary, which matters when content dominates batch bytes. This UDF
+    remains the template for normalizations that genuinely need Python
+    (real tokenizers, encoding fixes) — swap it into REGISTRY then."""
     s = content.str.replace("\r\n", "\n", regex=False).str.replace("\r", "\n", regex=False)
     return s.str.replace(r"[ \t]+(?=\n|\Z)", "", regex=True)
+
+
+def canonicalize_content_expr(col) -> "F.Column":
+    """JVM-side canonicalization, byte-equal to ``canonicalize_content``
+    (Java ``$`` in (?=\\n|$) ≡ Python ``\\Z`` here since ``\\n`` is the
+    alternative): whole-stage-codegen, no Arrow round trip."""
+    return F.regexp_replace(
+        F.regexp_replace(col, "\r\n|\r", "\n"), "[ \t]+(?=\n|$)", ""
+    )
 
 
 def normalize_change_events(df: DataFrame) -> DataFrame:
@@ -79,7 +95,7 @@ def normalize_change_events(df: DataFrame) -> DataFrame:
     if array_str_cols:
         df = scrub_null_array_elements(df, array_str_cols)
     if "content" in df.columns:
-        df = df.withColumn("content", canonicalize_content(F.col("content")))
+        df = df.withColumn("content", canonicalize_content_expr(F.col("content")))
     return df
 
 

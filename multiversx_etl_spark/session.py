@@ -27,6 +27,11 @@ DEFAULT_CONF: dict[str, str] = {
     # parquet framing is unreadable by DuckDB (oracle/interop) and the
     # lz4_raw writer hangs in this Spark build — interop wins
     "spark.sql.parquet.compression.codec": "snappy",
+    # zstd shuffle/IO codec: ~17% faster replay at local[4] vs lz4 (fewer
+    # bytes through the saturated memory fabric; ~2% slower at local[1]
+    # where CPU is the constraint). At cluster scale shuffle bytes are the
+    # scarce resource — higher compression is the right default.
+    "spark.io.compression.codec": "zstd",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

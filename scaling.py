@@ -26,8 +26,13 @@ different questions:
 Each measurement is a fresh JVM (subprocess) so thread pools, codegen caches
 and shuffle state never leak between levels; the log is generated once.
 
+Run-to-run variance on this VM is +/-25% (steal + fabric contention), so
+``--repeats R`` runs every level R times interleaved (1,4,1,4,... — adjacent
+in time, so a load spike hits both levels) and efficiency is computed from
+the per-level MEDIAN throughput.
+
 Usage: python scaling.py [--events 4000000] [--epochs 2] [--buckets 32]
-                         [--levels 1,4,8,32]
+                         [--levels 1,4,8,32] [--repeats 3]
 """
 
 from __future__ import annotations
@@ -85,6 +90,8 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--levels", default="1,4,8,32",
                     help="comma-separated local[] levels; efficiency reported for every (n, 4n) pair present")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="runs per level (interleaved); median throughput per level")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
 
@@ -108,24 +115,33 @@ def main() -> None:
         spark.stop()
 
         interval = -(-total // args.epochs)
-        results: dict[int, dict] = {}
-        for cpus in levels:
-            r = run_level(repo, cpus, log_path, os.path.join(workdir, f"t{cpus}"),
-                          args.buckets, interval, total)
-            results[cpus] = r
-            print(json.dumps(r), flush=True)
+        samples: dict[int, list[float]] = {c: [] for c in levels}
+        for rep in range(args.repeats):
+            for cpus in levels:  # interleaved: a load spike hits all levels
+                r = run_level(
+                    repo, cpus, log_path,
+                    os.path.join(workdir, f"t{cpus}r{rep}"),
+                    args.buckets, interval, total,
+                )
+                samples[cpus].append(r["events_per_sec"])
+                print(json.dumps(r), flush=True)
 
+        def median(xs: list[float]) -> float:
+            s = sorted(xs)
+            mid = len(s) // 2
+            return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+        med = {c: median(samples[c]) for c in levels}
         pairs = []
         for n in levels:
-            if 4 * n in results:
-                eff = results[4 * n]["events_per_sec"] / (4 * results[n]["events_per_sec"])
+            if 4 * n in med:
                 pairs.append(
                     {
                         "n": n,
                         "4n": 4 * n,
-                        "n_events_per_sec": results[n]["events_per_sec"],
-                        "4n_events_per_sec": results[4 * n]["events_per_sec"],
-                        "efficiency": round(eff, 3),
+                        "n_events_per_sec": round(med[n], 1),
+                        "4n_events_per_sec": round(med[4 * n], 1),
+                        "efficiency": round(med[4 * n] / (4 * med[n]), 3),
                     }
                 )
         out = {
@@ -133,10 +149,12 @@ def main() -> None:
             "value": max((p["efficiency"] for p in pairs), default=None),
             "unit": "ratio",
             "pairs": pairs,
-            "levels": {str(c): results[c]["events_per_sec"] for c in levels},
+            "levels": {str(c): round(med[c], 1) for c in levels},
+            "samples": {str(c): samples[c] for c in levels},
             "events": total,
             "epochs": args.epochs,
             "buckets": args.buckets,
+            "repeats": args.repeats,
         }
         print(json.dumps(out))
     finally:

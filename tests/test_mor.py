@@ -106,3 +106,45 @@ def test_map_side_combine_equivalent(spark, mor_log, tmp_path):
         merge_batch(t_a, batch, "m", e, lo, lo + 700, map_side_combine=True)
         merge_batch(t_b, batch, "m", e, lo, lo + 700)
     assert _state(t_a) == _state(t_b)
+
+
+def test_staging_to_main_promotion(spark, tmp_path):
+    """Load into a staging table, promote over main atomically (the
+    reference's <table>_staging copy flow, bq_client.py:103-116): main's
+    contents are replaced wholesale, staging stays intact, a mismatched
+    bucket layout is refused, and rollback undoes the promotion."""
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.operators.merge import merge_batch
+    from multiversx_etl_spark.schemas import REPOS
+
+    def batch(rows):
+        cols = "offset long, seq long, op string, repo string, path string, commit string, lang string, content string"
+        return spark.createDataFrame(rows, cols)
+
+    main = LakeTable.create(
+        spark, str(tmp_path / "main"), REPOS, key_columns=["repo", "path"], num_buckets=4
+    )
+    merge_batch(main, batch([(0, 0, "insert", "r", "old.py", "c", "py", "old")]), "m", 0, 0, 1)
+    staging = LakeTable.create(
+        spark, str(tmp_path / "staging"), REPOS, key_columns=["repo", "path"], num_buckets=4
+    )
+    merge_batch(
+        staging,
+        batch([(0, 5, "insert", "r", "a.py", "c", "py", "v1"),
+               (1, 6, "insert", "r", "b.py", "c", "py", "v2")]),
+        "s", 0, 0, 2,
+    )
+    v_before = main.current_version()
+    main.promote_from(staging)
+    assert {r["path"] for r in main.read().collect()} == {"a.py", "b.py"}
+    assert {r["path"] for r in staging.read().collect()} == {"a.py", "b.py"}  # intact
+    main.rollback(v_before)
+    assert {r["path"] for r in main.read().collect()} == {"old.py"}
+
+    other = LakeTable.create(
+        spark, str(tmp_path / "other"), REPOS, key_columns=["repo", "path"], num_buckets=8
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket layout"):
+        main.promote_from(other)

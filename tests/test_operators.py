@@ -174,3 +174,26 @@ def test_combine_partitions_latest(spark):
         for r in dedup_latest(df, ["repo", "path"]).collect()
     }
     assert a == b
+
+
+def test_canonicalize_expr_matches_arrow_udf(spark):
+    """The JVM hot-path canonicalization must stay byte-equal to the Arrow
+    pandas UDF template on line-ending and trailing-whitespace edge cases."""
+    import pyspark.sql.functions as F
+
+    from multiversx_etl_spark.operators.normalize import (
+        canonicalize_content,
+        canonicalize_content_expr,
+    )
+
+    cases = [
+        "a \r\nb\t\r", "x\r\ry  ", "notrail", "", "tab\t\nend\t", "only\r",
+        "a  \nb\t \nc   ", " lead\n", "\t", "mix \r\n\t\r z ", "end\n", "\n\n",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "content string")
+    rows = df.select(
+        canonicalize_content("content").alias("udf"),
+        canonicalize_content_expr(F.col("content")).alias("expr"),
+    ).collect()
+    for r in rows:
+        assert r["udf"] == r["expr"], (repr(r["udf"]), repr(r["expr"]))
