@@ -1486,3 +1486,125 @@ def q_label_centroids(spark, sf_dir):
             F.count("*").alias("n_vecs"),
         )
     )
+
+
+_IVF_ANN_SQL = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+),
+sums AS (
+  SELECT label, dim, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+  FROM ex GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS c
+  FROM sums GROUP BY 1
+),
+vecs AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+assign AS (
+  SELECT vec_id, q, label AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) AS rn
+  FROM (
+    SELECT v.vec_id, v.q, c.label,
+           list_sum(list_transform(range(1, len(v.q) + 1, 1),
+                    i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS dist
+    FROM vecs v CROSS JOIN cent c
+  )
+),
+cells AS (SELECT vec_id, q, cell FROM assign WHERE rn = 1),
+scored AS (
+  SELECT a.vec_id, a.cell, b.vec_id AS nn_id,
+         CAST(list_sum(list_transform(range(1, len(a.q) + 1, 1),
+              i -> a.q[i] * b.q[i])) AS BIGINT) AS dot_e12
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, cell, nn_id, dot_e12,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot_e12 DESC, nn_id) AS rn
+  FROM scored
+)
+SELECT vec_id, cell, nn_id, dot_e12 FROM ranked WHERE rn = 1
+"""
+
+
+@_register("q_ivf_ann", _IVF_ANN_SQL)
+def q_ivf_ann(spark, sf_dir):
+    """IVF-style approximate nearest neighbor — the scale path the LSH
+    variant (q_embedding_lsh_ann) sits beside: (1) build coarse-quantizer
+    centroids (per-label mean in 1e6 fixed point — the deterministic
+    stand-in for k-means cells; at scale this is Lloyd iterations of the
+    same two aggregates), (2) assign every vector to its nearest centroid
+    by integer L2 via a BROADCAST cross join (L centroids always fit in a
+    broadcast — n×L narrow rows, no shuffle of the vector side), (3) search
+    candidates ONLY within each cell (equi-join on cell, ~n^2/L pairs).
+    Exact fixed-point dot; deterministic tie-breaks; oracle mirrors every
+    step. At 100 TB: more cells bound list sizes (n_cells ~ sqrt(n)), and
+    step-2/3 shapes are unchanged — assignment stays broadcast, candidate
+    generation stays an equi-join on the cell id."""
+    e = load(spark, sf_dir, "embeddings")
+    q6 = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"))
+    ex = e.select("label", F.posexplode(q6).alias("pos", "q"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("cv"),
+                        )
+                    )
+                ),
+                lambda st: st["cv"],
+            ).alias("c")
+        )
+    )
+    vecs = e.select("vec_id", q6.alias("q"))
+    dist = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("dist", "label")
+    cells = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "q", F.col("label").alias("cell"))
+    )
+    a = cells.select(F.col("vec_id"), F.col("cell"), F.col("q").alias("qa"))
+    b = cells.select(
+        F.col("vec_id").alias("nn_id"), F.col("cell").alias("cell_b"), F.col("q").alias("qb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    # top-1 per vec via partial-aggregated max-struct (map-side combined —
+    # the shuffle carries one row per (input partition × vec), not all
+    # candidates; a ranking window would full-sort every cell's pairs).
+    # Tie-break on SMALLEST nn_id ⇒ negate it inside the max.
+    return (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_id") != F.col("nn_id")))
+        .withColumn("dot_e12", dot)
+        .groupBy("vec_id", "cell")
+        .agg(F.max(F.struct(F.col("dot_e12"), (-F.col("nn_id")).alias("neg_nn"))).alias("_w"))
+        .select(
+            "vec_id",
+            "cell",
+            (-F.col("_w.neg_nn")).alias("nn_id"),
+            F.col("_w.dot_e12").alias("dot_e12"),
+        )
+    )

@@ -26,6 +26,9 @@ EXPECT = {
     "q_cdc_latest_state": ["partial"],
     "q_token_counts": ["ReadSchema: struct<doc_id:bigint,text:string>"],
     "q_mips_topk": ["TakeOrderedAndProject"],
+    # IVF assignment must broadcast the centroids (vector side never shuffles
+    # for the cross join); in-cell candidate search is an equi-join
+    "q_ivf_ann": ["BroadcastNestedLoopJoin"],
 }
 
 
