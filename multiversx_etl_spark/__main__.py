@@ -85,6 +85,18 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("compact", help="fold merge-on-read deltas into base files")
     c.add_argument("table")
+    c.add_argument(
+        "--full", action="store_true",
+        help="rewrite every pid group (default: only groups holding deltas)",
+    )
+
+    ex = sub.add_parser(
+        "expire",
+        help="drop manifests older than the newest N versions and GC data "
+        "files no retained snapshot references",
+    )
+    ex.add_argument("table")
+    ex.add_argument("--keep-last", type=int, default=10)
 
     rs = sub.add_parser(
         "replay-slice",
@@ -263,8 +275,14 @@ def _dispatch(spark, args) -> int:
     if args.cmd == "compact":
         table = LakeTable(spark, args.table)
         before = len(table.snapshot().files)
-        m = table.compact()
+        m = table.compact(full=args.full)
         print(json.dumps({"version": m.version, "files_before": before, "files_after": len(m.files)}))
+        return 0
+
+    if args.cmd == "expire":
+        table = LakeTable(spark, args.table)
+        out = table.expire_snapshots(keep_last=args.keep_last)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "status":

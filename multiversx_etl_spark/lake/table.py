@@ -313,6 +313,9 @@ class LakeTable:
                     F.col("_w.seq").alias("seq"),
                     *[F.col(f"_w.{c}").alias(c) for c in others],
                 )
+                # schema-stable reads: same column order whether or not the
+                # fold ran (consumers must not see fold state in the schema)
+                .select(*[f.name for f in schema.fields])
             )
         if not include_tombstones and "deleted" in df.columns:
             df = df.where(~F.col("deleted"))
@@ -447,20 +450,41 @@ class LakeTable:
         self._write_manifest(manifest)
         return manifest
 
-    def compact(self) -> Manifest:
-        """Fold all outstanding merge-on-read deltas into one base file per
-        partition (tombstones retained — a late lower-seq update must never
-        resurrect a deleted key, so tombstone seqs survive compaction).
-        Iceberg analog: rewrite_data_files maintenance. Resets
-        ``mor_appends`` so subsequent reads skip the fold."""
+    def compact(self, full: bool = False) -> Manifest:
+        """Fold outstanding merge-on-read deltas into base files (tombstones
+        retained — a late lower-seq update must never resurrect a deleted
+        key, so tombstone seqs survive compaction). Iceberg analog:
+        rewrite_data_files maintenance. Resets ``mor_appends`` so subsequent
+        reads skip the fold.
+
+        INCREMENTAL by default: only pid file-groups that actually hold
+        delta (non-base) files are read, folded, and rewritten — maintenance
+        cost is O(churned partitions), not O(table). At 100 TB a micro-batch
+        stream touches a small fraction of buckets between compactions;
+        rewriting every base file each cycle would dwarf the ingest itself.
+        ``full=True`` forces the old whole-table rewrite (e.g. after
+        changing file-size targets). Delta files are marked ``base: false``
+        in the manifest by the MERGE; files from manifests predating the
+        flag read as deltas (conservative: they stay compactable)."""
         m = self.snapshot()
-        folded = self.read(include_tombstones=True).withColumn(
+        delta_pids = {f["pid"] for f in m.files if not f.get("base", False)}
+        if full:
+            delta_pids = {f["pid"] for f in m.files}
+        if not delta_pids:
+            return m  # nothing outstanding: compaction is a no-op
+        mapping = bucket_to_pid(self.spark, m.num_buckets)
+        # every bucket stored in a touched pid group (bucket->pid is fixed,
+        # so these buckets' keys live ONLY in the rewritten groups)
+        buckets = {b for b in range(m.num_buckets) if mapping[b] in delta_pids}
+        folded = self.read(buckets=buckets, include_tombstones=True).withColumn(
             "_bucket", bucket_expr(m.key_columns, m.num_buckets)
         )
         new_files = self.write_data_files(folded, f"compact-v{m.version:08d}")
+        for f in new_files:
+            f["base"] = True
         return self.commit(
             new_files,
-            replaced_pids=set(range(m.num_buckets)),
+            replaced_pids=delta_pids,
             operation="compact",
             expected_parent=m.version,
             properties={"mor_appends": 0},
@@ -495,7 +519,12 @@ class LakeTable:
                 os.remove(dst)  # crashed earlier promotion attempt
             os.link(os.path.join(staging.root, f["path"]), dst)
             new_files.append(
-                {"path": os.path.join("data", tag, name), "pid": f["pid"], "rows": f["rows"]}
+                {
+                    "path": os.path.join("data", tag, name),
+                    "pid": f["pid"],
+                    "rows": f["rows"],
+                    "base": f.get("base", False),
+                }
             )
         return self.commit(
             new_files,
@@ -505,6 +534,53 @@ class LakeTable:
             expected_parent=cur.version,
             properties={"mor_appends": int(src.properties.get("mor_appends", 0))},
         )
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
+        """Retention maintenance (Iceberg analog: expire_snapshots + orphan
+        file cleanup): drop manifests older than the newest ``keep_last``
+        versions and delete data files referenced by NO retained manifest.
+
+        Without this, a 10^10-event replay accumulates one manifest per
+        epoch plus every superseded delta/base file forever — compaction
+        rewrites data but the old generations stay on disk for time travel.
+        Time travel and rollback keep working within the retention window;
+        requesting an expired version raises FileNotFoundError (same
+        contract the ``rollback(9999)`` probe asserts). Runs under the
+        commit lock so a concurrent commit can neither resurrect an expired
+        file nor lose a new one."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        lock_path = os.path.join(self.root, _MANIFEST_DIR, "_commit.lock")
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_WRONLY)
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            versions = sorted(
+                int(name[1:-5])
+                for name in os.listdir(os.path.join(self.root, _MANIFEST_DIR))
+                if name.startswith("v") and name.endswith(".json")
+            )
+            cutoff = self.current_version() - keep_last + 1
+            expired = [v for v in versions if v < cutoff]
+            retained = [v for v in versions if v >= cutoff]
+            keep_paths = {
+                f["path"] for v in retained for f in self.snapshot(v).files
+            }
+            deleted_files = 0
+            for v in expired:
+                for f in self.snapshot(v).files:
+                    if f["path"] in keep_paths:
+                        continue
+                    try:
+                        os.remove(os.path.join(self.root, f["path"]))
+                        deleted_files += 1
+                    except FileNotFoundError:
+                        pass  # shared with an earlier-expired manifest
+                    keep_paths.add(f["path"])  # only count/delete once
+                os.remove(self._manifest_path(v))
+            return {"expired_manifests": len(expired), "deleted_files": deleted_files}
+        finally:
+            fcntl.flock(lock_fd, fcntl.LOCK_UN)
+            os.close(lock_fd)
 
     def rollback(self, version: int) -> None:
         """Repoint ``_current`` at an older snapshot (O(1) rewind — the

@@ -339,6 +339,10 @@ def merge_batch(
         new_files = table.write_data_files(
             to_write, tag, bucket_aligned=True, keep_bucket=True
         )
+    # cow rewrites whole pid groups (base files); mor appends deltas, which
+    # incremental compact() finds via this flag
+    for f in new_files:
+        f["base"] = mode == "cow"
     metrics = obs.get
     stats.rows_inserted = int(metrics["ins"] or 0)
     stats.rows_updated = int(metrics["upd"] or 0)

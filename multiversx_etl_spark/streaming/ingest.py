@@ -333,6 +333,8 @@ def bootstrap_snapshot(
         "_bucket", bucket_expr(m.key_columns, m.num_buckets)
     )
     new_files = table.write_data_files(df, f"bootstrap-v{m.version:08d}")
+    for f in new_files:
+        f["base"] = True
     table.commit(
         new_files,
         replaced_pids=set(range(m.num_buckets)),

@@ -148,3 +148,86 @@ def test_staging_to_main_promotion(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bucket layout"):
         main.promote_from(other)
+
+
+def test_incremental_compact_rewrites_only_churned_pids(spark, tmp_path):
+    """Compaction must be O(churned partitions): pid groups without deltas
+    keep their existing base files byte-for-byte (same manifest paths)."""
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.operators.merge import merge_batch
+    from multiversx_etl_spark.schemas import REPOS
+
+    def batch(rows):
+        cols = "offset long, seq long, op string, repo string, path string, commit string, lang string, content string"
+        return spark.createDataFrame(rows, cols)
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), REPOS, key_columns=["repo", "path"], num_buckets=8
+    )
+    # epoch 0: rows across many buckets, then full compact -> all-base table
+    rows = [(i, i, "insert", f"r{i}", f"f{i}.py", "c", "py", f"v{i}") for i in range(40)]
+    merge_batch(table, batch(rows), "m", 0, 0, 40)
+    table.compact()
+    base = {f["path"]: f for f in table.snapshot().files}
+    assert all(f.get("base") for f in base.values())
+
+    # epoch 1: touch ONE key -> one delta file in one pid group
+    merge_batch(table, batch([(100, 100, "update", "r0", "f0.py", "c2", "py", "NEW")]), "m", 1, 100, 101)
+    m = table.snapshot()
+    delta_pids = {f["pid"] for f in m.files if not f.get("base")}
+    assert len(delta_pids) == 1
+    before = table.read().orderBy("repo", "path").collect()
+
+    m2 = table.compact()
+    after_files = {f["path"]: f for f in m2.files}
+    # untouched base files survive with identical paths
+    for p, f in base.items():
+        if f["pid"] not in delta_pids:
+            assert p in after_files, f"untouched base file {p} was rewritten"
+    assert all(f.get("base") for f in after_files.values())
+    assert int(m2.properties["mor_appends"]) == 0
+    assert table.read().orderBy("repo", "path").collect() == before
+    assert {r["content"] for r in table.read().where("repo = 'r0'").collect()} == {"NEW"}
+    # nothing outstanding: compaction is a no-op (no new version)
+    assert table.compact().version == m2.version
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """Retention: expired manifests disappear, unreferenced data files are
+    deleted, the live snapshot still reads, expired time travel raises."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.operators.merge import merge_batch
+    from multiversx_etl_spark.schemas import REPOS
+
+    def batch(rows):
+        cols = "offset long, seq long, op string, repo string, path string, commit string, lang string, content string"
+        return spark.createDataFrame(rows, cols)
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), REPOS, key_columns=["repo", "path"], num_buckets=4
+    )
+    for e in range(4):  # 4 epochs of updates to the same key -> 4 delta generations
+        merge_batch(
+            table, batch([(e, e, "insert" if e == 0 else "update", "r", "a.py", "c", "py", f"v{e}")]),
+            "m", e, e, e + 1,
+        )
+    table.compact()
+    old_files = [
+        f["path"] for f in table.snapshot(1).files
+    ]  # early generation, superseded by compact
+    before_rows = table.read().collect()
+
+    out = table.expire_snapshots(keep_last=1)  # only the post-compact snapshot
+    assert out["expired_manifests"] >= 4
+    assert out["deleted_files"] >= 1
+    for p in old_files:
+        assert not _os.path.exists(_os.path.join(table.root, p))
+    assert table.read().collect() == before_rows
+    with _pytest.raises(FileNotFoundError):
+        table.snapshot(0)
+    with _pytest.raises(FileNotFoundError):
+        table.rollback(1)
