@@ -1608,3 +1608,83 @@ def q_ivf_ann(spark, sf_dir):
             F.col("_w.dot_e12").alias("dot_e12"),
         )
     )
+
+
+_PQ_SQL = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim,
+         CAST(floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+  FROM ex GROUP BY 1, 2
+),
+vex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+),
+sub AS (
+  SELECT v.vec_id, CAST((v.dim - 1) // 8 AS INT) AS subspace, c.label,
+         CAST(sum((v.q - c.cq) * (v.q - c.cq)) AS BIGINT) AS dist
+  FROM vex v JOIN cent c ON v.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, subspace, label AS code, dist,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY dist, label) AS rn
+  FROM sub
+)
+SELECT vec_id, subspace, code, CAST(dist AS BIGINT) AS err_e12
+FROM best WHERE rn = 1
+"""
+
+
+@_register("q_embedding_pq_codes", _PQ_SQL)
+def q_embedding_pq_codes(spark, sf_dir):
+    """Product-quantization encode — the embedding-compression operator of
+    a training-data pipeline (store 8 small codes instead of 64 floats;
+    ADC search reads codes + codebook only). The 64-dim vector splits into
+    8 subspaces of 8 dims; each subvector is assigned the nearest codeword
+    by integer L2, with the deterministic per-label centroids as the
+    codebook (the k-means stand-in, same as q_ivf_ann — at scale, Lloyd
+    iterations of the same aggregates, K=256 codewords). Plan shape:
+    explode to (vec, dim) once, join the BROADCAST codebook (labels × dims
+    rows — always tiny), one partial-aggregated sum per (vec, subspace,
+    code), then a map-side-combined min-struct argmin. Output is flat
+    integers (code + reconstruction error) so the oracle compares exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    q6 = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"))
+    ex = e.select("label", F.posexplode(q6).alias("pos", "q"))
+    cent = ex.groupBy("label", "pos").agg(
+        F.floor(F.sum("q").cast("double") / F.count("*")).cast("long").alias("cq")
+    )
+    vex = e.select("vec_id", F.posexplode(q6).alias("pos", "q"))
+    sub = (
+        vex.join(F.broadcast(cent), "pos")
+        .groupBy(
+            "vec_id",
+            (F.col("pos") / 8).cast("int").alias("subspace"),
+            "label",
+        )
+        .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("dist"))
+    )
+    # argmin via max(struct(-dist, -label)): smallest dist, then smallest
+    # label — partial-aggregated, no ranking window
+    return (
+        sub.groupBy("vec_id", "subspace")
+        .agg(
+            F.max(
+                F.struct((-F.col("dist")).alias("nd"), (-F.col("label")).alias("nl"))
+            ).alias("_w")
+        )
+        .select(
+            "vec_id",
+            "subspace",
+            (-F.col("_w.nl")).cast("int").alias("code"),
+            (-F.col("_w.nd")).alias("err_e12"),
+        )
+    )

@@ -157,3 +157,33 @@ def test_continuous_trigger_tails_new_files_then_stops(spark, tmp_path):
 
 def _batch_oracle_df(spark, log_dir):
     return _batch_oracle(spark, log_dir)
+
+
+def test_stream_dedup_deliveries_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark suppresses at-least-once transport
+    duplicates (same repo/path/seq) with bounded state; the drained stream
+    must equal the batch dropDuplicates over the same log."""
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_parquet,
+    )
+    from multiversx_etl_spark.streaming.dedup import (
+        dedup_deliveries,
+        stream_dedup_to_parquet,
+    )
+
+    log_dir = str(tmp_path / "log")
+    log = generate_change_log(spark, 1000, num_repos=10, paths_per_repo=15)
+    write_log_parquet(log, log_dir, files=4)
+    raw = spark.read.parquet(log_dir)
+    n_raw = raw.count()
+    n_distinct = raw.dropDuplicates(["repo", "path", "seq"]).count()
+    assert n_raw > n_distinct  # the generator injects ~1% duplicate deliveries
+
+    out_dir = str(tmp_path / "out")
+    stream_dedup_to_parquet(spark, log_dir, out_dir, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n_distinct
+    assert got.dropDuplicates(["repo", "path", "seq"]).count() == n_distinct
+    # batch-mode call site parity
+    assert dedup_deliveries(raw).count() == n_distinct
