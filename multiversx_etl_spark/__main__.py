@@ -98,6 +98,14 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("table")
     ex.add_argument("--keep-last", type=int, default=10)
 
+    go = sub.add_parser(
+        "gc-orphans",
+        help="delete data files no manifest references (crash leftovers), "
+        "older than --min-age seconds",
+    )
+    go.add_argument("table")
+    go.add_argument("--min-age", type=float, default=3600.0)
+
     rs = sub.add_parser(
         "replay-slice",
         help="replay [lo, hi) of the SYNTHETIC num-events log lazily — "
@@ -282,6 +290,12 @@ def _dispatch(spark, args) -> int:
     if args.cmd == "expire":
         table = LakeTable(spark, args.table)
         out = table.expire_snapshots(keep_last=args.keep_last)
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "gc-orphans":
+        table = LakeTable(spark, args.table)
+        out = table.gc_orphan_files(min_age_seconds=args.min_age)
         print(json.dumps(out))
         return 0
 

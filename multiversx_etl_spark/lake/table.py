@@ -41,6 +41,7 @@ every public method has a direct Iceberg equivalent (noted per method).
 
 from __future__ import annotations
 
+import contextlib
 import fcntl
 import json
 import os
@@ -578,6 +579,55 @@ class LakeTable:
                     keep_paths.add(f["path"])  # only count/delete once
                 os.remove(self._manifest_path(v))
             return {"expired_manifests": len(expired), "deleted_files": deleted_files}
+        finally:
+            fcntl.flock(lock_fd, fcntl.LOCK_UN)
+            os.close(lock_fd)
+
+    def gc_orphan_files(self, min_age_seconds: float = 3600.0) -> dict[str, int]:
+        """Delete data files referenced by NO manifest (Iceberg analog:
+        remove_orphan_files): crash leftovers from a writer that died
+        between ``write_data_files`` and ``commit`` — expire_snapshots
+        can't reach them because no manifest ever referenced them.
+
+        ``min_age_seconds`` protects in-flight commits: a concurrent writer
+        may have written files it has not committed YET, so only files older
+        than the window are eligible (same contract as Iceberg's
+        ``older_than``). Runs under the commit lock so the reference set is
+        a consistent snapshot of all manifests."""
+        lock_path = os.path.join(self.root, _MANIFEST_DIR, "_commit.lock")
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_WRONLY)
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            referenced: set[str] = set()
+            mdir = os.path.join(self.root, _MANIFEST_DIR)
+            for name in os.listdir(mdir):
+                if name.startswith("v") and name.endswith(".json"):
+                    referenced |= {
+                        f["path"] for f in self.snapshot(int(name[1:-5])).files
+                    }
+            deleted = scanned = 0
+            cutoff = time.time() - min_age_seconds
+            data_root = os.path.join(self.root, "data")
+            for dirpath, _dirnames, filenames in os.walk(data_root):
+                for fname in filenames:
+                    full = os.path.join(dirpath, fname)
+                    rel = os.path.relpath(full, self.root)
+                    scanned += 1
+                    if rel in referenced:
+                        continue
+                    try:
+                        if os.path.getmtime(full) >= cutoff:
+                            continue  # possibly an in-flight commit's file
+                        os.remove(full)
+                        deleted += 1
+                    except FileNotFoundError:
+                        pass
+            # prune now-empty commit-tag directories
+            for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+                if dirpath != data_root and not dirnames and not filenames:
+                    with contextlib.suppress(OSError):
+                        os.rmdir(dirpath)
+            return {"scanned": scanned, "deleted": deleted}
         finally:
             fcntl.flock(lock_fd, fcntl.LOCK_UN)
             os.close(lock_fd)

@@ -231,3 +231,49 @@ def test_expire_snapshots_gc(spark, tmp_path):
         table.snapshot(0)
     with _pytest.raises(FileNotFoundError):
         table.rollback(1)
+
+
+def test_gc_orphan_files(spark, tmp_path):
+    """Crash leftovers (written but never committed) are deleted once older
+    than the safety window; referenced and fresh files are untouched."""
+    import os as _os
+    import time as _time
+
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.operators.merge import merge_batch
+    from multiversx_etl_spark.schemas import REPOS
+
+    def batch(rows):
+        cols = "offset long, seq long, op string, repo string, path string, commit string, lang string, content string"
+        return spark.createDataFrame(rows, cols)
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), REPOS, key_columns=["repo", "path"], num_buckets=4
+    )
+    merge_batch(table, batch([(0, 0, "insert", "r", "a.py", "c", "py", "v0")]), "m", 0, 0, 1)
+    committed = [f["path"] for f in table.snapshot().files]
+
+    orphan_dir = _os.path.join(table.root, "data", "crashed-tag")
+    _os.makedirs(orphan_dir)
+    old_orphan = _os.path.join(orphan_dir, "part-00000-dead.parquet")
+    new_orphan = _os.path.join(orphan_dir, "part-00001-inflight.parquet")
+    for p in (old_orphan, new_orphan):
+        with open(p, "wb") as fh:
+            fh.write(b"not really parquet")
+    stale = _time.time() - 7200
+    _os.utime(old_orphan, (stale, stale))
+
+    out = table.gc_orphan_files(min_age_seconds=3600)
+    assert out["deleted"] == 1
+    assert not _os.path.exists(old_orphan)
+    assert _os.path.exists(new_orphan)  # inside the safety window
+    for p in committed:
+        assert _os.path.exists(_os.path.join(table.root, p))
+    assert table.read().count() == 1
+
+    # after the window passes, the in-flight leftover goes too (and the
+    # then-empty tag directory is pruned)
+    _os.utime(new_orphan, (stale, stale))
+    out = table.gc_orphan_files(min_age_seconds=3600)
+    assert out["deleted"] == 1
+    assert not _os.path.exists(orphan_dir)

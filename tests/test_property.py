@@ -107,3 +107,40 @@ def test_concurrent_commit_conflict(spark, tmp_path):
     table.commit([], set(), "writer-a", expected_parent=v0)
     with pytest.raises(RuntimeError, match="concurrent commit"):
         table.commit([], set(), "writer-b", expected_parent=v0)
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(scenario_st, st.integers(min_value=2, max_value=4), st.integers(min_value=0, max_value=2))
+def test_compaction_invariance(spark, tmp_path_factory, scenario, n_batches, compact_at):
+    """Reads are invariant under compaction strategy: for any delivery
+    sequence, (no compact) == (incremental compact mid-replay) == (full
+    compact at the end), including tombstone guarding across the compact."""
+    events_raw, rng = scenario
+    events = list(enumerate(events_raw))
+    order = list(events)
+    rng.shuffle(order)
+
+    base = tmp_path_factory.mktemp("cprop")
+    tables = {}
+    for variant in ("plain", "incr", "full"):
+        t = ensure_table(spark, str(base / variant), num_buckets=4)
+        schema = (
+            "offset long, seq long, op string, repo string, path string, "
+            "commit string, lang string, content string"
+        )
+        chunks = spark_rows(events, order, n_batches)
+        for epoch, chunk in enumerate(chunks):
+            df = spark.createDataFrame(chunk, schema)
+            merge_batch(t, df, "prop", epoch, collect_per_bucket_stats=False)
+            if variant == "incr" and epoch == min(compact_at, len(chunks) - 1):
+                t.compact()
+        if variant == "full":
+            t.compact(full=True)
+        tables[variant] = {
+            (r["repo"], r["path"]): r["content"] for r in t.read().collect()
+        }
+    want = python_lww(events)
+    assert tables["plain"] == want
+    assert tables["incr"] == want
+    assert tables["full"] == want
