@@ -123,6 +123,16 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="epoch/lineage summary")
     st.add_argument("table")
 
+    tk = sub.add_parser(
+        "tasks",
+        help="per-epoch task states derived from durable artifacts "
+        "(finished/interrupted/pending - the reference's task dashboard)",
+    )
+    tk.add_argument("table")
+    tk.add_argument("--total-offsets", type=int, required=True)
+    tk.add_argument("--interval-size", type=int, required=True)
+    tk.add_argument("--stream-id", default="main")
+
     rb = sub.add_parser("rollback", help="time-travel to snapshot version")
     rb.add_argument("table")
     rb.add_argument("version", type=int)
@@ -332,6 +342,21 @@ def _dispatch(spark, args) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "tasks":
+        from multiversx_etl_spark.plans.status import epoch_status
+
+        table = LakeTable(spark, args.table)
+        df = epoch_status(
+            table, args.total_offsets, args.interval_size, stream_id=args.stream_id
+        )
+        counts = {
+            r["status"]: r["n"]
+            for r in df.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        epochs = [r.asDict() for r in df.orderBy("epoch_id").collect()]
+        print(json.dumps({"by_status": counts, "epochs": epochs}, default=str))
         return 0
 
     if args.cmd == "rollback":

@@ -125,3 +125,50 @@ def test_rollback_time_travel(spark, log_path, tmp_path):
     assert table.read().count() != count_v2 or table.current_version() != v2
     table.rollback(v2)
     assert table.read().count() == count_v2
+
+
+def test_epoch_status_dashboard(spark, tmp_path):
+    """A25: per-epoch states derive from durable artifacts only — committed
+    epochs read 'finished', an orphan lineage write without its marker (the
+    crash-between-ledger-and-commit observable) reads 'interrupted', and
+    unstarted epochs read 'pending'."""
+    from multiversx_etl_spark.plans.status import epoch_status
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_parquet,
+    )
+    from multiversx_etl_spark.streaming.ingest import (
+        _write_lineage,
+        ensure_table,
+        replay,
+    )
+
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    log = generate_change_log(spark, 600, num_repos=5, paths_per_repo=10)
+    path = str(tmp_path / "log")
+    write_log_parquet(log, path, files=2)
+    df = spark.read.parquet(path)
+    # run only the first 2 of 7 planned epochs (100-offset intervals, 606 total)
+    replay(df, table, interval_size=100, max_epochs=2)
+    # fabricate the crash artifact: epoch 3's ledger written, no marker
+    _write_lineage(
+        table, 3,
+        [{"epoch_id": 3, "bucket": 0, "offset_lo": 300, "offset_hi": 400,
+          "rows_in": 5, "rows_deduped": 0, "rows_inserted": 0,
+          "rows_updated": 0, "rows_deleted": 0, "committed_at": 1.0}],
+        "main",
+    )
+    rows = {
+        r["epoch_id"]: r
+        for r in epoch_status(table, 606, 100).collect()
+    }
+    assert len(rows) == 7
+    assert rows[0]["status"] == rows[1]["status"] == "finished"
+    assert rows[0]["rows_in"] > 0
+    assert rows[3]["status"] == "interrupted" and rows[3]["rows_in"] == 5
+    assert rows[2]["status"] == rows[5]["status"] == rows[6]["status"] == "pending"
+    assert rows[2]["rows_in"] is None
+    # the idempotent re-run finishes everything, including the orphan
+    replay(df, table, interval_size=100)
+    statuses = {r["status"] for r in epoch_status(table, 606, 100).collect()}
+    assert statuses == {"finished"}
