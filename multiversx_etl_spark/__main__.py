@@ -106,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
     go.add_argument("table")
     go.add_argument("--min-age", type=float, default=3600.0)
 
+    pk = sub.add_parser(
+        "package",
+        help="zip the package for spark-submit --py-files (cluster deploy)",
+    )
+    pk.add_argument("out", nargs="?", default="mxetl.zip")
+
     rs = sub.add_parser(
         "replay-slice",
         help="replay [lo, hi) of the SYNTHETIC num-events log lazily — "
@@ -167,11 +173,34 @@ def main(argv: list[str] | None = None) -> int:
     rcfg.add_argument("--checkpoint", default=None)
 
     args = p.parse_args(argv)
+    if args.cmd == "package":  # no Spark session needed
+        return _package(args.out)
     spark = _spark(args)
     try:
         return _dispatch(spark, args)
     finally:
         spark.stop()
+
+
+def _package(out: str) -> int:
+    """Zip the package for ``spark-submit --py-files mxetl.zip`` — the
+    cluster deployment path the north rule names (every executor unpacks
+    the zip onto its PYTHONPATH; no pip install on workers)."""
+    import os
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_root)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for fname in sorted(filenames):
+                if fname.endswith(".py"):
+                    full = os.path.join(dirpath, fname)
+                    zf.write(full, os.path.relpath(full, parent))
+    print(json.dumps({"written": out, "entries": len(zipfile.ZipFile(out).namelist())}))
+    return 0
 
 
 def _dispatch(spark, args) -> int:

@@ -210,3 +210,40 @@ def test_epoch_watermark_compacts_markers_and_resume_skips(spark, tmp_path):
     assert table.snapshot().epoch_info("main", 0) == {"compacted": True}
     s2 = replay(df, table, interval_size=100)
     assert s2.epochs_run == 0 and s2.epochs_skipped == s1.epochs_run
+
+
+def test_crash_mid_compact_is_safe(spark, tmp_path):
+    """A compact that writes its folded files but dies before the commit
+    must leave the table untouched (previous snapshot current, reads
+    identical); the leftover files are orphans for gc_orphan_files."""
+    import time as _time
+
+    from multiversx_etl_spark.lake.table import bucket_expr as _be
+
+    table = _mk_table(spark, tmp_path)
+    b = _batch(spark, [(i, i, "insert", f"r{i}", "a.py", "c", "py", f"v{i}") for i in range(10)])
+    merge_batch(table, b, "main", 0, 0, 10)
+    v = table.current_version()
+    before = table.read().orderBy("repo", "path").collect()
+
+    # simulate the crash: the fold write happens, the commit never does
+    m = table.snapshot()
+    folded = table.read(include_tombstones=True).withColumn(
+        "_bucket", _be(m.key_columns, m.num_buckets)
+    )
+    table.write_data_files(folded, "compact-crashed")
+
+    assert table.current_version() == v  # nothing committed
+    assert table.read().orderBy("repo", "path").collect() == before
+    # the leftovers are invisible orphans; GC reclaims them after the window
+    stale = _time.time() - 7200
+    crashed_dir = os.path.join(table.root, "data", "compact-crashed")
+    for name in os.listdir(crashed_dir):
+        os.utime(os.path.join(crashed_dir, name), (stale, stale))
+    out = table.gc_orphan_files(min_age_seconds=3600)
+    assert out["deleted"] > 0
+    assert not os.path.exists(crashed_dir)
+    assert table.read().orderBy("repo", "path").collect() == before
+    # and a real compact afterwards still works
+    table.compact()
+    assert table.read().orderBy("repo", "path").collect() == before
