@@ -130,12 +130,21 @@ def apply_epoch(
     normalize: bool = True,
     mode: str = "mor",
     in_counts: dict[int, int] | None = None,
+    conflict_retries: int = 2,
 ) -> MergeStats:
     """Normalize → dedup → MERGE → lineage → atomic marker+data commit.
 
     Lineage persists BEFORE the marker commit (merge_batch's pre_commit
     hook): a crash in between leaves orphan ledger rows that the idempotent
-    re-run overwrites — never a committed epoch missing its ledger."""
+    re-run overwrites — never a committed epoch missing its ledger.
+
+    A lost optimistic-concurrency race (another stream committed while this
+    MERGE ran — its target snapshot is stale, so its output may be missing
+    the other writer's rows) is retried up to ``conflict_retries`` times
+    from the NEW snapshot: the whole merge recomputes, the same-tag data
+    files are overwritten, the ledger rewrite is idempotent. This is the
+    Iceberg commit-retry loop; the per-stream epoch marker stays correct
+    because a replayed epoch collapses to seq-tie carries."""
     if normalize:
         batch = normalize_change_events(batch)
 
@@ -143,10 +152,16 @@ def apply_epoch(
         with _phase("lineage_write"):
             _write_lineage(table, epoch_id, stats.per_bucket or [], stream_id)
 
-    return merge_batch(
-        table, batch, stream_id, epoch_id, offset_lo, offset_hi,
-        mode=mode, in_counts=in_counts, pre_commit=write_ledger,
-    )
+    for attempt in range(conflict_retries + 1):
+        try:
+            return merge_batch(
+                table, batch, stream_id, epoch_id, offset_lo, offset_hi,
+                mode=mode, in_counts=in_counts, pre_commit=write_ledger,
+            )
+        except RuntimeError as e:
+            if "concurrent commit" not in str(e) or attempt == conflict_retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 def replay(

@@ -247,3 +247,56 @@ def test_crash_mid_compact_is_safe(spark, tmp_path):
     # and a real compact afterwards still works
     table.compact()
     assert table.read().orderBy("repo", "path").collect() == before
+
+
+def test_concurrent_stream_commit_retries_and_merges_both(spark, tmp_path):
+    """Two streams into one table: if stream B commits while stream A's
+    MERGE is in flight, A's commit loses the optimistic race and must be
+    retried against the NEW snapshot — the final state contains both
+    writers' rows and both epoch markers."""
+    from unittest import mock
+
+    from multiversx_etl_spark.operators import merge as merge_mod
+    from multiversx_etl_spark.streaming.ingest import apply_epoch
+
+    table = _mk_table(spark, tmp_path)
+    a_batch = _batch(spark, [(0, 1, "insert", "rA", "a.py", "c", "py", "from-A")])
+    b_batch = _batch(spark, [(0, 1, "insert", "rB", "b.py", "c", "py", "from-B")])
+
+    real_merge = merge_mod.merge_batch
+    fired = {"done": False}
+
+    def racing_merge(t, changes, stream_id, *args, **kwargs):
+        # first entry of stream A: let stream B commit mid-flight, exactly
+        # between A's snapshot read and A's commit
+        if stream_id == "A" and not fired["done"]:
+            fired["done"] = True
+            pre = kwargs.get("pre_commit")
+
+            def pre_with_race(stats):
+                real_merge(table, b_batch, "B", 0, 0, 1)  # B sneaks in
+                if pre:
+                    pre(stats)
+
+            kwargs["pre_commit"] = pre_with_race
+        return real_merge(t, changes, stream_id, *args, **kwargs)
+
+    with mock.patch.object(merge_mod, "merge_batch", racing_merge), mock.patch(
+        "multiversx_etl_spark.streaming.ingest.merge_batch", racing_merge
+    ):
+        apply_epoch(table, a_batch, "A", 0, 0, 1)
+
+    rows = {r["repo"]: r["content"] for r in table.read().collect()}
+    assert rows == {"rA": "from-A", "rB": "from-B"}
+    assert table.is_epoch_committed("A", 0) and table.is_epoch_committed("B", 0)
+
+    # without retries the same race is fail-stop
+    fired["done"] = False
+    a2 = _batch(spark, [(1, 2, "insert", "rA", "a2.py", "c", "py", "v")])
+    with mock.patch.object(merge_mod, "merge_batch", racing_merge), mock.patch(
+        "multiversx_etl_spark.streaming.ingest.merge_batch", racing_merge
+    ):
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="concurrent"):
+            apply_epoch(table, a2, "A", 1, 1, 2, conflict_retries=0)
