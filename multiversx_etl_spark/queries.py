@@ -1407,6 +1407,134 @@ def q_user_event_gaps(spark, sf_dir):
 
 
 @_register(
+    "q_user_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN floor(epoch(ts))
+                       - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)))
+                       <= 1800
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS dur_seconds
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def q_user_sessions(spark, sf_dir):
+    """Sessionization — the canonical event-analytics shape: a session is a
+    run of a user's events with inter-event gaps <= 30 min. lag() marks
+    session starts, a cumulative sum numbers them, one aggregate sizes
+    them. Two window passes over the SAME (user_id) partitioning — one
+    shuffle total, the second window reuses the first's partitioning; the
+    aggregate partial-aggregates. Output is flat integers (duration in
+    seconds) so the oracle compares exactly."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ts is TIMESTAMP_NTZ; session TZ is UTC, so the tz-cast is identity
+    # and epoch seconds match DuckDB's epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap_ok = (epoch - F.lag(epoch).over(w)) <= 30 * 60
+    marked = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(cum).alias("session_idx"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(epoch) - F.min(epoch)).alias("dur_seconds"),
+        )
+    )
+
+
+@_register(
+    "q_type_day_cube",
+    """
+    SELECT coalesce(event_type, '<all>') AS etype,
+           coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '<all>') AS day,
+           count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+)
+def q_type_day_cube(spark, sf_dir):
+    """CUBE over (event_type, day): all four grouping-set combinations in
+    one pass (Catalyst expands to a single Expand + hash aggregate — one
+    shuffle, not four). Totals surface as '<all>' so output stays
+    string-typed and hash-stable."""
+    return (
+        load(spark, sf_dir, "events")
+        .cube("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("etype"),
+            F.coalesce(F.col("day").cast("string"), F.lit("<all>")).alias("day"),
+            "n",
+        )
+    )
+
+
+@_register(
+    "q_daily_counts_gapfilled",
+    """
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+    ),
+    cal AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    actual AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT cal.day, CAST(coalesce(actual.n, 0) AS BIGINT) AS n
+    FROM cal LEFT JOIN actual USING (day)
+    """,
+)
+def q_daily_counts_gapfilled(spark, sf_dir):
+    """Time-series gap fill: a generated calendar spine (sequence + explode
+    over the observed [min, max] date range) left-joins the sparse daily
+    counts so missing days read 0 — the resample/densify shape every
+    time-series consumer needs. The spine is one row per day (tiny,
+    broadcast); the counts aggregate partial-aggregates before its
+    shuffle."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    actual = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return cal.join(actual, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+@_register(
     "q_region_nation_rollup",
     """
     SELECT coalesce(r.r_name, '<all>') AS region,
