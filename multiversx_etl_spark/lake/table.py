@@ -343,6 +343,7 @@ class LakeTable:
         commit_tag: str,
         bucket_aligned: bool = False,
         keep_bucket: bool = False,
+        sort_columns: list[str] | None = None,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (which must carry a ``_bucket`` column) under
         ``data/<commit_tag>/`` as ONE plain parquet file per shuffle
@@ -358,6 +359,11 @@ class LakeTable:
         (readers never see it — reads apply the manifest schema, so parquet
         prunes it): the MERGE uses it to derive per-bucket ledger stats from
         the written files without recomputing the hash.
+
+        ``sort_columns`` sorts rows WITHIN each partition before writing
+        (no extra shuffle — a partition-local sort): parquet row-group
+        min/max statistics then make key point-lookups skip row groups, the
+        clustering/data-skipping half of Iceberg's sorted rewrite.
         """
         import pyarrow.parquet as pq
 
@@ -367,6 +373,8 @@ class LakeTable:
             df = df.repartition(m.num_buckets, F.col("_bucket"))
         if not keep_bucket:
             df = df.drop("_bucket")
+        if sort_columns:
+            df = df.sortWithinPartitions(*sort_columns)
         df.write.mode("overwrite").parquet(out_dir)
         entries: list[dict[str, Any]] = []
         for fname in sorted(os.listdir(out_dir)):
@@ -480,7 +488,12 @@ class LakeTable:
         folded = self.read(buckets=buckets, include_tombstones=True).withColumn(
             "_bucket", bucket_expr(m.key_columns, m.num_buckets)
         )
-        new_files = self.write_data_files(folded, f"compact-v{m.version:08d}")
+        # base files come out key-sorted: partition-local sort (no extra
+        # shuffle), and parquet row-group min/max stats then let key
+        # lookups skip row groups — compaction doubles as clustering
+        new_files = self.write_data_files(
+            folded, f"compact-v{m.version:08d}", sort_columns=list(m.key_columns)
+        )
         for f in new_files:
             f["base"] = True
         return self.commit(

@@ -277,3 +277,24 @@ def test_gc_orphan_files(spark, tmp_path):
     out = table.gc_orphan_files(min_age_seconds=3600)
     assert out["deleted"] == 1
     assert not _os.path.exists(orphan_dir)
+
+
+def test_compacted_base_files_are_key_sorted(spark, mor_log, tmp_path):
+    """Compaction doubles as clustering: rows inside every base file come
+    out sorted by (repo, path), so parquet row-group min/max stats support
+    key-lookup data skipping."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    log = spark.read.parquet(mor_log)
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=8)
+    replay(log, table, interval_size=400, mode="mor")
+    table.compact()
+    checked = 0
+    for f in table.snapshot().files:
+        t = _pq.read_table(_os.path.join(table.root, f["path"]), columns=["repo", "path"])
+        keys = list(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
+        assert keys == sorted(keys), f"{f['path']} not key-sorted"
+        checked += 1
+    assert checked > 0

@@ -187,3 +187,36 @@ def test_stream_dedup_deliveries_matches_batch(spark, tmp_path):
     assert got.dropDuplicates(["repo", "path", "seq"]).count() == n_distinct
     # batch-mode call site parity
     assert dedup_deliveries(raw).count() == n_distinct
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (delete paired with the
+    create/update it extinguished within 30 min): the drained stream must
+    equal the identical batch join."""
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_parquet,
+    )
+    from multiversx_etl_spark.streaming.joins import (
+        short_lived_paths,
+        stream_short_lived_to_parquet,
+    )
+
+    log_dir = str(tmp_path / "log")
+    log = generate_change_log(spark, 2000, num_repos=10, paths_per_repo=10)
+    write_log_parquet(log, log_dir, files=4)
+    raw = spark.read.parquet(log_dir)
+
+    want = {
+        (r["repo"], r["path"], r["create_seq"], r["delete_seq"], r["age_seconds"])
+        for r in short_lived_paths(raw).collect()
+    }
+    assert want, "fixture should contain short-lived (create, delete) pairs"
+
+    out_dir = str(tmp_path / "out")
+    stream_short_lived_to_parquet(spark, log_dir, out_dir, str(tmp_path / "ckpt"))
+    got = {
+        (r["repo"], r["path"], r["create_seq"], r["delete_seq"], r["age_seconds"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == want
