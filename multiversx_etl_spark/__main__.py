@@ -143,6 +143,16 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("table")
     rb.add_argument("version", type=int)
 
+    ch = sub.add_parser(
+        "changes",
+        help="emit the CDC change feed between two snapshot versions "
+        "(rows + change_type) as parquet",
+    )
+    ch.add_argument("table")
+    ch.add_argument("from_version", type=int)
+    ch.add_argument("out")
+    ch.add_argument("--to-version", type=int, default=None)
+
     rc = sub.add_parser("reconcile", help="sha256 verification vs the log's LWW fold")
     rc.add_argument("log")
     rc.add_argument("table")
@@ -371,6 +381,14 @@ def _dispatch(spark, args) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "changes":
+        table = LakeTable(spark, args.table)
+        feed = table.changes(args.from_version, args.to_version)
+        feed.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"rows": n, "out": args.out}))
         return 0
 
     if args.cmd == "tasks":

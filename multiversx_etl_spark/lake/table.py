@@ -322,6 +322,62 @@ class LakeTable:
             df = df.where(~F.col("deleted"))
         return df
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change feed (Iceberg analog: changelog scan / CDC read): the
+        logical row changes committed in ``(from_version, to_version]``,
+        with a ``change_type`` column (insert / update / delete /
+        tombstone). The engine is thus a CDC *emitter* as well as a sink —
+        a downstream consumer tails the table incrementally instead of
+        re-reading it.
+
+        Zero extra bookkeeping: MERGE already writes each delta row's
+        ``_action`` into the data files (invisible to normal reads), so the
+        feed is just the files added by merge commits in the range, with
+        carries filtered (cow rewrites carry untouched rows). ``compact``
+        commits reorganize bytes but change nothing logically and are
+        skipped; ``bootstrap``/``promote``/``rollback`` REPLACE state
+        wholesale and cannot be expressed as a row delta — the range
+        raises and the consumer re-syncs from a snapshot (the same
+        contract Iceberg's changelog scan has for overwrites)."""
+        from pyspark.sql.types import StringType, StructField
+
+        if to_version is None:
+            to_version = self.current_version()
+        if from_version > to_version:
+            raise ValueError(f"from_version {from_version} > to_version {to_version}")
+        to_m = self.snapshot(to_version)
+        paths: list[str] = []
+        for v in range(from_version + 1, to_version + 1):
+            m = self.snapshot(v)
+            if m.operation == "compact":
+                continue  # physical reorganization, no logical change
+            if not m.operation.startswith("merge"):
+                raise ValueError(
+                    f"version {v} is a '{m.operation}' commit (full state "
+                    "replacement): the range has no row-delta form — "
+                    "re-sync from a snapshot read instead"
+                )
+            parent_files = {f["path"] for f in self.snapshot(m.parent).files}
+            paths += [
+                os.path.join(self.root, f["path"])
+                for f in m.files
+                if f["path"] not in parent_files
+            ]
+        schema = to_m.schema
+        read_schema = StructType(
+            list(schema.fields) + [StructField("_action", StringType(), True)]
+        )
+        if not paths:
+            return self.spark.createDataFrame([], read_schema).withColumnRenamed(
+                "_action", "change_type"
+            )
+        return (
+            self.spark.read.schema(read_schema)
+            .parquet(*paths)
+            .where(F.col("_action") != "carry")
+            .withColumnRenamed("_action", "change_type")
+        )
+
     def bucket_of(self) -> Column:
         m = self.snapshot()
         return bucket_expr(m.key_columns, m.num_buckets)

@@ -172,3 +172,51 @@ def test_epoch_status_dashboard(spark, tmp_path):
     replay(df, table, interval_size=100)
     statuses = {r["status"] for r in epoch_status(table, 606, 100).collect()}
     assert statuses == {"finished"}
+
+
+def test_change_feed_between_versions(spark, tmp_path):
+    """The table emits a downstream CDC feed: changes(v0, v1) returns each
+    merge commit's logical row deltas with change_type, skips compactions,
+    and refuses ranges containing full-state replacements."""
+    import pytest as _pytest
+
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.operators.merge import merge_batch
+    from multiversx_etl_spark.schemas import REPOS
+
+    def batch(rows):
+        cols = "offset long, seq long, op string, repo string, path string, commit string, lang string, content string"
+        return spark.createDataFrame(rows, cols)
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), REPOS, key_columns=["repo", "path"], num_buckets=4
+    )
+    v0 = table.current_version()
+    merge_batch(table, batch([
+        (0, 1, "insert", "r", "a.py", "c", "py", "v1"),
+        (1, 1, "insert", "r", "b.py", "c", "py", "v1"),
+    ]), "m", 0, 0, 2)
+    v1 = table.current_version()
+    merge_batch(table, batch([
+        (2, 2, "update", "r", "a.py", "c", "py", "v2"),
+        (3, 2, "delete", "r", "b.py", "c", "py", None),
+        (4, 2, "insert", "r", "c.py", "c", "py", "v1"),
+    ]), "m", 1, 2, 5)
+    v2 = table.current_version()
+    table.compact()
+    v3 = table.current_version()
+
+    feed01 = {(r["path"], r["change_type"]) for r in table.changes(v0, v1).collect()}
+    assert feed01 == {("a.py", "insert"), ("b.py", "insert")}
+    feed12 = {(r["path"], r["change_type"]) for r in table.changes(v1, v2).collect()}
+    assert feed12 == {("a.py", "update"), ("b.py", "delete"), ("c.py", "insert")}
+    # whole range incl. the compaction: compaction contributes nothing
+    feed_all = table.changes(v0, v3)
+    assert feed_all.count() == 5
+    # re-delivering the same batch adds only carries -> empty feed
+    merge_batch(table, batch([(2, 2, "update", "r", "a.py", "c", "py", "v2")]), "m", 9, 2, 3)
+    assert table.changes(v3).count() == 0
+    # a rollback in the range is a full-state replacement: no delta form
+    table.rollback(v1)
+    with _pytest.raises(ValueError, match="full state|rollback"):
+        table.changes(v0)
