@@ -460,6 +460,7 @@ class LakeTable:
         schema: StructType | None = None,
         expected_parent: int | None = None,
         properties: dict[str, Any] | None = None,
+        marker_mode: str = "contiguous",
     ) -> Manifest:
         """Commit new files, replacing ``replaced_pids`` file groups
         (copy-on-write) — or none (``set()``): a merge-on-read delta append.
@@ -484,19 +485,32 @@ class LakeTable:
             entry["epochs"][str(epoch_id)] = epoch_info or {}
             last = entry.get("last_epoch")
             entry["last_epoch"] = epoch_id if last is None else max(last, epoch_id)
-            # advance the contiguous-commit watermark and drop markers under
-            # it, keeping the most recent _EPOCH_INFO_KEEP for observability:
-            # the manifest carries O(recent + out-of-order) markers, not
-            # O(all epochs) — at 10^10 events / thousands of epochs the
-            # per-commit JSON rewrite would otherwise grow without bound.
-            w = int(entry.get("epochs_through", -1))
-            epochs = entry["epochs"]
-            while str(w + 1) in epochs:
-                w += 1
-            entry["epochs_through"] = w
-            cutoff = w - _EPOCH_INFO_KEEP
-            for e in [e for e in epochs if int(e) <= cutoff]:
-                del epochs[e]
+            if marker_mode == "latest_only":
+                # version-tracking streams (replication: epoch id = upstream
+                # snapshot version, monotone with gaps) only ever consult
+                # the MAX marker — keeping every gapped id would grow the
+                # manifest O(rounds) since the contiguous watermark can
+                # never advance over the gaps.
+                entry["epochs"] = {
+                    str(entry["last_epoch"]): entry["epochs"].get(
+                        str(entry["last_epoch"]), epoch_info or {}
+                    )
+                }
+            else:
+                # advance the contiguous-commit watermark and drop markers
+                # under it, keeping the most recent _EPOCH_INFO_KEEP for
+                # observability: the manifest carries O(recent +
+                # out-of-order) markers, not O(all epochs) — at 10^10
+                # events / thousands of epochs the per-commit JSON rewrite
+                # would otherwise grow without bound.
+                w = int(entry.get("epochs_through", -1))
+                epochs = entry["epochs"]
+                while str(w + 1) in epochs:
+                    w += 1
+                entry["epochs_through"] = w
+                cutoff = w - _EPOCH_INFO_KEEP
+                for e in [e for e in epochs if int(e) <= cutoff]:
+                    del epochs[e]
         props = dict(parent.properties)
         if properties:
             props.update(properties)

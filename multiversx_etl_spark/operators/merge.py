@@ -196,6 +196,7 @@ def merge_batch(
     in_counts: dict[int, int] | None = None,
     map_side_combine: bool = False,
     pre_commit: "Callable[[MergeStats], None] | None" = None,
+    marker_mode: str = "contiguous",
 ) -> MergeStats:
     """Apply one micro-batch of change events and commit atomically.
 
@@ -226,6 +227,7 @@ def merge_batch(
             [], set(), "merge-empty", stream_id, epoch_id,
             {"offset_lo": offset_lo, "offset_hi": offset_hi, "rows_in": 0},
             expected_parent=parent.version,
+            marker_mode=marker_mode,
         )
         return stats
 
@@ -411,5 +413,6 @@ def merge_batch(
         schema=evolved,
         expected_parent=parent.version,
         properties=props,
+        marker_mode=marker_mode,
     )
     return stats

@@ -1,0 +1,88 @@
+"""Incremental table-to-table replication over the change feed: the CDC
+chain (upstream lake table -> downstream replica) with exactly-once via
+upstream-version markers."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from multiversx_etl_spark.lake.table import LakeTable
+from multiversx_etl_spark.operators.merge import merge_batch
+from multiversx_etl_spark.schemas import REPOS
+from multiversx_etl_spark.streaming.replicate import replicate_changes
+
+
+def _mk(spark, tmp_path, name):
+    return LakeTable.create(
+        spark, str(tmp_path / name), REPOS, key_columns=["repo", "path"], num_buckets=4
+    )
+
+
+def _batch(spark, rows):
+    cols = "offset long, seq long, op string, repo string, path string, commit string, lang string, content string"
+    return spark.createDataFrame(rows, cols)
+
+
+def _state(table):
+    return {
+        (r["repo"], r["path"], r["seq"], r["content"]) for r in table.read().collect()
+    }
+
+
+def test_replicate_incremental_exactly_once(spark, tmp_path):
+    src = _mk(spark, tmp_path, "src")
+    dst = _mk(spark, tmp_path, "dst")
+
+    merge_batch(src, _batch(spark, [
+        (0, 1, "insert", "r", "a.py", "c", "py", "v1"),
+        (1, 1, "insert", "r", "b.py", "c", "py", "v1"),
+    ]), "m", 0, 0, 2)
+    s1 = replicate_changes(src, dst)
+    assert s1 is not None and _state(dst) == _state(src)
+
+    # more upstream epochs: update, delete, insert
+    merge_batch(src, _batch(spark, [
+        (2, 2, "update", "r", "a.py", "c", "py", "v2"),
+        (3, 2, "delete", "r", "b.py", "c", "py", None),
+        (4, 2, "insert", "r", "c.py", "c", "py", "v1"),
+    ]), "m", 1, 2, 5)
+    s2 = replicate_changes(src, dst)
+    assert s2 is not None and s2.rows_in == 3  # only the delta moved
+    assert _state(dst) == _state(src)
+    assert {r["path"] for r in dst.read().collect()} == {"a.py", "c.py"}
+
+    # up to date: no-op; re-run: still no-op (marker = src version)
+    assert replicate_changes(src, dst) is None
+    assert replicate_changes(src, dst) is None
+
+    # upstream compaction advances the version but changes nothing: the
+    # replication round commits an empty marker and state stays equal
+    src.compact()
+    s3 = replicate_changes(src, dst)
+    assert s3 is not None and s3.rows_in == 0
+    assert _state(dst) == _state(src)
+
+    # marker map stays O(1): only the latest version marker is retained
+    markers = dst.snapshot().streams["replica"]["epochs"]
+    assert len(markers) == 1
+
+    # a full-state replacement upstream has no delta form: caller re-seeds
+    src.rollback(1)
+    with pytest.raises(ValueError, match="full state|rollback"):
+        replicate_changes(src, dst)
+
+
+def test_replicated_tombstone_guards_late_updates(spark, tmp_path):
+    """A replicated delete must keep guarding in the REPLICA: a stale
+    lower-seq update arriving later (e.g. from a second source) cannot
+    resurrect the key downstream."""
+    src = _mk(spark, tmp_path, "src")
+    dst = _mk(spark, tmp_path, "dst")
+    merge_batch(src, _batch(spark, [(0, 5, "insert", "r", "a.py", "c", "py", "v5")]), "m", 0, 0, 1)
+    merge_batch(src, _batch(spark, [(1, 9, "delete", "r", "a.py", "c", "py", None)]), "m", 1, 1, 2)
+    replicate_changes(src, dst)
+    assert dst.read().count() == 0
+    # stale direct write into the replica loses to the replicated tombstone
+    merge_batch(dst, _batch(spark, [(0, 7, "update", "r", "a.py", "c", "py", "stale")]), "side", 0, 0, 1)
+    assert dst.read().count() == 0
