@@ -153,6 +153,16 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("out")
     ch.add_argument("--to-version", type=int, default=None)
 
+    rp = sub.add_parser(
+        "replicate",
+        help="apply all upstream changes since the last replicated version "
+        "into a downstream table (one round; run under cron/loop for a tail)",
+    )
+    rp.add_argument("src_table")
+    rp.add_argument("dst_table")
+    rp.add_argument("--stream-id", default="replica")
+    rp.add_argument("--buckets", type=int, default=16)
+
     rc = sub.add_parser("reconcile", help="sha256 verification vs the log's LWW fold")
     rc.add_argument("log")
     rc.add_argument("table")
@@ -389,6 +399,25 @@ def _dispatch(spark, args) -> int:
         feed.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"rows": n, "out": args.out}))
+        return 0
+
+    if args.cmd == "replicate":
+        from multiversx_etl_spark.streaming.ingest import ensure_table
+        from multiversx_etl_spark.streaming.replicate import replicate_changes
+
+        src = LakeTable(spark, args.src_table)
+        dst = ensure_table(spark, args.dst_table, num_buckets=args.buckets)
+        stats = replicate_changes(src, dst, stream_id=args.stream_id)
+        out = {"up_to_date": stats is None}
+        if stats is not None:
+            out.update(
+                rows_in=stats.rows_in,
+                inserted=stats.rows_inserted,
+                updated=stats.rows_updated,
+                deleted=stats.rows_deleted,
+            )
+        out["dst_rows"] = dst.read().count()
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "tasks":

@@ -378,6 +378,30 @@ class LakeTable:
             .withColumnRenamed("_action", "change_type")
         )
 
+    def lookup(self, **key: Any) -> DataFrame:
+        """Point lookup by full upsert key: prunes to the ONE bucket the key
+        hashes to (reads only that pid's file group — at 100 TB that is a
+        B-th of the table) and pushes the key equality into the parquet
+        scan, where the key-sorted base files (compact) let row-group
+        min/max stats skip almost everything. Iceberg analog: metadata-
+        pruned scan on a bucket-partitioned, sort-ordered table."""
+        m = self.snapshot()
+        missing = [k for k in m.key_columns if k not in key]
+        if missing:
+            raise ValueError(f"lookup requires the full key; missing {missing}")
+        row = self.spark.createDataFrame(
+            [tuple(key[k] for k in m.key_columns)], ", ".join(
+                f"{k} string" for k in m.key_columns
+            )
+        )
+        bucket = row.select(
+            bucket_expr(m.key_columns, m.num_buckets).alias("b")
+        ).collect()[0]["b"]
+        df = self.read(buckets={int(bucket)})
+        for k in m.key_columns:
+            df = df.where(F.col(k) == key[k])
+        return df
+
     def bucket_of(self) -> Column:
         m = self.snapshot()
         return bucket_expr(m.key_columns, m.num_buckets)

