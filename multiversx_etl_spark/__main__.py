@@ -286,15 +286,15 @@ def _dispatch(spark, args) -> int:
                 "(epoch ids are absolute offset intervals)"
             )
         table = ensure_table(spark, args.table, num_buckets=args.buckets)
-        slice_state = table.snapshot().streams.get("slice", {})
-        committed_through = int(slice_state.get("epochs_through", -1))
-        committed = {int(e) for e in slice_state.get("epochs", {})}
+        # one held Manifest answers every skip via epoch_info (the
+        # watermark-or-sparse logic lives in ONE place, lake/table.py)
+        committed_view = table.snapshot()
         applied = skipped = rows_in = 0
         off = args.lo
         while off < args.hi:
             end = off + k
             epoch_id = off // k
-            if epoch_id <= committed_through or epoch_id in committed:
+            if committed_view.epoch_info("slice", epoch_id) is not None:
                 skipped += 1
             else:
                 batch = slice_change_log(

@@ -105,7 +105,6 @@ def run_from_config(spark, cfg: WorkerConfig, streaming: bool = False,
     )
 
     table = ensure_table(spark, cfg.table_root, num_buckets=cfg.num_buckets)
-    log = spark.read.parquet(cfg.log_path)
     if streaming:
         if checkpoint_dir is None:
             raise ConfigError("streaming=True requires checkpoint_dir")
@@ -117,12 +116,16 @@ def run_from_config(spark, cfg: WorkerConfig, streaming: bool = False,
             compact_every=cfg.compact_every,
             trigger_interval=cfg.trigger_interval,
         )
-        if q is not None:  # continuous mode: caller owns the query lifecycle
-            return {"streaming_query": q}
+        if q is not None:
+            # continuous mode: the query runs indefinitely, so the
+            # per-iteration reconcile CANNOT run here — the caller owns the
+            # cadence (e.g. the `reconcile` CLI on a timer). Flag it
+            # explicitly so the skipped check is visible, not silent.
+            return {"streaming_query": q, "reconcile_skipped": True}
         summary: dict[str, Any] = {}
     else:
         s = replay(
-            log, table,
+            spark.read.parquet(cfg.log_path), table,
             interval_size=cfg.interval_size,
             stream_id=cfg.stream_id,
             mode=cfg.mode,
@@ -132,7 +135,7 @@ def run_from_config(spark, cfg: WorkerConfig, streaming: bool = False,
                    "rows_in": s.rows_in}
     report = reconcile(
         table,
-        expected_state(log),
+        expected_state(spark.read.parquet(cfg.log_path)),
         erratum=cfg.erratum_for("repos"),
         raise_on_mismatch=cfg.fail_on_counts_mismatch,
     )

@@ -347,9 +347,15 @@ class LakeTable:
             raise ValueError(f"from_version {from_version} > to_version {to_version}")
         to_m = self.snapshot(to_version)
         paths: list[str] = []
+        # each iteration's manifest is the next one's parent: carry the
+        # file set forward instead of re-parsing every parent (halves the
+        # manifest I/O — this runs on every replication round)
+        prev_files = {f["path"] for f in self.snapshot(from_version).files}
         for v in range(from_version + 1, to_version + 1):
             m = self.snapshot(v)
+            cur_files = {f["path"] for f in m.files}
             if m.operation == "compact":
+                prev_files = cur_files
                 continue  # physical reorganization, no logical change
             if not m.operation.startswith("merge"):
                 raise ValueError(
@@ -357,12 +363,12 @@ class LakeTable:
                     "replacement): the range has no row-delta form — "
                     "re-sync from a snapshot read instead"
                 )
-            parent_files = {f["path"] for f in self.snapshot(m.parent).files}
             paths += [
                 os.path.join(self.root, f["path"])
                 for f in m.files
-                if f["path"] not in parent_files
+                if f["path"] not in prev_files
             ]
+            prev_files = cur_files
         schema = to_m.schema
         read_schema = StructType(
             list(schema.fields) + [StructField("_action", StringType(), True)]
@@ -389,10 +395,11 @@ class LakeTable:
         missing = [k for k in m.key_columns if k not in key]
         if missing:
             raise ValueError(f"lookup requires the full key; missing {missing}")
+        # probe row carries the TABLE's key types: hashing a long key as a
+        # string would prune to the wrong bucket and silently return empty
+        key_schema = StructType([m.schema[k] for k in m.key_columns])
         row = self.spark.createDataFrame(
-            [tuple(key[k] for k in m.key_columns)], ", ".join(
-                f"{k} string" for k in m.key_columns
-            )
+            [tuple(key[k] for k in m.key_columns)], key_schema
         )
         bucket = row.select(
             bucket_expr(m.key_columns, m.num_buckets).alias("b")
@@ -626,6 +633,10 @@ class LakeTable:
             if os.path.exists(dst):
                 os.remove(dst)  # crashed earlier promotion attempt
             os.link(os.path.join(staging.root, f["path"]), dst)
+            # hard links share the source inode's (old) mtime; stamp them
+            # fresh or gc_orphan_files' min_age guard cannot protect this
+            # not-yet-committed promotion from a concurrent GC run
+            os.utime(dst)
             new_files.append(
                 {
                     "path": os.path.join("data", tag, name),

@@ -129,7 +129,15 @@ def find_latest_good_version(
     fails for ANY reason — counts mismatch, sha drift, an unreadable
     (corrupted/truncated) data file — is skipped; version 0 (empty table vs
     empty-prefix fold) is the always-good floor. Returns None only when
-    every candidate was tried and failed (or ``max_candidates`` ran out)."""
+    every candidate was tried and failed (or ``max_candidates`` ran out).
+
+    The walk STOPS (returns None, no rollback) on reaching a
+    bootstrap/promote commit: from there down, table state includes rows
+    that never came from the log, so the log fold stops being the truth —
+    "reconcile everything against the log" would otherwise fail every real
+    version and happily roll a healthy bootstrapped table back to empty.
+    Recover such tables by re-seeding (``bootstrap_snapshot``) + re-tail
+    instead."""
     from multiversx_etl_spark.oracle import expected_state
 
     tried = 0
@@ -140,6 +148,8 @@ def find_latest_good_version(
             m = table.snapshot(v)
         except FileNotFoundError:
             continue  # expired/retention-pruned manifest
+        if m.operation in ("bootstrap", "promote"):
+            return None  # log-fold truth ends here (see docstring)
         s = m.streams.get(stream_id, {})
         last = s.get("last_epoch")
         if last is not None:

@@ -197,6 +197,7 @@ def merge_batch(
     map_side_combine: bool = False,
     pre_commit: "Callable[[MergeStats], None] | None" = None,
     marker_mode: str = "contiguous",
+    tag_suffix: str = "",
 ) -> MergeStats:
     """Apply one micro-batch of change events and commit atomically.
 
@@ -336,7 +337,7 @@ def merge_batch(
         to_write = merged.select(*out_cols)
         replaced_pids = table.pids_for_buckets(touched, parent)
 
-    tag = f"{stream_id}-e{epoch_id:08d}"
+    tag = f"{stream_id}-e{epoch_id:08d}{tag_suffix}"
     with _phase("merge_write"):
         new_files = table.write_data_files(
             to_write, tag, bucket_aligned=True, keep_bucket=True

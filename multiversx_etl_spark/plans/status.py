@@ -42,30 +42,32 @@ def epoch_status(
     (finished or interrupted), NULL for pending."""
     spark = table.spark
     plans = plan_offset_ranges(total_offsets, interval_size)
+    # plans are already driver-side: resolve each marker through ONE held
+    # Manifest via epoch_info (the single home of the watermark-or-sparse
+    # marker logic) and ship the result in with the plan rows
+    m = table.snapshot()
     plan_df = spark.createDataFrame(
-        [(p.epoch_id, p.offset_lo, p.offset_hi) for p in plans],
-        "epoch_id long, offset_lo long, offset_hi long",
+        [
+            (
+                p.epoch_id,
+                p.offset_lo,
+                p.offset_hi,
+                m.epoch_info(stream_id, p.epoch_id) is not None,
+            )
+            for p in plans
+        ],
+        "epoch_id long, offset_lo long, offset_hi long, _marker boolean",
     )
-    s = table.snapshot().streams.get(stream_id, {})
-    watermark = int(s.get("epochs_through", -1))
-    sparse = sorted(int(e) for e in s.get("epochs", {}))
-    committed_df = spark.createDataFrame(
-        [(e,) for e in sparse], "epoch_id long"
-    ).withColumn("_marker", F.lit(True))
     lineage = (
         read_lineage(table, stream_id)
         .groupBy("epoch_id")
         .agg(F.sum("rows_in").alias("rows_in"))
     )
     out = (
-        plan_df.join(F.broadcast(committed_df), "epoch_id", "left")
-        .join(F.broadcast(lineage), "epoch_id", "left")
+        plan_df.join(F.broadcast(lineage), "epoch_id", "left")
         .withColumn(
             "status",
-            F.when(
-                (F.col("epoch_id") <= F.lit(watermark)) | F.col("_marker").isNotNull(),
-                F.lit("finished"),
-            )
+            F.when(F.col("_marker"), F.lit("finished"))
             .when(F.col("rows_in").isNotNull(), F.lit("interrupted"))
             .otherwise(F.lit("pending")),
         )

@@ -157,10 +157,18 @@ def apply_epoch(
             return merge_batch(
                 table, batch, stream_id, epoch_id, offset_lo, offset_hi,
                 mode=mode, in_counts=in_counts, pre_commit=write_ledger,
+                # each attempt writes its own tag dir: a retry must NEVER
+                # overwrite files a rival's committed manifest references
+                # (the rival may have committed this very (stream, epoch))
+                tag_suffix=f"-r{attempt}" if attempt else "",
             )
         except RuntimeError as e:
             if "concurrent commit" not in str(e) or attempt == conflict_retries:
                 raise
+            if table.is_epoch_committed(stream_id, epoch_id):
+                # the rival WAS this same (stream, epoch) — at-least-once
+                # redelivery resolved by the marker, nothing left to do
+                return MergeStats()
     raise AssertionError("unreachable")
 
 
@@ -185,16 +193,13 @@ def replay(
         mx = log.agg(F.max("offset")).collect()[0][0]
         total_offsets = 0 if mx is None else mx + 1  # empty log → empty summary
     plans = list(plan_offset_ranges(total_offsets, interval_size))
-    # one manifest read decides skips. Markers under the contiguous
-    # watermark are compacted out of the manifest (lake/table.py), so
-    # committed = (epoch <= watermark) OR (epoch in the sparse marker map) —
-    # the manifest stays O(recent) even after thousands of epochs.
-    stream_state = table.snapshot().streams.get(stream_id, {})
-    watermark = int(stream_state.get("epochs_through", -1))
-    sparse_epochs = {int(e) for e in stream_state.get("epochs", {})}
+    # ONE manifest read decides every skip (held Manifest object — per-plan
+    # table.snapshot() calls would re-parse O(epochs) JSON); the
+    # watermark-or-sparse marker logic lives in Manifest.epoch_info.
+    committed_view = table.snapshot()
 
     def is_committed(epoch_id: int) -> bool:
-        return epoch_id <= watermark or epoch_id in sparse_epochs
+        return committed_view.epoch_info(stream_id, epoch_id) is not None
 
     pending = [p for p in plans if not is_committed(p.epoch_id)]
     # One pass over the UNCOMMITTED offset span counts every pending epoch's

@@ -6,12 +6,17 @@ event-time range, and the state store holds each side's rows only until the
 watermark proves no more matches can arrive — bounded state, the stream
 analog of a range/as-of join.
 
-Concrete operator: ``short_lived_paths`` pairs every delete with the
-create/update of the same ``(repo, path)`` it extinguished within
-``max_age`` — the "files deleted shortly after creation" audit, a real CDC
-quality signal (churn spam, bot commits). The same function body works on
-batch DataFrames (parity like windows.py/dedup.py): Spark compiles the
-identical plan minus the state store.
+Concrete operator: ``short_lived_paths`` pairs every delete with EVERY
+lower-seq create/update of the same ``(repo, path)`` inside the ``max_age``
+window — the "files deleted shortly after creation" audit, a real CDC
+quality signal (churn spam, bot commits). Plural on purpose: a bounded-state
+stream join cannot single out only the latest write before each delete
+(that needs a per-key argmax over the join output), so the operator emits
+the full pair set and a consumer wanting one-pair-per-delete reduces it with
+``max_by(create_seq)`` downstream — hot keys therefore fan out
+O(writes-in-window) pairs per delete. The same function body works on batch
+DataFrames (parity like windows.py/dedup.py): Spark compiles the identical
+plan minus the state store.
 """
 
 from __future__ import annotations
@@ -25,8 +30,9 @@ def short_lived_paths(
     max_age: str = "30 minutes",
     watermark: str = "60 seconds",
 ) -> DataFrame:
-    """Pairs (create-or-update, delete) of the same key with the delete at
-    most ``max_age`` after the write. Equality keys (repo, path) keep the
+    """Pairs of (create-or-update, delete) on the same key with the delete
+    at most ``max_age`` after the write — ALL in-window write generations
+    per delete (see module docstring). Equality keys (repo, path) keep the
     join an equi-join (state partitioned by key); the time-range predicate
     bounds how long either side is retained. Output is flat integers."""
     creates = events.where(F.col("op") != "delete").select(

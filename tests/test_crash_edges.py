@@ -300,3 +300,44 @@ def test_concurrent_stream_commit_retries_and_merges_both(spark, tmp_path):
 
         with _pytest.raises(RuntimeError, match="concurrent"):
             apply_epoch(table, a2, "A", 1, 1, 2, conflict_retries=0)
+
+
+def test_same_epoch_rival_commit_is_noop_and_preserves_data(spark, tmp_path):
+    """Two workers racing the SAME (stream, epoch): the loser's retry must
+    notice the marker and no-op — and must never overwrite the data files
+    the winner's manifest references (the round-2 review finding: a retry
+    writing the same tag dir would delete committed data)."""
+    from unittest import mock
+
+    from multiversx_etl_spark.operators import merge as merge_mod
+    from multiversx_etl_spark.streaming.ingest import apply_epoch
+
+    table = _mk_table(spark, tmp_path)
+    batch_a = _batch(spark, [(0, 1, "insert", "r", "a.py", "c", "py", "winner")])
+
+    real_merge = merge_mod.merge_batch
+    fired = {"done": False}
+
+    def racing_merge(t, changes, stream_id, *args, **kwargs):
+        if not fired["done"]:
+            fired["done"] = True
+            pre = kwargs.get("pre_commit")
+
+            def pre_with_rival(stats):
+                # the rival worker commits THE SAME (stream, epoch) first
+                real_merge(table, batch_a, "A", 0, 0, 1)
+                if pre:
+                    pre(stats)
+
+            kwargs["pre_commit"] = pre_with_rival
+        return real_merge(t, changes, stream_id, *args, **kwargs)
+
+    with mock.patch.object(merge_mod, "merge_batch", racing_merge), mock.patch(
+        "multiversx_etl_spark.streaming.ingest.merge_batch", racing_merge
+    ):
+        stats = apply_epoch(table, batch_a, "A", 0, 0, 1)
+
+    assert stats.rows_in == 0  # loser no-opped on the marker
+    assert table.is_epoch_committed("A", 0)
+    rows = table.read().collect()  # winner's committed files intact & readable
+    assert len(rows) == 1 and rows[0]["content"] == "winner"
