@@ -350,7 +350,14 @@ class LakeTable:
         # each iteration's manifest is the next one's parent: carry the
         # file set forward instead of re-parsing every parent (halves the
         # manifest I/O — this runs on every replication round)
-        prev_files = {f["path"] for f in self.snapshot(from_version).files}
+        try:
+            prev_files = {f["path"] for f in self.snapshot(from_version).files}
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {from_version} is beyond the retention window "
+                "(expire_snapshots dropped it): the delta since then is "
+                "gone — re-sync from a snapshot read instead"
+            ) from None
         for v in range(from_version + 1, to_version + 1):
             m = self.snapshot(v)
             cur_files = {f["path"] for f in m.files}

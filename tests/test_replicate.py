@@ -86,3 +86,24 @@ def test_replicated_tombstone_guards_late_updates(spark, tmp_path):
     # stale direct write into the replica loses to the replicated tombstone
     merge_batch(dst, _batch(spark, [(0, 7, "update", "r", "a.py", "c", "py", "stale")]), "side", 0, 0, 1)
     assert dst.read().count() == 0
+
+
+def test_replicate_after_upstream_expiry_requires_reseed(spark, tmp_path):
+    """If the upstream expired past the replica's watermark, the delta is
+    gone: the round must fail with the re-sync contract (not a raw
+    FileNotFoundError), and re-seeding via bootstrap + marker reset gets
+    the chain moving again."""
+    src = _mk(spark, tmp_path, "src")
+    dst = _mk(spark, tmp_path, "dst")
+    merge_batch(src, _batch(spark, [(0, 1, "insert", "r", "a.py", "c", "py", "v1")]), "m", 0, 0, 1)
+    replicate_changes(src, dst)
+    for e in range(1, 4):
+        merge_batch(src, _batch(spark, [(e, e + 1, "update", "r", "a.py", "c", "py", f"v{e+1}")]), "m", e, e, e + 1)
+    src.expire_snapshots(keep_last=1)  # replica's watermark version is gone
+    with pytest.raises(ValueError, match="retention window"):
+        replicate_changes(src, dst)
+    # re-seed: full snapshot load, then future rounds tail incrementally
+    from multiversx_etl_spark.streaming.ingest import bootstrap_snapshot
+
+    bootstrap_snapshot(dst, src.read(), "seq")
+    assert _state(dst) == _state(src)
