@@ -114,6 +114,33 @@ def run_cdc_replay(spark, workdir: str) -> dict[str, float]:
     }
 
 
+def run_cdc_stream(spark, workdir: str) -> dict[str, float]:
+    """The Structured Streaming face of the same ingest (readStream →
+    foreachBatch MERGE, availableNow drain) over the log run_cdc_replay
+    already wrote — the north star's primary surface, measured separately
+    because the checkpoint/trigger machinery adds per-batch overhead the
+    batch replay doesn't pay."""
+    from multiversx_etl_spark.streaming.ingest import ensure_table, stream_ingest
+
+    log_path = os.path.join(workdir, "log")
+    n = spark.read.parquet(log_path).count()
+    table = ensure_table(
+        spark, os.path.join(workdir, "stream_table"), num_buckets=NUM_BUCKETS
+    )
+    t0 = time.perf_counter()
+    stream_ingest(
+        spark, log_path, table, os.path.join(workdir, "ckpt"),
+        max_files_per_trigger=max(CPUS, 8) * 2 // NUM_EPOCHS or 1,
+    )
+    wall = time.perf_counter() - t0
+    return {
+        "events": n,
+        "stream_sec": round(wall, 3),
+        "events_per_sec": round(n / wall, 1),
+        "final_rows": table.read().count(),
+    }
+
+
 def main() -> None:
     from multiversx_etl_spark.session import get_spark
 
@@ -126,6 +153,9 @@ def main() -> None:
         t0 = time.perf_counter()
         cdc = run_cdc_replay(spark, workdir)
         timings["cdc_replay"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        stream = run_cdc_stream(spark, workdir)
+        timings["cdc_stream"] = round(time.perf_counter() - t0, 4)
         total = round(time.perf_counter() - t_total, 3)
         out = {
             "metric": "bench_total",
@@ -138,6 +168,9 @@ def main() -> None:
             "cdc_events_per_sec": cdc["events_per_sec"],
             "cdc_replay_sec": cdc["replay_sec"],
             "cdc_final_rows": cdc["final_rows"],
+            "cdc_stream_events_per_sec": stream["events_per_sec"],
+            "cdc_stream_sec": stream["stream_sec"],
+            "cdc_stream_final_rows": stream["final_rows"],
         }
         print(json.dumps(out))
     finally:
