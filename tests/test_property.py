@@ -144,3 +144,41 @@ def test_compaction_invariance(spark, tmp_path_factory, scenario, n_batches, com
     assert tables["plain"] == want
     assert tables["incr"] == want
     assert tables["full"] == want
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(scenario_st, st.integers(min_value=1, max_value=3), st.booleans())
+def test_replication_chain_matches_direct_state(
+    spark, tmp_path_factory, scenario, n_batches, replicate_each_epoch
+):
+    """For any event sequence, a replica fed ONLY by the change feed equals
+    the upstream table — whether it replicates after every epoch or once at
+    the end — and both equal the Python LWW oracle."""
+    from multiversx_etl_spark.streaming.replicate import replicate_changes
+
+    events_raw, rng = scenario
+    events = list(enumerate(events_raw))
+    order = list(events)
+    rng.shuffle(order)
+
+    base = tmp_path_factory.mktemp("repl")
+    src = ensure_table(spark, str(base / "src"), num_buckets=4)
+    dst = ensure_table(spark, str(base / "dst"), num_buckets=4)
+    schema = (
+        "offset long, seq long, op string, repo string, path string, "
+        "commit string, lang string, content string"
+    )
+    for epoch, chunk in enumerate(spark_rows(events, order, n_batches)):
+        merge_batch(src, spark.createDataFrame(chunk, schema), "prop", epoch,
+                    collect_per_bucket_stats=False)
+        if replicate_each_epoch:
+            replicate_changes(src, dst)
+    replicate_changes(src, dst)  # idempotent catch-up either way
+
+    def live(t):
+        return {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+
+    want = python_lww(events)
+    assert live(src) == want
+    assert live(dst) == want
