@@ -26,9 +26,6 @@ EXPECT = {
     "q_cdc_latest_state": ["partial"],
     "q_token_counts": ["ReadSchema: struct<doc_id:bigint,text:string>"],
     "q_mips_topk": ["TakeOrderedAndProject"],
-    # IVF assignment must broadcast the centroids (vector side never shuffles
-    # for the cross join); in-cell candidate search is an equi-join
-    "q_ivf_ann": ["BroadcastNestedLoopJoin"],
 }
 
 
@@ -45,6 +42,32 @@ def test_expected_physical_plan(spark, name):
     text = plan_text(Q.QUERIES[name](spark, SF_DIR)).lower()
     for pat in EXPECT[name]:
         assert pat.lower() in text, f"{name}: expected {pat!r} in plan"
+
+
+def test_ivf_ann_no_all_pairs_plan(spark):
+    """VERDICT r02 fix #1: IVF assignment is an Arrow kernel over BROADCAST
+    centroids (no n×K row blowup) and the in-cell candidate search is an
+    equi-join — never an all-pairs BNLJ/Cartesian anywhere in the plan."""
+    text = plan_text(Q.QUERIES["q_ivf_ann"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    assert "MapInPandas" in text  # the vectorized assignment kernel
+
+
+def test_ivf_ann_candidates_bounded(spark):
+    """VERDICT r02 fix #1 'done' criterion: cells grow with the data
+    (K = ⌈√n⌉) and candidate pairs are bounded by CAP·n, not n²/K."""
+    import math
+
+    parts = Q._ivf_parts(spark, SF_DIR)
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    per_cell_max = (
+        parts["idx"].groupBy("cell_b").count().agg({"count": "max"}).first()[0]
+    )
+    assert per_cell_max <= Q._IVF_CAP
+    assert parts["candidates"].count() <= Q._IVF_CAP * n
+    k_used = parts["members"].select("cell").distinct().count()
+    assert 1 < k_used <= math.ceil(math.sqrt(n))
 
 
 def test_cosine_near_dup_no_all_pairs(spark):
