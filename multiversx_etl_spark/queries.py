@@ -1290,11 +1290,39 @@ def q_multimodal_metadata(spark, sf_dir):
     )
 
 
-@_register("q_multimodal_features")  # no SQL oracle: mapInPandas decode stub
+@_register(
+    "q_multimodal_features",
+    """
+    WITH media AS (
+      SELECT doc_id,
+             md5(text) || md5('b1|' || text) ||
+             md5('b2|' || text) || md5('b3|' || text) AS hx,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, media_type, length(hx) // 2 AS nb,
+             list_transform(range(0, CAST(length(hx) // 2 AS INT), 1),
+               i -> (strpos('0123456789abcdef', hx[i*2+1]) - 1) * 16
+                  + (strpos('0123456789abcdef', hx[i*2+2]) - 1)) AS bs
+      FROM media
+    )
+    SELECT doc_id, media_type,
+           CAST(nb AS BIGINT) AS n_bytes,
+           CAST(list_sum(bs) AS BIGINT) AS byte_sum,
+           CAST(bs[1] AS INTEGER) AS first_byte,
+           CAST(bs[CAST(nb AS INT)] AS INTEGER) AS last_byte
+    FROM bytes
+    """,
+)
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction (decode stub) over binary payloads —
-    mapInPandas, partition-preserving. Non-SQL-expressible (rows-only check);
-    unit tests assert the feature values against an independent Python fold."""
+    mapInPandas, partition-preserving. The deterministic fake decode is pure
+    md5-hex arithmetic (operators/multimodal.py:77-82), so the byte
+    statistics ARE SQL-expressible: the oracle rebuilds the payload hex in
+    DuckDB and folds 2-hex-char slices to byte values (VERDICT r02 item #4
+    — the last rows-only entry becomes hash-checked). Unit tests separately
+    assert the kernel against an independent Python fold."""
     from multiversx_etl_spark.operators.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(load(spark, sf_dir, "documents"))
