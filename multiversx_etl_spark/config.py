@@ -10,6 +10,9 @@ onto replay/stream parameters and the reconciliation errata:
     {
       "table_root": "/data/repos_table",
       "log_path": "/data/change_log",
+      "name": "repos",                   # errata lookup + report key
+      "schema": "repos",                 # declared schema (schemas.TABLES)
+      "normalizer": "change_events",     # transformer (normalize.REGISTRY)
       "stream_id": "mainnet",
       "interval_size": 8000000,          # events per epoch (planner knob)
       "num_buckets": 64,                 # bucket(B, repo, path) layout
@@ -19,6 +22,23 @@ onto replay/stream parameters and the reconciliation errata:
       "trigger_interval": "3600 seconds",# continuous cadence (null = drain)
       "fail_on_counts_mismatch": true,
       "counts_checks_errata": {"repos": -3}   # accepted signed drift
+    }
+
+MULTI-TABLE configs — the reference's real unit of operation (a LIST of
+indices per bulk, each with its own schema + transformer,
+worker_config.py:51-65) — put shared defaults at the top level and a
+``tables`` list of per-table overrides:
+
+    {
+      "interval_size": 8000000, "num_buckets": 64,
+      "counts_checks_errata": {"repos": -3, "commits": 0},
+      "tables": [
+        {"name": "repos",   "table_root": "...", "log_path": "...",
+         "schema": "repos",   "normalizer": "change_events"},
+        {"name": "commits", "table_root": "...", "log_path": "...",
+         "schema": "commits", "normalizer": "commit_events",
+         "stream_id": "commits"}
+      ]
     }
 
 ``load_worker_config`` validates and applies defaults; ``run_from_config``
@@ -42,6 +62,9 @@ class ConfigError(ValueError):
 class WorkerConfig:
     table_root: str
     log_path: str
+    name: str = "repos"            # table name (errata lookup + reporting)
+    schema: str = "repos"          # declared-schema registry key (schemas.TABLES)
+    normalizer: str = "change_events"  # transformer registry key (normalize.REGISTRY)
     stream_id: str = "main"
     interval_size: int = 1_000_000
     num_buckets: int = 16
@@ -58,15 +81,39 @@ class WorkerConfig:
         return int(self.counts_checks_errata.get(table, 0))
 
 
+@dataclass
+class MultiWorkerConfig:
+    """A LIST of tables planned/replayed/reconciled together — the
+    reference's actual unit of operation (8 append-only + 7 mutable indices
+    per bulk, each with its own schema and transformer,
+    /root/reference/multiversxetl/worker_config.py:51-65,
+    app_controller.py:55-102). Each entry is a full WorkerConfig with its
+    own log, table root, stream and ledger; top-level keys act as defaults
+    merged under every entry."""
+
+    tables: list[WorkerConfig]
+
+
 _REQUIRED = ("table_root", "log_path")
 _KNOWN = {
-    "table_root", "log_path", "stream_id", "interval_size", "num_buckets",
-    "mode", "compact_every", "max_files_per_trigger", "trigger_interval",
-    "fail_on_counts_mismatch", "counts_checks_errata",
+    "table_root", "log_path", "name", "schema", "normalizer", "stream_id",
+    "interval_size", "num_buckets", "mode", "compact_every",
+    "max_files_per_trigger", "trigger_interval", "fail_on_counts_mismatch",
+    "counts_checks_errata",
 }
 
 
-def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig:
+def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerConfig:
+    if "tables" in data:
+        defaults = {k: v for k, v in data.items() if k != "tables"}
+        entries = data["tables"]
+        if not isinstance(entries, list) or not entries:
+            raise ConfigError("'tables' must be a non-empty list")
+        jobs = [worker_config_from_dict({**defaults, **e}) for e in entries]
+        names = [j.name for j in jobs]
+        if len(set(names)) != len(names):
+            raise ConfigError(f"duplicate table names in config: {names}")
+        return MultiWorkerConfig(tables=jobs)
     unknown = set(data) - _KNOWN
     if unknown:
         raise ConfigError(f"unknown config keys: {sorted(unknown)}")
@@ -82,29 +129,63 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig:
         raise ConfigError("num_buckets must be positive")
     if not all(isinstance(v, int) for v in cfg.counts_checks_errata.values()):
         raise ConfigError("counts_checks_errata values must be signed integers")
+    from multiversx_etl_spark.operators.normalize import REGISTRY
+    from multiversx_etl_spark.schemas import TABLES
+
+    if cfg.schema not in TABLES:
+        raise ConfigError(f"unknown declared schema {cfg.schema!r} (have {sorted(TABLES)})")
+    if cfg.normalizer not in REGISTRY:
+        raise ConfigError(
+            f"unknown normalizer {cfg.normalizer!r} (have {sorted(REGISTRY)})"
+        )
     return cfg
 
 
-def load_worker_config(path: str) -> WorkerConfig:
+def load_worker_config(path: str) -> WorkerConfig | MultiWorkerConfig:
     with open(path) as fh:
         return worker_config_from_dict(json.load(fh))
 
 
-def run_from_config(spark, cfg: WorkerConfig, streaming: bool = False,
+def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
+                    streaming: bool = False,
                     checkpoint_dir: str | None = None) -> dict[str, Any]:
     """Execute one configured iteration: batch replay (default) or a
     Structured Streaming tail, then the counts/sha reconciliation with the
     configured errata — the reference's process-*-indices loop body
-    (app.py:74-106: load -> transfer -> check)."""
+    (app.py:74-106: load -> transfer -> check).
+
+    A MultiWorkerConfig runs every table job — each with its own declared
+    schema, transformer, stream and ledger (the reference's indices list) —
+    and reports per-table summaries plus an overall ``reconcile_ok``.
+    Streaming multi-table runs give each table its own checkpoint subdir."""
+    if isinstance(cfg, MultiWorkerConfig):
+        tables: dict[str, Any] = {}
+        ok = True
+        for job in cfg.tables:
+            sub_ckpt = (
+                f"{checkpoint_dir.rstrip('/')}/{job.name}" if checkpoint_dir else None
+            )
+            s = run_from_config(spark, job, streaming=streaming, checkpoint_dir=sub_ckpt)
+            tables[job.name] = s
+            ok = ok and s.get("reconcile_ok", True)
+        return {"tables": tables, "reconcile_ok": ok}
+
     from multiversx_etl_spark.operators.checks import reconcile
+    from multiversx_etl_spark.operators.normalize import REGISTRY
     from multiversx_etl_spark.oracle import expected_state
+    from multiversx_etl_spark.schemas import TABLES
     from multiversx_etl_spark.streaming.ingest import (
         ensure_table,
         replay,
         stream_ingest,
     )
 
-    table = ensure_table(spark, cfg.table_root, num_buckets=cfg.num_buckets)
+    log_schema, target_schema, key_columns = TABLES[cfg.schema]
+    normalizer = REGISTRY[cfg.normalizer]
+    table = ensure_table(
+        spark, cfg.table_root, num_buckets=cfg.num_buckets,
+        schema=target_schema, key_columns=key_columns,
+    )
     if streaming:
         if checkpoint_dir is None:
             raise ConfigError("streaming=True requires checkpoint_dir")
@@ -115,6 +196,8 @@ def run_from_config(spark, cfg: WorkerConfig, streaming: bool = False,
             mode=cfg.mode,
             compact_every=cfg.compact_every,
             trigger_interval=cfg.trigger_interval,
+            normalizer=normalizer,
+            log_schema=log_schema,
         )
         if q is not None:
             # continuous mode: the query runs indefinitely, so the
@@ -130,13 +213,19 @@ def run_from_config(spark, cfg: WorkerConfig, streaming: bool = False,
             stream_id=cfg.stream_id,
             mode=cfg.mode,
             compact_every=cfg.compact_every,
+            normalizer=normalizer,
         )
         summary = {"epochs_run": s.epochs_run, "epochs_skipped": s.epochs_skipped,
                    "rows_in": s.rows_in}
+    # expected side runs through the SAME per-table transformer before the
+    # LWW fold — the invariant compares normalized rows on both sides
     report = reconcile(
         table,
-        expected_state(spark.read.parquet(cfg.log_path)),
-        erratum=cfg.erratum_for("repos"),
+        expected_state(
+            normalizer(spark.read.parquet(cfg.log_path)), key_columns=key_columns
+        ),
+        key_columns=key_columns,
+        erratum=cfg.erratum_for(cfg.name),
         raise_on_mismatch=cfg.fail_on_counts_mismatch,
     )
     summary["reconcile_ok"] = report.ok

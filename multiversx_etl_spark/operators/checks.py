@@ -22,20 +22,49 @@ class CountsMismatchError(Exception):
     """Analog of the reference's CountsMismatchError (checks.py:87-93)."""
 
 
+def _candidate_failure_types() -> tuple[type[BaseException], ...]:
+    """Failure types that mean 'this snapshot candidate is bad' during the
+    checkpoint walk: reconciliation mismatches, missing/expired files, and
+    Spark job failures from unreadable (truncated/corrupt) data files.
+    Everything else is an infrastructure error and must propagate."""
+    types: list[type[BaseException]] = [CountsMismatchError, FileNotFoundError, OSError]
+    try:
+        from pyspark.errors import PySparkException
+
+        types.append(PySparkException)
+    except ImportError:  # pragma: no cover
+        pass
+    try:
+        from py4j.protocol import Py4JJavaError
+
+        types.append(Py4JJavaError)
+    except ImportError:  # pragma: no cover
+        pass
+    return tuple(types)
+
+
+_CANDIDATE_FAILURES = _candidate_failure_types()
+
+
 def check_counts(
     expected_counts: dict[str, int],
     actual_counts: dict[str, int],
     errata: dict[str, int] | None = None,
+    raise_on_mismatch: bool = True,
 ) -> dict[str, int]:
     """Per-table signed-delta counts check with accepted-drift errata.
 
     Mirrors the reference exactly (checks.py:56-93, worker_config.py:93-104;
     values like ``{"miniblocks": -53193}`` in worker_config_mainnet.json):
-    ``delta = expected - actual + erratum`` per table; any adjusted delta
-    != 0 raises — positive means data missing in the sink, negative means
-    probable duplicates. Real deployments always accumulate known historical
-    drift; errata let operations encode it without disabling the check.
-    Returns the adjusted deltas per table."""
+    ``delta = expected - actual + erratum`` per table; positive means data
+    missing in the sink, negative means probable duplicates. Real
+    deployments always accumulate known historical drift; errata let
+    operations encode it without disabling the check.
+
+    Returns the adjusted deltas per table. With the default
+    ``raise_on_mismatch=True`` any non-zero adjusted delta raises (so the
+    returned dict is all-zeros); pass ``raise_on_mismatch=False`` to
+    inspect the drift instead — mirroring ``reconcile``'s flag."""
     errata = errata or {}
     deltas = {}
     problems = []
@@ -46,7 +75,7 @@ def check_counts(
             problems.append(f"missing data in sink for '{t}': adjusted delta {delta}")
         elif delta < 0:
             problems.append(f"probable duplicates in sink for '{t}': adjusted delta {delta}")
-    if problems:
+    if problems and raise_on_mismatch:
         raise CountsMismatchError("; ".join(problems))
     return deltas
 
@@ -70,9 +99,23 @@ class ReconcileReport:
         return self.missing == 0 and self.unexpected == 0 and self.sha_mismatches == 0
 
 
-def content_sha(df: DataFrame, column: str = "content") -> DataFrame:
-    """Attach the per-row invariant column ``content_sha = sha2(content, 256)``."""
-    return df.withColumn("content_sha", F.sha2(F.coalesce(F.col(column), F.lit("")), 256))
+def content_sha(
+    df: DataFrame, column: str = "content", key_columns: list[str] | None = None
+) -> DataFrame:
+    """Attach the per-row invariant column ``content_sha = sha2(content, 256)``.
+
+    Tables without a ``content`` column (e.g. the nested ``commits`` table)
+    hash the canonical JSON of ALL payload columns instead — same invariant
+    strength, schema-agnostic; both reconcile sides compute it identically."""
+    if column in df.columns:
+        return df.withColumn(
+            "content_sha", F.sha2(F.coalesce(F.col(column), F.lit("")), 256)
+        )
+    skip = set(key_columns or []) | {"seq", "deleted", "op", "offset"}
+    payload = sorted(c for c in df.columns if c not in skip)
+    return df.withColumn(
+        "content_sha", F.sha2(F.to_json(F.struct(*payload)), 256)
+    )
 
 
 def reconcile(
@@ -91,8 +134,10 @@ def reconcile(
     checks.py:82-85); ``version`` reconciles a time-travelled snapshot
     (the checkpoint-search building block)."""
     key = key_columns or KEY_COLUMNS
-    actual = content_sha(table.read(version=version)).select(*key, "content_sha")
-    exp = content_sha(expected).select(*key, "content_sha")
+    actual = content_sha(table.read(version=version), key_columns=key).select(
+        *key, "content_sha"
+    )
+    exp = content_sha(expected, key_columns=key).select(*key, "content_sha")
 
     missing = exp.join(actual, on=key, how="left_anti").count()
     unexpected = actual.join(exp, on=key, how="left_anti").count()
@@ -168,8 +213,14 @@ def find_latest_good_version(
                 raise_on_mismatch=True,
                 version=v,
             )
-        except Exception:
-            continue  # corrupt/inconsistent candidate: walk further back
+        except _CANDIDATE_FAILURES:
+            # EXPECTED candidate failures only — counts/sha drift or an
+            # unreadable (truncated/corrupt/expired) data file. Anything
+            # else (driver OOM, session died, a bug here) propagates: a
+            # transient infrastructure error on the genuinely-good newest
+            # snapshot must not silently walk back — with rollback=True it
+            # would roll a HEALTHY table back to an older version.
+            continue
         if rollback and v != table.current_version():
             table.rollback(v)
         return v

@@ -99,9 +99,27 @@ def normalize_change_events(df: DataFrame) -> DataFrame:
     return df
 
 
-#: table name → normalization fn (TransformersRegistry analog).
+def normalize_commit_events(df: DataFrame) -> DataFrame:
+    """Normalization for the second declared table (``commits`` — nested
+    array<struct> payload): drop volatile ``api_*`` columns (A7), strip the
+    ``reserved`` subfield out of every ``shards`` struct (A8 — the
+    BlocksTransformer's epochStartShardsData[].reserved drop,
+    transformers.py:42-52), and scrub NULL elements from the ``tags``
+    string array (A9 — EventsTransformer, transformers.py:67-77). All
+    JVM-side column expressions."""
+    df = drop_volatile_columns(df)
+    if "shards" in df.columns:
+        df = drop_nested_struct_field(df, "shards", "reserved")
+    if "tags" in df.columns:
+        df = scrub_null_array_elements(df, ["tags"])
+    return df
+
+
+#: table name → normalization fn (TransformersRegistry analog,
+#: transformers.py:6-17: per-index dispatch by name).
 REGISTRY: dict[str, Callable[[DataFrame], DataFrame]] = {
     "change_events": normalize_change_events,
+    "commit_events": normalize_commit_events,
 }
 
 

@@ -20,6 +20,7 @@ Tables (see FIXTURES.md):
 from __future__ import annotations
 
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     IntegerType,
     LongType,
@@ -73,6 +74,78 @@ REPOS = StructType(
         StructField("deleted", BooleanType(), False),
     ]
 )
+
+#: Nested shard metadata carried by commit events — the analog of the
+#: reference's blocks.epochStartShardsData RECORD-REPEATED field whose
+#: ``reserved`` subfield the BlocksTransformer strips
+#: (/root/reference/multiversxetl/transformers.py:42-52,
+#: /root/reference/schema/blocks.json).
+_SHARD_INFO = ArrayType(
+    StructType(
+        [
+            StructField("shard", IntegerType(), True),
+            StructField("start_ts", LongType(), True),
+            StructField("reserved", StringType(), True),  # dropped by normalize
+        ]
+    ),
+    True,
+)
+
+#: Change-event log for the SECOND declared table (``commits``): key is
+#: (repo, commit), payload carries a nested array<struct> (A8 drop-nested
+#: operates on it) and a string array that may contain NULL elements (A9
+#: scrubs them) — the reference's deeply nested per-index schemas
+#: exercised end to end, not just registered.
+COMMIT_EVENTS = StructType(
+    [
+        StructField("offset", LongType(), False),
+        StructField("seq", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("repo", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("author", StringType(), True),
+        StructField("api_score", LongType(), True),  # volatile: dropped (A7)
+        StructField("tags", ArrayType(StringType(), True), True),
+        StructField("shards", _SHARD_INFO, True),
+        StructField("event_ts", TimestampType(), True),
+    ]
+)
+
+#: The ``commits`` lakehouse target (post-normalization: no volatile
+#: ``api_*`` columns, ``shards[].reserved`` removed).
+COMMITS = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("author", StringType(), True),
+        StructField("tags", ArrayType(StringType(), True), True),
+        StructField(
+            "shards",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("shard", IntegerType(), True),
+                        StructField("start_ts", LongType(), True),
+                    ]
+                ),
+                True,
+            ),
+            True,
+        ),
+        StructField("event_ts", TimestampType(), True),
+        StructField("seq", LongType(), False),
+        StructField("deleted", BooleanType(), False),
+    ]
+)
+
+#: Declared-table registry (the analog of the reference's schema/*.json
+#: directory loaded by name at bq_client.py:86): table name → (log schema,
+#: target schema, upsert key). Every table the engine ingests resolves
+#: through here — schemas are declared, never inferred.
+TABLES: dict[str, tuple[StructType, StructType, list[str]]] = {
+    "repos": (CHANGE_EVENTS, REPOS, ["repo", "path"]),
+    "commits": (COMMIT_EVENTS, COMMITS, ["repo", "commit"]),
+}
 
 #: Per-batch, per-bucket lineage ledger (FIXTURES.md §3).
 LINEAGE = StructType(

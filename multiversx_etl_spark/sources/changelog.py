@@ -167,6 +167,68 @@ def _event_columns(
     )
 
 
+def generate_commit_log(
+    spark: SparkSession,
+    num_events: int,
+    num_repos: int = 10,
+    commits_per_repo: int = 50,
+    dup_fraction: float = 0.01,
+    base_ts: int = 1_596_117_600,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic change log for the SECOND declared table (``commits``,
+    schemas.COMMIT_EVENTS): key (repo, commit), nested ``shards``
+    array<struct> carrying a ``reserved`` subfield (A8 drops it), a ``tags``
+    string array with ~20% NULL elements (A9 scrubs them), and a volatile
+    ``api_score`` column (A7 drops it). Same construction discipline as
+    generate_change_log: every column a pure function of the row id."""
+    n_dups = int(num_events * dup_fraction)
+    total = num_events + n_dups
+    rng = spark.range(0, total, 1, partitions) if partitions else spark.range(total)
+    eff = F.when(F.col("id") < num_events, F.col("id")).otherwise(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(23)), F.lit(num_events))
+    )
+    df = rng.select(F.col("id").alias("offset"), eff.alias("seq"))
+    repo = F.format_string(
+        "repo-%05d", F.pmod(F.xxhash64(F.col("seq"), F.lit(29)), F.lit(num_repos))
+    )
+    cidx = F.pmod(F.xxhash64(F.col("seq"), F.lit(31)), F.lit(commits_per_repo))
+    op_draw = F.pmod(F.xxhash64(F.col("seq"), F.lit(37)), F.lit(100))
+    u_null = F.pmod(F.xxhash64(F.col("seq"), F.lit(39)), F.lit(100))
+    shard = lambda i: F.struct(  # noqa: E731
+        F.lit(i).cast("int").alias("shard"),
+        (F.lit(base_ts) + F.col("seq") + F.lit(i)).cast("long").alias("start_ts"),
+        F.md5(F.concat_ws("#", F.col("seq").cast("string"), F.lit(str(i)))).alias(
+            "reserved"
+        ),
+    )
+    return df.select(
+        "offset",
+        "seq",
+        F.when(op_draw < 10, F.lit("delete"))
+        .when(op_draw < 60, F.lit("update"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+        repo.alias("repo"),
+        F.md5(F.concat_ws("|", repo, cidx.cast("string"))).alias("commit"),
+        F.format_string(
+            "dev-%03d", F.pmod(F.xxhash64(F.col("seq"), F.lit(41)), F.lit(50))
+        ).alias("author"),
+        F.pmod(F.xxhash64(F.col("seq"), F.lit(43)), F.lit(1000)).alias("api_score"),
+        F.array(
+            F.lit("ci"),
+            F.when(u_null < 20, F.lit(None).cast("string")).otherwise(F.lit("release")),
+            F.format_string(
+                "t-%d", F.pmod(F.xxhash64(F.col("seq"), F.lit(47)), F.lit(8))
+            ),
+        ).alias("tags"),
+        F.when(u_null < 50, F.array(shard(0), shard(1)))
+        .otherwise(F.array(shard(0)))
+        .alias("shards"),
+        F.timestamp_seconds(F.lit(base_ts) + F.col("seq")).alias("event_ts"),
+    )
+
+
 def read_offset_range(log: DataFrame, lo: int, hi: int) -> DataFrame:
     """Half-open arrival-range scan [lo, hi) — the A1 range-scan source.
 

@@ -61,10 +61,24 @@ class ReplaySummary:
     stats: list[MergeStats] = field(default_factory=list)
 
 
-def ensure_table(spark: SparkSession, root: str, num_buckets: int = 16) -> LakeTable:
+def ensure_table(
+    spark: SparkSession,
+    root: str,
+    num_buckets: int = 16,
+    schema=None,
+    key_columns: list[str] | None = None,
+) -> LakeTable:
+    """Open-or-create. ``schema``/``key_columns`` default to the ``repos``
+    table; other declared tables pass theirs (schemas.TABLES)."""
     if LakeTable.exists(root):
         return LakeTable(spark, root)
-    return LakeTable.create(spark, root, REPOS, key_columns=["repo", "path"], num_buckets=num_buckets)
+    return LakeTable.create(
+        spark,
+        root,
+        schema if schema is not None else REPOS,
+        key_columns=key_columns or ["repo", "path"],
+        num_buckets=num_buckets,
+    )
 
 
 def _write_lineage(
@@ -131,6 +145,7 @@ def apply_epoch(
     mode: str = "mor",
     in_counts: dict[int, int] | None = None,
     conflict_retries: int = 2,
+    normalizer: Callable[[DataFrame], DataFrame] | None = None,
 ) -> MergeStats:
     """Normalize → dedup → MERGE → lineage → atomic marker+data commit.
 
@@ -146,7 +161,7 @@ def apply_epoch(
     Iceberg commit-retry loop; the per-stream epoch marker stays correct
     because a replayed epoch collapses to seq-tie carries."""
     if normalize:
-        batch = normalize_change_events(batch)
+        batch = (normalizer or normalize_change_events)(batch)
 
     def write_ledger(stats: MergeStats) -> None:
         with _phase("lineage_write"):
@@ -182,12 +197,16 @@ def replay(
     on_epoch: Callable[[int, MergeStats], None] | None = None,
     mode: str = "mor",
     compact_every: int | None = None,
+    normalizer: Callable[[DataFrame], DataFrame] | None = None,
 ) -> ReplaySummary:
     """Replay the log in offset-range epochs, skipping committed ones.
 
     ``mode='mor'`` (default) appends delta files per epoch — O(batch) write
     cost; ``compact_every=K`` folds deltas into base files after every K run
     epochs (read-amplification bound, like Iceberg maintenance cadence).
+    ``normalizer`` overrides the per-table transformer (normalize.REGISTRY
+    dispatch — the reference's per-index transformers); default is the
+    ``change_events`` normalization.
     """
     if total_offsets is None:
         mx = log.agg(F.max("offset")).collect()[0][0]
@@ -236,6 +255,7 @@ def replay(
         stats = apply_epoch(
             table, batch, stream_id, plan.epoch_id, plan.offset_lo, plan.offset_hi,
             mode=mode, in_counts=counts.get(plan.epoch_id, {}) if precounted else None,
+            normalizer=normalizer,
         )
         summary.epochs_run += 1
         if compact_every and summary.epochs_run % compact_every == 0:
@@ -261,6 +281,8 @@ def stream_ingest(
     mode: str = "mor",
     compact_every: int | None = None,
     trigger_interval: str | None = None,
+    normalizer: Callable[[DataFrame], DataFrame] | None = None,
+    log_schema=None,
 ):
     """Structured Streaming tail of a parquet log directory.
 
@@ -278,7 +300,7 @@ def stream_ingest(
     reference's interval_size × num_intervals_in_bulk planner parameters
     (worker_config_mainnet.json:21-22)."""
     src = (
-        spark.readStream.schema(CHANGE_EVENTS)
+        spark.readStream.schema(log_schema if log_schema is not None else CHANGE_EVENTS)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(log_dir)
     )
@@ -302,7 +324,8 @@ def stream_ingest(
         lo = min((r["lo"] for r in rows), default=0)
         hi = max((r["hi"] + 1 for r in rows), default=0)
         apply_epoch(
-            table, batch_df, stream_id, epoch_id, lo, hi, mode=mode, in_counts=in_counts
+            table, batch_df, stream_id, epoch_id, lo, hi, mode=mode,
+            in_counts=in_counts, normalizer=normalizer,
         )
         if compact_every and (epoch_id + 1) % compact_every == 0:
             table.compact()
@@ -318,7 +341,12 @@ def stream_ingest(
 
 
 def bootstrap_snapshot(
-    table: LakeTable, snapshot: DataFrame, seq_column: str | None = "seq"
+    table: LakeTable,
+    snapshot: DataFrame,
+    seq_column: str | None = "seq",
+    stream_id: str | None = None,
+    epoch_id: int | None = None,
+    marker_mode: str = "contiguous",
 ) -> int:
     """Truncate-and-reload: replace the ENTIRE table with a full-state
     snapshot — the reference's mutable-index flow (TRUNCATE then full
@@ -331,7 +359,11 @@ def bootstrap_snapshot(
     pre-folded per key (max-seq winner) before write: a snapshot export with
     duplicate keys would otherwise land verbatim in base files with no MOR
     fold armed (``mor_appends=0``) and reads would return duplicates.
-    Returns the committed snapshot row count."""
+
+    ``stream_id``/``epoch_id`` optionally record a stream marker atomically
+    with the seed commit — the replication reseed path marks the upstream
+    version the seed captured, so tailing resumes from there with no
+    seed/marker crash window. Returns the committed snapshot row count."""
     from multiversx_etl_spark.operators.dedup import dedup_latest
 
     m = table.snapshot()
@@ -355,11 +387,16 @@ def bootstrap_snapshot(
     new_files = table.write_data_files(df, f"bootstrap-v{m.version:08d}")
     for f in new_files:
         f["base"] = True
+    n_rows = sum(f["rows"] for f in new_files)
     table.commit(
         new_files,
         replaced_pids=set(range(m.num_buckets)),
         operation="bootstrap",
+        stream_id=stream_id,
+        epoch_id=epoch_id,
+        epoch_info={"reseed": True, "rows": n_rows} if stream_id is not None else None,
         expected_parent=m.version,
         properties={"mor_appends": 0},
+        marker_mode=marker_mode,
     )
-    return sum(f["rows"] for f in new_files)
+    return n_rows

@@ -52,6 +52,121 @@ def test_errata_default_zero(tmp_path):
     assert cfg.erratum_for("unlisted") == 0
 
 
+def test_multi_table_config_end_to_end(spark, tmp_path):
+    """The reference's primary interface: a LIST of tables per config, each
+    with its own schema/transformer/stream/erratum, planned and reconciled
+    together (worker_config.py:51-65, app_controller.py:55-102). The second
+    table exercises the nested array<struct> normalization (A7/A8/A9)
+    through MERGE → MOR fold → reconcile."""
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        generate_commit_log,
+        write_log_parquet,
+    )
+
+    repos_log = str(tmp_path / "repos_log")
+    commits_log = str(tmp_path / "commits_log")
+    write_log_parquet(
+        generate_change_log(spark, 300, num_repos=5, paths_per_repo=10),
+        repos_log, files=2,
+    )
+    write_log_parquet(generate_commit_log(spark, 300, num_repos=5), commits_log, files=2)
+    cfg = worker_config_from_dict({
+        "interval_size": 150,
+        "num_buckets": 4,
+        "counts_checks_errata": {"repos": 0, "commits": 0},
+        "tables": [
+            {"name": "repos", "table_root": str(tmp_path / "t_repos"),
+             "log_path": repos_log},
+            {"name": "commits", "table_root": str(tmp_path / "t_commits"),
+             "log_path": commits_log, "schema": "commits",
+             "normalizer": "commit_events", "stream_id": "commits"},
+        ],
+    })
+    s1 = run_from_config(spark, cfg)
+    assert s1["reconcile_ok"]
+    assert s1["tables"]["repos"]["epochs_run"] >= 2
+    assert s1["tables"]["commits"]["epochs_run"] >= 2
+    # exactly-once across BOTH ledgers on rerun
+    s2 = run_from_config(spark, cfg)
+    assert s2["reconcile_ok"]
+    assert s2["tables"]["repos"]["epochs_run"] == 0
+    assert s2["tables"]["commits"]["epochs_run"] == 0
+
+    # normalization reached storage: volatile column absent, nested
+    # 'reserved' stripped, tag NULLs scrubbed
+    t = LakeTable(spark, str(tmp_path / "t_commits"))
+    rows = t.read().collect()
+    assert rows
+    assert "api_score" not in t.read().columns
+    for r in rows:
+        assert all(s.asDict().keys() == {"shard", "start_ts"} for s in r["shards"])
+        assert all(tag is not None for tag in r["tags"])
+
+
+def test_commits_merge_matches_duckdb_fold(spark, tmp_path):
+    """Independent oracle for the second declared table: DuckDB applies the
+    same normalization + LWW fold over the commit log and must agree with
+    the engine's MERGE → MOR-fold read, nested columns included."""
+    import duckdb
+
+    from multiversx_etl_spark.operators.normalize import normalize_commit_events
+    from multiversx_etl_spark.schemas import TABLES
+    from multiversx_etl_spark.sources.changelog import (
+        generate_commit_log,
+        write_log_parquet,
+    )
+    from multiversx_etl_spark.streaming.ingest import ensure_table, replay
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(generate_commit_log(spark, 400, num_repos=6), log_path, files=2)
+    _, target_schema, key = TABLES["commits"]
+    table = ensure_table(
+        spark, str(tmp_path / "t"), num_buckets=4,
+        schema=target_schema, key_columns=key,
+    )
+    replay(
+        spark.read.parquet(log_path), table, interval_size=150,
+        normalizer=normalize_commit_events,
+    )
+
+    def canon_spark(rows):
+        return {
+            (
+                r["repo"], r["commit"], r["author"], tuple(r["tags"]),
+                tuple((s["shard"], s["start_ts"]) for s in r["shards"]), r["seq"],
+            )
+            for r in rows
+        }
+
+    got = canon_spark(table.read().collect())
+    con = duckdb.connect()
+    oracle = con.execute(f"""
+        WITH norm AS (
+          SELECT seq, op, repo, commit, author,
+                 list_transform(tags, t -> coalesce(t, '')) AS tags,
+                 list_transform(shards,
+                                s -> {{'shard': s.shard, 'start_ts': s.start_ts}}) AS shards
+          FROM read_parquet('{log_path}/*.parquet')
+        ),
+        w AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, commit
+                                       ORDER BY seq DESC) AS rn
+          FROM norm
+        )
+        SELECT repo, commit, author, tags, shards, seq
+        FROM w WHERE rn = 1 AND op <> 'delete'
+    """).fetchall()
+    con.close()
+    want = {
+        (repo, commit, author, tuple(tags),
+         tuple((s["shard"], s["start_ts"]) for s in shards), seq)
+        for repo, commit, author, tags, shards, seq in oracle
+    }
+    assert got == want and len(got) > 0
+
+
 def test_run_from_config_end_to_end(spark, tmp_path):
     """One configured iteration: replay + reconcile, exactly-once on rerun."""
     from multiversx_etl_spark.sources.changelog import (
