@@ -148,6 +148,9 @@ class MergeStats:
     rows_deleted: int = 0
     touched_buckets: int = 0
     per_bucket: list[dict] | None = None
+    #: set by replication when the round fell back to a full snapshot
+    #: re-seed instead of a row delta (retention gap / non-merge commit)
+    reseeded: bool = False
 
 
 def _fully_nullable(dt):
