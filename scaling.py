@@ -33,6 +33,10 @@ the per-level MEDIAN throughput.
 
 Usage: python scaling.py [--events 4000000] [--epochs 2] [--buckets 32]
                          [--levels 1,4,8,32] [--repeats 3]
+       python scaling.py --executors 2,8 --exec-cores 2 [--repeats 3]
+           # local-cluster[N,cores,mem]: separate executor JVMs with real
+           # inter-executor shuffle serialization — the strongest
+           # N->4N-EXECUTOR evidence a single box can produce
 """
 
 from __future__ import annotations
@@ -53,9 +57,8 @@ from multiversx_etl_spark.lake.table import LakeTable
 from multiversx_etl_spark.schemas import REPOS
 from multiversx_etl_spark.streaming.ingest import replay
 
-cpus = {cpus}
-spark = get_spark("scaling-%d" % cpus, master="local[%d]" % cpus,
-                  shuffle_partitions=2 * cpus)
+spark = get_spark("scaling-{label}", master={master!r},
+                  shuffle_partitions={shuffle})
 spark.sparkContext.setLogLevel("ERROR")
 log = spark.read.parquet({log_path!r})
 log.count()  # warm page cache before timing
@@ -64,7 +67,8 @@ table = LakeTable.create(spark, {table_path!r}, REPOS,
 t0 = time.perf_counter()
 summary = replay(log, table, interval_size={interval}, total_offsets={total})
 wall = time.perf_counter() - t0
-print(json.dumps({{"cpus": cpus, "wall_sec": round(wall, 3),
+print(json.dumps({{"level": {label!r}, "master": {master!r},
+                  "wall_sec": round(wall, 3),
                   "events": {total}, "events_per_sec": round({total} / wall, 1),
                   "epochs": summary.epochs_run,
                   "final_rows": table.read().count()}}))
@@ -72,11 +76,11 @@ spark.stop()
 """
 
 
-def run_level(repo: str, cpus: int, log_path: str, table_path: str,
-              buckets: int, interval: int, total: int) -> dict:
-    code = _CHILD.format(repo=repo, cpus=cpus, log_path=log_path,
-                         table_path=table_path, buckets=buckets,
-                         interval=interval, total=total)
+def run_level(repo: str, label: str, master: str, shuffle: int, log_path: str,
+              table_path: str, buckets: int, interval: int, total: int) -> dict:
+    code = _CHILD.format(repo=repo, label=label, master=master, shuffle=shuffle,
+                         log_path=log_path, table_path=table_path,
+                         buckets=buckets, interval=interval, total=total)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
@@ -90,10 +94,29 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--levels", default="1,4,8,32",
                     help="comma-separated local[] levels; efficiency reported for every (n, 4n) pair present")
+    ap.add_argument("--executors", default=None,
+                    help="comma-separated EXECUTOR counts (e.g. '2,8'): run "
+                    "local-cluster[N,cores,mem] instead of local[N] — separate "
+                    "executor JVMs with real inter-executor shuffle "
+                    "serialization, the closest N->4N-executor evidence this "
+                    "single box can produce (VERDICT r02 item #2)")
+    ap.add_argument("--exec-cores", type=int, default=2,
+                    help="cores per executor in --executors mode")
+    ap.add_argument("--exec-mem", type=int, default=4096,
+                    help="MiB per executor in --executors mode")
     ap.add_argument("--repeats", type=int, default=1,
                     help="runs per level (interleaved); median throughput per level")
     args = ap.parse_args()
-    levels = [int(x) for x in args.levels.split(",")]
+    if args.executors:
+        levels = [int(x) for x in args.executors.split(",")]
+        masters = {
+            n: f"local-cluster[{n},{args.exec_cores},{args.exec_mem}]" for n in levels
+        }
+        shuffles = {n: 2 * n * args.exec_cores for n in levels}
+    else:
+        levels = [int(x) for x in args.levels.split(",")]
+        masters = {n: f"local[{n}]" for n in levels}
+        shuffles = {n: 2 * n for n in levels}
 
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, repo)
@@ -104,7 +127,8 @@ def main() -> None:
     log_path = os.path.join(workdir, "log")
     try:
         # one shared input, written once (64 files feed every level evenly)
-        spark = get_spark("scaling-gen", master=f"local[{max(levels)}]")
+        gen_cores = max(levels) * (args.exec_cores if args.executors else 1)
+        spark = get_spark("scaling-gen", master=f"local[{gen_cores}]")
         spark.sparkContext.setLogLevel("ERROR")
         log = generate_change_log(
             spark, args.events, num_repos=max(100, args.events // 2000),
@@ -117,13 +141,13 @@ def main() -> None:
         interval = -(-total // args.epochs)
         samples: dict[int, list[float]] = {c: [] for c in levels}
         for rep in range(args.repeats):
-            for cpus in levels:  # interleaved: a load spike hits all levels
+            for n in levels:  # interleaved: a load spike hits all levels
                 r = run_level(
-                    repo, cpus, log_path,
-                    os.path.join(workdir, f"t{cpus}r{rep}"),
+                    repo, str(n), masters[n], shuffles[n], log_path,
+                    os.path.join(workdir, f"t{n}r{rep}"),
                     args.buckets, interval, total,
                 )
-                samples[cpus].append(r["events_per_sec"])
+                samples[n].append(r["events_per_sec"])
                 print(json.dumps(r), flush=True)
 
         def median(xs: list[float]) -> float:
@@ -148,6 +172,8 @@ def main() -> None:
             "metric": "scaling_efficiency",
             "value": max((p["efficiency"] for p in pairs), default=None),
             "unit": "ratio",
+            "mode": "executors" if args.executors else "threads",
+            "masters": {str(c): masters[c] for c in levels},
             "pairs": pairs,
             "levels": {str(c): round(med[c], 1) for c in levels},
             "samples": {str(c): samples[c] for c in levels},
