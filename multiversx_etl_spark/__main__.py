@@ -138,6 +138,19 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--total-offsets", type=int, required=True)
     tk.add_argument("--interval-size", type=int, required=True)
     tk.add_argument("--stream-id", default="main")
+    tk.add_argument(
+        "--limit", type=int, default=100,
+        help="max epoch rows printed (0 = summary counts only); the "
+        "dashboard stays O(screen) at 10^4+ epochs",
+    )
+    tk.add_argument(
+        "--status", choices=["finished", "interrupted", "pending"], default=None,
+        help="only list epochs in this state (counts always cover all)",
+    )
+    tk.add_argument(
+        "--from-epoch", type=int, default=0,
+        help="start listing at this epoch id (pagination cursor)",
+    )
 
     rb = sub.add_parser("rollback", help="time-travel to snapshot version")
     rb.add_argument("table")
@@ -431,8 +444,23 @@ def _dispatch(spark, args) -> int:
             r["status"]: r["n"]
             for r in df.groupBy("status").agg(F.count("*").alias("n")).collect()
         }
-        epochs = [r.asDict() for r in df.orderBy("epoch_id").collect()]
-        print(json.dumps({"by_status": counts, "epochs": epochs}, default=str))
+        # collect only the page requested: the dashboard must stay
+        # O(limit) driver-side however many epochs the plan spans
+        page = df.where(F.col("epoch_id") >= args.from_epoch)
+        if args.status:
+            page = page.where(F.col("status") == args.status)
+        epochs = (
+            []
+            if args.limit == 0
+            else [r.asDict() for r in page.orderBy("epoch_id").limit(args.limit).collect()]
+        )
+        print(
+            json.dumps(
+                {"by_status": counts, "epochs": epochs, "limit": args.limit,
+                 "from_epoch": args.from_epoch, "status_filter": args.status},
+                default=str,
+            )
+        )
         return 0
 
     if args.cmd == "rollback":

@@ -35,3 +35,42 @@ def plan_offset_ranges(total_offsets: int, interval_size: int, start_offset: int
         plans.append(BatchPlan(epoch_id=lo // interval_size, offset_lo=lo, offset_hi=hi))
         lo = hi
     return plans
+
+
+def offsets_for_time_range(log, start_ts, end_ts, lateness_seconds: int = 60):
+    """ts→offset resolver: the WALL-TIME planning veneer over the
+    offset-native planner (the reference plans ``[start_ts, end_ts)``
+    intervals and refuses to plan within END_TIME_DELTA of now —
+    tasks_dashboard.py:35-46, constants.py:7; offsets are this engine's
+    native currency, so a time request resolves to the covering offset
+    range).
+
+    With out-of-orderness bounded by ``lateness_seconds`` (every event with
+    event_ts < T has arrived before any event with event_ts ≥ T + lateness
+    — the END_TIME_DELTA contract), the half-open offset range that
+    certainly contains every event with ``start_ts <= event_ts < end_ts``
+    is::
+
+        lo = min offset with event_ts >= start_ts            (first possible)
+        hi = min offset with event_ts >= end_ts + lateness   (first past-the-end)
+
+    Returns ``(lo, hi)`` as Python ints (one tiny two-scalar agg job); the
+    caller replays ``[lo, hi)`` and filters ``event_ts`` exactly. An empty
+    window returns (0, 0)."""
+    import pyspark.sql.functions as F
+
+    row = log.agg(
+        F.min(F.when(F.col("event_ts") >= F.lit(start_ts), F.col("offset"))).alias("lo"),
+        F.min(
+            F.when(
+                F.col("event_ts")
+                >= F.lit(end_ts) + F.expr(f"INTERVAL {int(lateness_seconds)} SECONDS"),
+                F.col("offset"),
+            )
+        ).alias("hi"),
+        F.max("offset").alias("mx"),
+    ).collect()[0]
+    if row["lo"] is None:
+        return (0, 0)
+    hi = row["hi"] if row["hi"] is not None else row["mx"] + 1
+    return (int(row["lo"]), int(hi))

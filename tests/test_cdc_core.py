@@ -261,3 +261,40 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
         table.pids_for_buckets({0}, table.snapshot())  # any single bucket
     ))
     assert pid_files < n_total  # bucket pruning is real, not a full scan
+
+
+def test_offsets_for_time_range(spark):
+    """ts→offset resolver (the reference's wall-time interval planning over
+    the offset-native planner): the resolved range covers exactly the
+    events whose event_ts falls in the window, given bounded lateness."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from multiversx_etl_spark.plans.planner import offsets_for_time_range
+
+    base = dt.datetime(2020, 7, 30, 14, 0, 0)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    # arrival order with out-of-orderness bounded by 60s: (offset, ts_off)
+    rows = [(0, 0), (1, 70), (2, 40), (3, 130), (4, 100), (5, 200), (6, 170)]
+    log = spark.createDataFrame(
+        [(o, ts(s)) for o, s in rows], "offset long, event_ts timestamp"
+    )
+    lo, hi = offsets_for_time_range(log, ts(40), ts(130), lateness_seconds=60)
+    got = {
+        r["offset"]
+        for r in log.where(
+            (F.col("offset") >= lo) & (F.col("offset") < hi)
+            & (F.col("event_ts") >= F.lit(ts(40))) & (F.col("event_ts") < F.lit(ts(130)))
+        ).collect()
+    }
+    want = {o for o, s in rows if 40 <= s < 130}
+    assert got == want
+    # window past the log's end: hi falls back to max offset + 1
+    lo2, hi2 = offsets_for_time_range(log, ts(150), ts(1000), lateness_seconds=60)
+    assert hi2 == 7
+    # empty window before the log
+    assert offsets_for_time_range(log, ts(10_000), ts(20_000)) == (0, 0)
