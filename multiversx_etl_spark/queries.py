@@ -1413,6 +1413,102 @@ def q_nested_daily_activity(spark, sf_dir):
 
 
 @_register(
+    "q_asof_prior_view",
+    """
+    WITH u AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND user_id < 200
+    ),
+    w AS (
+      SELECT *,
+        last_value(CASE WHEN tag = 1 THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_view_id,
+        last_value(CASE WHEN tag = 1 THEN epoch_us(ts) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_view_us
+      FROM u
+    )
+    SELECT event_id AS purchase_id, user_id AS uid, prior_view_id,
+           CAST(epoch_us(ts) - prior_view_us AS BIGINT) AS gap_us
+    FROM w WHERE tag = 0
+    """,
+)
+def q_asof_prior_view(spark, sf_dir):
+    """AS-OF JOIN — the canonical operator Spark lacks natively (the build
+    brief's example of a custom operator), composed scale-first: for every
+    purchase, the latest STRICTLY-EARLIER view by the same user. Instead of
+    a per-row range join (which Catalyst would plan as an exploding
+    inequality join), both event streams UNION with a side tag and ONE
+    ranking-frame window carries the last view forward
+    (``last(..., ignorenulls)`` over rows-unbounded-preceding) — a single
+    shuffle on user_id, linear in events, no pair blowup, the same plan
+    shape at 100 TB. Ties: a view at the exact purchase timestamp sorts
+    AFTER the purchase (tag ordering), so 'strictly earlier' is exact and
+    deterministic. Purchases with no prior view keep NULLs (left as-of)."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view") & (F.col("user_id") < 200)
+    )
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.when(F.col("tag") == 1, F.col("event_id"))
+    view_us = F.when(F.col("tag") == 1, F.unix_micros(F.col("ts").cast("timestamp")))
+    return (
+        tagged.withColumn("prior_view_id", F.last(view_id, ignorenulls=True).over(w))
+        .withColumn("prior_view_us", F.last(view_us, ignorenulls=True).over(w))
+        .where(F.col("tag") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("uid"),
+            "prior_view_id",
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("prior_view_us")).alias("gap_us"),
+        )
+    )
+
+
+@_register(
+    "q_stratified_sample",
+    """
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the training-data mixing
+    primitive (fixed per-stratum quotas for dataset curation): within each
+    ``lang`` stratum take the 20 documents ranked by md5(doc_id), a uniform
+    deterministic shuffle both engines compute identically (no rand(),
+    whose draw depends on partition layout). Plan: one ranking window per
+    stratum — shuffle on the narrow stratum key only; at 100 TB quota
+    sampling stays a single exchange + per-partition top-k heap."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("sample_rank"))
+    )
+
+
+@_register(
     "q_user_event_gaps",
     """
     SELECT user_id, event_id,

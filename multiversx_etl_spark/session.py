@@ -31,8 +31,10 @@ DEFAULT_CONF: dict[str, str] = {
     # zstd shuffle/IO codec: ~17% faster replay at local[4] vs lz4 (fewer
     # bytes through the saturated memory fabric; ~2% slower at local[1]
     # where CPU is the constraint). At cluster scale shuffle bytes are the
-    # scarce resource — higher compression is the right default.
-    "spark.io.compression.codec": "zstd",
+    # scarce resource — higher compression is the right default. Env
+    # override for ops A/B (e.g. a saturated single box where codec CPU
+    # competes with the shuffle for the same bottleneck resource).
+    "spark.io.compression.codec": os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
