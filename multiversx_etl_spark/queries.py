@@ -1509,6 +1509,208 @@ def q_stratified_sample(spark, sf_dir):
 
 
 @_register(
+    "q_benchmark_contamination",
+    """
+    WITH words AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    ),
+    sh AS (
+      -- per-doc dedup happens INSIDE the row (list_distinct before unnest):
+      -- no distinct shuffle of the exploded corpus
+      SELECT doc_id, source,
+             unnest(list_distinct(
+               list_transform(range(1, greatest(2, len(w) - 1), 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM words
+    ),
+    bench AS (SELECT doc_id AS bench_doc_id, s FROM sh WHERE source = 'src0'),
+    bench_sizes AS (
+      SELECT bench_doc_id, count(*) AS bench_shingles FROM bench GROUP BY 1
+    ),
+    train AS (SELECT doc_id AS train_doc_id, s FROM sh WHERE source <> 'src0'),
+    overlap AS (
+      SELECT t.train_doc_id, b.bench_doc_id, count(*) AS shared_shingles
+      FROM train t JOIN bench b USING (s)
+      GROUP BY 1, 2
+    )
+    SELECT o.train_doc_id, o.bench_doc_id, o.shared_shingles,
+           CAST(o.shared_shingles AS DOUBLE) / z.bench_shingles AS bench_frac
+    FROM overlap o JOIN bench_sizes z USING (bench_doc_id)
+    WHERE o.shared_shingles >= 5
+    """,
+)
+def q_benchmark_contamination(spark, sf_dir):
+    """Benchmark-contamination detection — the training-data hygiene op:
+    find candidate training documents whose word 3-gram shingles overlap a
+    held-out benchmark set (here source='src0') by >= 5 distinct shingles,
+    reporting the shared count and the fraction of the benchmark document
+    covered. Plan shape at 100 TB: the benchmark suite is a small fixed
+    corpus, so its shingle index and per-doc sizes are BROADCAST — the n-TB
+    training side streams through two broadcast hash joins with no shuffle
+    of the big side until the final (train_doc, bench_doc) aggregate, whose
+    cardinality is bounded by bench-hit pairs (threshold tuned so the
+    planted near-dup contaminations separate cleanly from word-soup noise:
+    sf0.01 2 pairs at shared 32/76, sf0.1 37 pairs)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("w")
+    ).where(F.size("w") >= 3)
+    # per-doc shingle dedup via array_distinct BEFORE the explode — a narrow
+    # per-row op, so the big training side reaches its broadcast join with
+    # ZERO exchanges (no corpus-wide distinct shuffle)
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.lit(0), F.size("w") - F.lit(3))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("w", i + 1),
+                F.element_at("w", i + 2),
+                F.element_at("w", i + 3),
+            ),
+        )
+    )
+    sh = words.select("doc_id", "source", F.explode(shingle_arr).alias("s"))
+    bench = sh.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_doc_id"), "s"
+    )
+    bench_sizes = bench.groupBy("bench_doc_id").agg(
+        F.count("*").alias("bench_shingles")
+    )
+    train = sh.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_doc_id"), "s"
+    )
+    overlap = (
+        train.join(F.broadcast(bench), on="s")
+        .groupBy("train_doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= 5)
+    )
+    return overlap.join(F.broadcast(bench_sizes), on="bench_doc_id").select(
+        "train_doc_id",
+        "bench_doc_id",
+        "shared_shingles",
+        (F.col("shared_shingles").cast("double") / F.col("bench_shingles")).alias(
+            "bench_frac"
+        ),
+    )
+
+
+@_register(
+    "q_repetition_quality",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             CAST(list_max(list_transform(list_distinct(w),
+                    t -> len(list_filter(w, x -> x = t)))) AS DOUBLE) / len(w)
+               AS top_token_frac,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
+             1.0 - CAST(len(list_distinct(list_transform(range(1, len(w), 1),
+                                            i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+                   / (len(w) - 1) AS dup_bigram_frac
+      FROM words
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, top_token_frac,
+           type_token_ratio, dup_bigram_frac,
+           (top_token_frac > 0.12 OR type_token_ratio < 0.35
+            OR dup_bigram_frac > 0.08) AS flagged
+    FROM m
+    """,
+)
+def q_repetition_quality(spark, sf_dir):
+    """Repetition-based quality scoring (Gopher-style filters): per-doc
+    top-token fraction, type-token ratio, and duplicate-bigram fraction,
+    with a flag at the tuned thresholds. The whole computation is per-row
+    array higher-order functions (transform/filter/array_distinct on the
+    token array) — a SHUFFLE-FREE narrow map over the corpus, the ideal
+    100 TB plan: zero exchanges, streams at scan speed, embarrassingly
+    parallel. The O(distinct x n) token-multiplicity fold is bounded by
+    document length, not corpus size. Both engines compute the identical
+    IEEE doubles (exact integer inputs, single rounded division)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w")).where(
+        F.size("w") >= 2
+    )
+    n = F.size("w")
+    top_c = F.array_max(
+        F.transform(
+            F.array_distinct("w"),
+            lambda t: F.size(F.filter("w", lambda x: x == t)),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i + 1), F.element_at("w", i + 2)
+        ),
+    )
+    m = words.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (top_c.cast("double") / n).alias("top_token_frac"),
+        (F.size(F.array_distinct("w")).cast("double") / n).alias("type_token_ratio"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double") / (n - F.lit(1))
+        ).alias("dup_bigram_frac"),
+    )
+    return m.select(
+        "*",
+        (
+            (F.col("top_token_frac") > 0.12)
+            | (F.col("type_token_ratio") < 0.35)
+            | (F.col("dup_bigram_frac") > 0.08)
+        ).alias("flagged"),
+    )
+
+
+@_register(
+    "q_source_mix_weights",
+    """
+    WITH per_lang AS (
+      -- CAST: DuckDB sum() widens to HUGEINT, which arrow-bridges to
+      -- float64 and fails the dtype gate (r01 defect #1 pattern)
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1
+    )
+    SELECT lang, n_docs, total_chars,
+           CAST(total_chars AS DOUBLE) / sum(total_chars) OVER () AS char_share,
+           (1.0 / count(*) OVER ())
+             / (CAST(total_chars AS DOUBLE) / sum(total_chars) OVER ())
+             AS uniform_weight
+    FROM per_lang
+    """,
+)
+def q_source_mix_weights(spark, sf_dir):
+    """Training-mix weighting: per-language document/char counts, the
+    char share of the global corpus, and the up/down-sampling weight that
+    would equalize the mix (uniform target / actual share) — the number a
+    data-mixing pipeline feeds to the stratified sampler. Plan: a full
+    partial-aggregated groupBy reduces the corpus to one row per language
+    BEFORE the unpartitioned window runs, so the single-partition window
+    sees |langs| rows, not the corpus — safe at any scale."""
+    per_lang = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+    w = Window.partitionBy()
+    share = F.col("total_chars").cast("double") / F.sum("total_chars").over(w)
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        share.alias("char_share"),
+        ((F.lit(1.0) / F.count("*").over(w)) / share).alias("uniform_weight"),
+    )
+
+
+@_register(
     "q_user_event_gaps",
     """
     SELECT user_id, event_id,

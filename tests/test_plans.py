@@ -98,6 +98,27 @@ def test_cosine_near_dup_recall_vs_exact(spark):
         assert recalled >= 0.9, f"high-cos recall {recalled:.2f} < 0.9"
 
 
+def test_repetition_quality_shuffle_free(spark):
+    """q_repetition_quality computes every metric with per-row array HOFs:
+    the plan must be scan -> filter -> project with ZERO exchanges — the
+    embarrassingly-parallel shape that streams at scan speed at 100 TB."""
+    text = plan_text(Q.QUERIES["q_repetition_quality"](spark, SF_DIR))
+    assert "Exchange" not in text
+    assert "BatchEvalPython" not in text
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """q_benchmark_contamination joins the n-TB training side against the
+    small benchmark shingle index via BROADCAST hash joins only — a
+    sort-merge join would shuffle the whole training corpus on shingle."""
+    text = plan_text(Q.QUERIES["q_benchmark_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+    # per-doc shingle dedup is array_distinct inside the row (visible in
+    # the plan), not a corpus-wide distinct shuffle
+    assert "array_distinct" in text
+
+
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
 def test_no_row_at_a_time_python(spark, name):
     """input_hint: vectorized pandas/Arrow UDFs only — a BatchEvalPython
