@@ -1516,21 +1516,23 @@ def q_stratified_sample(spark, sf_dir):
       WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
     ),
     sh AS (
-      -- per-doc dedup happens INSIDE the row (list_distinct before unnest):
-      -- no distinct shuffle of the exploded corpus
       SELECT doc_id, source,
-             unnest(list_distinct(
-               list_transform(range(1, greatest(2, len(w) - 1), 1),
-                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+             unnest(list_transform(range(1, greatest(2, len(w) - 1), 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
       FROM words
     ),
-    bench AS (SELECT doc_id AS bench_doc_id, s FROM sh WHERE source = 'src0'),
+    bench AS (
+      SELECT DISTINCT doc_id AS bench_doc_id, s FROM sh WHERE source = 'src0'
+    ),
     bench_sizes AS (
       SELECT bench_doc_id, count(*) AS bench_shingles FROM bench GROUP BY 1
     ),
     train AS (SELECT doc_id AS train_doc_id, s FROM sh WHERE source <> 'src0'),
     overlap AS (
-      SELECT t.train_doc_id, b.bench_doc_id, count(*) AS shared_shingles
+      -- repeated shingles dedup in the aggregate, AFTER the bench join has
+      -- shrunk the stream to bench-hit rows
+      SELECT t.train_doc_id, b.bench_doc_id,
+             count(DISTINCT s) AS shared_shingles
       FROM train t JOIN bench b USING (s)
       GROUP BY 1, 2
     )
@@ -1556,23 +1558,27 @@ def q_benchmark_contamination(spark, sf_dir):
     words = d.select(
         "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("w")
     ).where(F.size("w") >= 3)
-    # per-doc shingle dedup via array_distinct BEFORE the explode — a narrow
-    # per-row op, so the big training side reaches its broadcast join with
-    # ZERO exchanges (no corpus-wide distinct shuffle)
-    shingle_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.lit(0), F.size("w") - F.lit(3))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("w", i + 1),
-                F.element_at("w", i + 2),
-                F.element_at("w", i + 3),
-            ),
-        )
+    # explode + codegen'd projection for the shingles (an interpreted
+    # array_distinct HOF per row A/B'd 2.5x slower); duplicate shingles are
+    # deduplicated by count(DISTINCT) in the overlap aggregate instead,
+    # which runs AFTER the broadcast join has shrunk the stream to
+    # bench-hit rows — so the big training side still reaches its join
+    # with zero exchanges and the distinct work is bounded by bench hits
+    idx = F.sequence(F.lit(0), F.greatest(F.lit(0), F.size("w") - F.lit(3)))
+    sh = words.select("doc_id", "source", F.explode(idx).alias("i"), "w").select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ",
+            F.element_at("w", F.col("i") + 1),
+            F.element_at("w", F.col("i") + 2),
+            F.element_at("w", F.col("i") + 3),
+        ).alias("s"),
     )
-    sh = words.select("doc_id", "source", F.explode(shingle_arr).alias("s"))
-    bench = sh.where(F.col("source") == "src0").select(
-        F.col("doc_id").alias("bench_doc_id"), "s"
+    bench = (
+        sh.where(F.col("source") == "src0")
+        .select(F.col("doc_id").alias("bench_doc_id"), "s")
+        .distinct()
     )
     bench_sizes = bench.groupBy("bench_doc_id").agg(
         F.count("*").alias("bench_shingles")
@@ -1583,7 +1589,7 @@ def q_benchmark_contamination(spark, sf_dir):
     overlap = (
         train.join(F.broadcast(bench), on="s")
         .groupBy("train_doc_id", "bench_doc_id")
-        .agg(F.count("*").alias("shared_shingles"))
+        .agg(F.countDistinct("s").alias("shared_shingles"))
         .where(F.col("shared_shingles") >= 5)
     )
     return overlap.join(F.broadcast(bench_sizes), on="bench_doc_id").select(
