@@ -1,0 +1,274 @@
+"""Incrementally-maintained aggregate views over the change feed.
+
+The second downstream CDC consumer (beside table→table replication,
+``replicate.py``): a grouped COUNT/SUM rollup stored as its own LakeTable,
+refreshed from the upstream table's row deltas instead of recomputed — the
+classic incremental view maintenance (IVM) delta-propagation scheme for
+self-maintainable aggregates.
+
+This is the reference's "main dataset → BI rollup dataset" flow
+(/root/reference/multiversxetl/bq_client.py:118-130 schedules whole-dataset
+transfers and the BI queries re-aggregate from scratch every time) rebuilt
+as a delta consumer: one refresh moves O(changed keys + affected groups),
+never O(table).
+
+How a refresh computes the group deltas, 100 TB-shaped:
+
+1. ``src.changes(start, cur)`` lists only the delta FILES committed in the
+   version range (no table scan) and yields the changed row keys.
+2. The pre-image (state at ``start``) and post-image (state at ``cur``) of
+   the *changed keys only* are time-travel reads **bucket-pruned to the
+   buckets those keys hash into** — at 100 TB with B buckets, a refresh
+   that touched k buckets scans k/B of the table, and the key semi-join
+   discards everything but the changed keys before the aggregate.
+3. Pre-image rows weigh −1, post-image rows +1; one partial-aggregated
+   ``groupBy(dims)`` turns them into per-group count/sum deltas. Deletes,
+   multi-version update chains and dim-moves all fall out of the ±1
+   algebra — no per-change-type case analysis.
+4. The deltas full-outer-join (null-safe on dims) the view's CURRENT rows
+   for the affected groups (again bucket-pruned), producing the new group
+   rows; groups whose count reaches 0 become tombstones.
+5. One ``merge_batch`` commits the new rows with the upstream version as
+   both ``seq`` and the exactly-once epoch marker (``latest_only``, same
+   contract as replication): a crashed or re-run refresh recomputes the
+   identical delta from immutable versioned inputs and the marker makes
+   the re-commit a no-op.
+
+Only COUNT and SUM (and anything derivable from them — AVG = sum/count)
+are maintainable this way: they are *self-maintainable* (invertible) under
+inserts+deletes. MIN/MAX are not — deleting the current extremum of a
+group requires rescanning the group — so the spec rejects them; compute
+those with a normal query or a full ``reseed_agg_view``.
+
+Retention interacts exactly as replication does: if ``expire_snapshots``
+dropped the range (or it contains a bootstrap/promote/rollback full-state
+replacement), the refresh auto-reseeds — full recompute at the current
+version, committed atomically with the marker.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from multiversx_etl_spark.lake.table import LakeTable
+from multiversx_etl_spark.operators.merge import MergeStats, merge_batch
+
+_NUMERIC = {"byte", "short", "integer", "long", "float", "double"}
+
+
+@dataclass(frozen=True)
+class AggViewSpec:
+    """A grouped rollup: ``SELECT dims..., count(*) AS count_alias,
+    sum(col) AS alias... GROUP BY dims``.
+
+    ``dims`` become the view table's upsert key. ``sums`` maps output
+    alias -> numeric source column (decimal sums work; pass the column
+    pre-cast in the source if you need a specific precision).
+    """
+
+    dims: tuple[str, ...]
+    sums: dict[str, str] = field(default_factory=dict)
+    count_alias: str = "n_rows"
+
+    def agg_exprs(self) -> list:
+        # sums are null-coalesced: SQL's "sum of no non-null values is
+        # NULL" is not incrementally distinguishable from 0 without extra
+        # per-group state, so the view defines sum(col) ≡ coalesce(sum, 0)
+        # — in the full form here AND the delta form in refresh_agg_view
+        exprs = [F.count(F.lit(1)).alias(self.count_alias)]
+        exprs += [
+            F.coalesce(F.sum(F.col(src)), F.lit(0)).alias(alias)
+            for alias, src in self.sums.items()
+        ]
+        return exprs
+
+    def aggregate(self, df: DataFrame) -> DataFrame:
+        """The full (non-incremental) form — the reseed path and the
+        correctness oracle both use exactly this."""
+        return df.groupBy(*self.dims).agg(*self.agg_exprs())
+
+    def validate(self, src: LakeTable) -> None:
+        schema = src.snapshot().schema
+        names = {f.name: f.dataType.typeName() for f in schema.fields}
+        for d in self.dims:
+            if d not in names:
+                raise ValueError(f"dim {d!r} not in source schema")
+        for alias, col in self.sums.items():
+            t = names.get(col)
+            if t is None:
+                raise ValueError(f"sum source {col!r} not in source schema")
+            if t not in _NUMERIC and not t.startswith("decimal"):
+                raise ValueError(
+                    f"sum({col!r}) is {t}: only numeric columns are "
+                    "incrementally summable"
+                )
+        reserved = {*self.dims, "seq", "deleted", "op"}
+        for alias in (*self.sums, self.count_alias):
+            if alias in reserved:
+                raise ValueError(f"aggregate alias {alias!r} collides")
+
+
+def create_agg_view(
+    src: LakeTable, root: str, spec: AggViewSpec, num_buckets: int = 16
+) -> LakeTable:
+    """CREATE MATERIALIZED VIEW: derive the rollup schema from the source
+    (Catalyst's own sum/count result types, so long sums stay long and
+    decimal sums widen per SQL rules) and create the backing LakeTable
+    keyed by the dims."""
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    spec.validate(src)
+    agg_schema = spec.aggregate(src.read().limit(0)).schema
+    schema = StructType(
+        list(agg_schema.fields)
+        + [
+            StructField("seq", LongType(), False),
+            StructField("deleted", BooleanType(), False),
+        ]
+    )
+    return LakeTable.create(
+        src.spark, root, schema, key_columns=list(spec.dims), num_buckets=num_buckets
+    )
+
+
+def reseed_agg_view(
+    src: LakeTable,
+    view: LakeTable,
+    spec: AggViewSpec,
+    stream_id: str = "matview",
+) -> MergeStats:
+    """Full recompute at the current upstream version, committed atomically
+    with the (stream, upstream-version) marker — the bootstrap path and the
+    retention-gap fallback."""
+    from multiversx_etl_spark.streaming.ingest import bootstrap_snapshot
+
+    cur = src.current_version()
+    rollup = spec.aggregate(src.read(version=cur)).withColumn("seq", F.lit(cur))
+    n = bootstrap_snapshot(
+        view,
+        rollup,
+        seq_column="seq",
+        stream_id=stream_id,
+        epoch_id=cur,
+        marker_mode="latest_only",
+    )
+    return MergeStats(rows_in=n, rows_inserted=n, reseeded=True)
+
+
+def _null_safe_on(left: DataFrame, right: DataFrame, cols) :
+    cond = None
+    for c in cols:
+        eq = left[c].eqNullSafe(right[c])
+        cond = eq if cond is None else cond & eq
+    return cond
+
+
+def refresh_agg_view(
+    src: LakeTable,
+    view: LakeTable,
+    spec: AggViewSpec,
+    stream_id: str = "matview",
+    auto_reseed: bool = True,
+) -> MergeStats | None:
+    """Apply all upstream changes since the last refreshed version to the
+    rollup. Returns merge stats, or None when already up to date."""
+    last = view.last_committed_epoch(stream_id)
+    start = int(last) if last is not None else 0
+    cur = src.current_version()
+    if start >= cur:
+        return None
+    try:
+        feed = src.changes(start, cur)
+    except ValueError:
+        if not auto_reseed:
+            raise
+        return reseed_agg_view(src, view, spec, stream_id)
+
+    key = src.snapshot().key_columns
+    changed = feed.select(*key).distinct()
+
+    # bucket-prune both time-travel reads to the buckets the changed keys
+    # hash into: bounded driver collect (<= num_buckets rows post-distinct)
+    src_buckets = {
+        r["b"]
+        for r in changed.select(src.bucket_of().alias("b")).distinct().collect()
+    }
+    if not src_buckets:  # feed had no logical rows (e.g. compact-only range)
+        empty = view.read().limit(0).drop("deleted", "seq").withColumn(
+            "op", F.lit("update")
+        )
+        return merge_batch(
+            view, empty.withColumn("seq", F.lit(cur)), stream_id, epoch_id=cur,
+            offset_lo=start, offset_hi=cur, marker_mode="latest_only",
+        )
+
+    def _image(version: int, weight: int) -> DataFrame:
+        img = src.read(version=version, buckets=src_buckets)
+        return img.join(
+            changed, on=_null_safe_on(img, changed, key), how="left_semi"
+        ).withColumn("_w", F.lit(weight))
+
+    pm = _image(start, -1).unionByName(_image(cur, +1))
+    d_exprs = [F.sum("_w").alias(f"_d_{spec.count_alias}")] + [
+        F.sum(F.col("_w") * F.col(srccol)).alias(f"_d_{alias}")
+        for alias, srccol in spec.sums.items()
+    ]
+    delta = pm.groupBy(*spec.dims).agg(*d_exprs)
+    # groups whose every delta nets to zero (value-preserving updates)
+    # change nothing — drop them before touching the view
+    nz = F.col(f"_d_{spec.count_alias}") != 0
+    for alias in spec.sums:
+        nz = nz | F.col(f"_d_{alias}").isNotNull() & (F.col(f"_d_{alias}") != 0)
+    delta = delta.where(nz)
+
+    # current view rows for the affected groups only, bucket-pruned the
+    # same way (dims are the view's key)
+    aff = delta.select(*spec.dims)
+    view_buckets = {
+        r["b"]
+        for r in aff.withColumn("b", view.bucket_of())
+        .select("b")
+        .distinct()
+        .collect()
+    }
+    cur_rows = view.read(buckets=view_buckets)
+    cur_rows = cur_rows.join(
+        aff, on=_null_safe_on(cur_rows, aff, spec.dims), how="left_semi"
+    )
+
+    v, d = cur_rows.alias("v"), delta.alias("d")
+    cond = None
+    for c in spec.dims:
+        eq = F.col(f"v.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = v.join(d, on=cond, how="full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"d.{c}"), F.col(f"v.{c}")).alias(c) for c in spec.dims
+    ]
+    new_n = F.coalesce(F.col(f"v.{spec.count_alias}"), F.lit(0)) + F.coalesce(
+        F.col(f"d._d_{spec.count_alias}"), F.lit(0)
+    )
+    out_cols.append(new_n.alias(spec.count_alias))
+    for alias in spec.sums:
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"v.{alias}"), F.lit(0))
+                + F.coalesce(F.col(f"d._d_{alias}"), F.lit(0))
+            ).alias(alias)
+        )
+    batch = joined.select(*out_cols).withColumn(
+        "op", F.when(F.col(spec.count_alias) == 0, "delete").otherwise("update")
+    ).withColumn("seq", F.lit(cur))
+
+    return merge_batch(
+        view,
+        batch,
+        stream_id,
+        epoch_id=cur,  # marker = upstream version refreshed through
+        offset_lo=start,
+        offset_hi=cur,
+        marker_mode="latest_only",
+    )

@@ -1,0 +1,181 @@
+"""Incrementally-maintained aggregate views (streaming/materialize.py):
+every refresh must leave the view exactly equal to a from-scratch
+recompute of the same rollup at the current upstream version."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from multiversx_etl_spark.lake.table import LakeTable
+from multiversx_etl_spark.operators.merge import merge_batch
+from multiversx_etl_spark.schemas import REPOS
+from multiversx_etl_spark.streaming.materialize import (
+    AggViewSpec,
+    create_agg_view,
+    refresh_agg_view,
+    reseed_agg_view,
+)
+
+SPEC = AggViewSpec(dims=("lang",), sums={"seq_total": "seq"})
+
+
+def _mk_src(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "src"), REPOS, key_columns=["repo", "path"], num_buckets=4
+    )
+
+
+def _batch(spark, rows):
+    cols = (
+        "offset long, seq long, op string, repo string, path string, "
+        "commit string, lang string, content string"
+    )
+    return spark.createDataFrame(rows, cols)
+
+
+def _view_state(view):
+    return {
+        (r["lang"], r["n_rows"], r["seq_total"]) for r in view.read().collect()
+    }
+
+
+def _recompute_state(src, spec=SPEC):
+    return {
+        (r["lang"], r["n_rows"], r["seq_total"])
+        for r in spec.aggregate(src.read()).collect()
+    }
+
+
+def test_refresh_matches_recompute_through_cdc_epochs(spark, tmp_path):
+    src = _mk_src(spark, tmp_path)
+    view = create_agg_view(src, str(tmp_path / "view"), SPEC, num_buckets=4)
+
+    # epoch 0: inserts across groups, including a NULL group key
+    merge_batch(src, _batch(spark, [
+        (0, 1, "insert", "r", "a.py", "c", "py", "v1"),
+        (1, 1, "insert", "r", "b.py", "c", "py", "v1"),
+        (2, 1, "insert", "r", "c.rs", "c", "rs", "v1"),
+        (3, 1, "insert", "r", "d.txt", "c", None, "v1"),
+    ]), "m", 0, 0, 4)
+    s = refresh_agg_view(src, view, SPEC)
+    assert s is not None
+    assert _view_state(view) == _recompute_state(src)
+    assert ("py", 2, 2) in _view_state(view)
+
+    # epoch 1: value-change update (same group), dim-move update (py -> rs),
+    # delete (shrinks a group), insert into the null group
+    merge_batch(src, _batch(spark, [
+        (4, 2, "update", "r", "a.py", "c", "py", "v2"),
+        (5, 2, "update", "r", "b.py", "c", "rs", "v1"),
+        (6, 2, "delete", "r", "c.rs", "c", "rs", None),
+        (7, 2, "insert", "r", "e.txt", "c", None, "v1"),
+    ]), "m", 1, 4, 8)
+    s = refresh_agg_view(src, view, SPEC)
+    assert s is not None
+    assert _view_state(view) == _recompute_state(src)
+
+    # epoch 2: delete the LAST row of a group -> the group row must vanish
+    # (tombstone), not linger as a zero-count row
+    merge_batch(src, _batch(spark, [
+        (8, 3, "delete", "r", "a.py", "c", "py", None),
+        (9, 3, "delete", "r", "b.py", "c", "rs", None),
+    ]), "m", 2, 8, 10)
+    refresh_agg_view(src, view, SPEC)
+    assert _view_state(view) == _recompute_state(src)
+    assert "py" not in {r["lang"] for r in view.read().collect()}
+
+
+def test_refresh_is_exactly_once_and_incremental(spark, tmp_path):
+    src = _mk_src(spark, tmp_path)
+    view = create_agg_view(src, str(tmp_path / "view"), SPEC, num_buckets=4)
+    merge_batch(src, _batch(spark, [
+        (0, 1, "insert", "r", "a.py", "c", "py", "v1"),
+    ]), "m", 0, 0, 1)
+    assert refresh_agg_view(src, view, SPEC) is not None
+    # up to date: no-op, twice (marker = upstream version)
+    assert refresh_agg_view(src, view, SPEC) is None
+    assert refresh_agg_view(src, view, SPEC) is None
+
+    # the second refresh moves only the delta (one changed key), not the
+    # whole table
+    merge_batch(src, _batch(spark, [
+        (1, 2, "update", "r", "a.py", "c", "py", "v2"),
+    ]), "m", 1, 1, 2)
+    s = refresh_agg_view(src, view, SPEC)
+    assert s is not None and _view_state(view) == _recompute_state(src)
+
+
+def test_compact_only_range_commits_marker(spark, tmp_path):
+    src = _mk_src(spark, tmp_path)
+    view = create_agg_view(src, str(tmp_path / "view"), SPEC, num_buckets=4)
+    merge_batch(src, _batch(spark, [
+        (0, 1, "insert", "r", "a.py", "c", "py", "v1"),
+    ]), "m", 0, 0, 1)
+    refresh_agg_view(src, view, SPEC)
+    before = _view_state(view)
+    src.compact()  # physical-only commit: version advances, no logical change
+    s = refresh_agg_view(src, view, SPEC)
+    assert s is not None and _view_state(view) == before
+    assert refresh_agg_view(src, view, SPEC) is None  # marker advanced
+
+
+def test_retention_gap_auto_reseeds(spark, tmp_path):
+    src = _mk_src(spark, tmp_path)
+    view = create_agg_view(src, str(tmp_path / "view"), SPEC, num_buckets=4)
+    for e in range(4):
+        merge_batch(src, _batch(spark, [
+            (e, e + 1, "insert", "r", f"f{e}.py", "c", "py", "v1"),
+        ]), "m", e, e, e + 1)
+    refresh_agg_view(src, view, SPEC)
+    # more epochs, then expire history past the view's cursor
+    for e in range(4, 8):
+        merge_batch(src, _batch(spark, [
+            (e, e + 1, "insert", "r", f"f{e}.rs", "c", "rs", "v1"),
+        ]), "m", e, e, e + 1)
+    src.expire_snapshots(keep_last=1)
+    s = refresh_agg_view(src, view, SPEC)
+    assert s is not None and s.reseeded
+    assert _view_state(view) == _recompute_state(src)
+    with pytest.raises(ValueError):
+        # gated mode restores the raise for O(table)-copy-averse callers
+        src2 = _mk_src(spark, tmp_path / "x")
+        view2 = create_agg_view(src2, str(tmp_path / "x" / "view"), SPEC)
+        merge_batch(src2, _batch(spark, [
+            (0, 1, "insert", "r", "a.py", "c", "py", "v1"),
+        ]), "m", 0, 0, 1)
+        merge_batch(src2, _batch(spark, [
+            (1, 2, "insert", "r", "b.py", "c", "py", "v1"),
+        ]), "m", 1, 1, 2)
+        src2.expire_snapshots(keep_last=1)
+        refresh_agg_view(src2, view2, SPEC, auto_reseed=False)
+
+
+def test_bootstrap_via_reseed_then_tail(spark, tmp_path):
+    src = _mk_src(spark, tmp_path)
+    view = create_agg_view(src, str(tmp_path / "view"), SPEC, num_buckets=4)
+    merge_batch(src, _batch(spark, [
+        (0, 1, "insert", "r", "a.py", "c", "py", "v1"),
+        (1, 1, "insert", "r", "b.rs", "c", "rs", "v1"),
+    ]), "m", 0, 0, 2)
+    s = reseed_agg_view(src, view, SPEC)
+    assert s.reseeded and _view_state(view) == _recompute_state(src)
+    # tailing resumes from the seeded version — no re-application
+    assert refresh_agg_view(src, view, SPEC) is None
+    merge_batch(src, _batch(spark, [
+        (2, 2, "delete", "r", "a.py", "c", "py", None),
+    ]), "m", 1, 2, 3)
+    refresh_agg_view(src, view, SPEC)
+    assert _view_state(view) == _recompute_state(src)
+
+
+def test_spec_validation(spark, tmp_path):
+    src = _mk_src(spark, tmp_path)
+    with pytest.raises(ValueError, match="not in source schema"):
+        AggViewSpec(dims=("nope",)).validate(src)
+    with pytest.raises(ValueError, match="incrementally summable"):
+        AggViewSpec(dims=("lang",), sums={"s": "content"}).validate(src)
+    with pytest.raises(ValueError, match="collides"):
+        AggViewSpec(dims=("lang",), sums={"lang": "seq"}).validate(src)
+    with pytest.raises(ValueError, match="not in source schema"):
+        AggViewSpec(dims=("lang",), sums={"s": "nope"}).validate(src)
