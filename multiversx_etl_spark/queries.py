@@ -745,8 +745,9 @@ def q_simhash(spark, sf_dir):
     return agg.select("doc_id", bits.alias("simhash"))
 
 
-_MINHASH_PAIR_SQL = """
-WITH words AS (
+#: shared CTE text: per-doc 3-band MinHash signatures (used by the pair
+#: oracle AND the connected-components clustering oracle below)
+_MINHASH_SIG_CTES = """words AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
 ),
 sigs AS (
@@ -764,7 +765,10 @@ sigs AS (
                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
            s -> md5('s3|' || s))) AS m3
   FROM words WHERE len(w) >= 3
-)
+)"""
+
+_MINHASH_PAIR_SQL = f"""
+WITH {_MINHASH_SIG_CTES}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sigs a JOIN sigs b
   ON a.doc_id < b.doc_id
@@ -792,6 +796,128 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_SIG_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id
+   AND (a.m1 = b.m1 OR a.m2 = b.m2 OR a.m3 = b.m3)
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc_id
+),
+labels AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY 1),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM labels l JOIN sizes s USING (cluster_id)
+"""
+
+
+@_register("q_dedup_clusters", _CLUSTERS_SQL)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER ASSIGNMENT: connected components over the
+    MinHash-LSH pair graph, so each document gets a canonical cluster id
+    (the component's min doc_id) and a cluster size — what a dedup pipeline
+    actually keys its keep-one-per-cluster decision on, one level above the
+    raw pair list.
+
+    Spark-first shape: hash-min label propagation WITH pointer doubling
+    (the GraphX/connected-components algorithm as plain DataFrame ops).
+    Each round does two hops — min over edge neighbors, then min over the
+    label's OWN label (path compression) — so convergence is O(log
+    diameter) rounds, not O(diameter): the band graph here measures
+    diameter ~7 (chains of docs linked through shared band buckets), which
+    plain propagation walks in 8 rounds and doubling in 5 (measured at
+    sf0.1 — the last round only confirms the fixpoint). Each round's
+    result is localCheckpoint'ed: iterative self-joins otherwise stack
+    lineage into an exponentially re-evaluated plan (on a cluster this
+    would be a reliable checkpoint instead). At 100 TB the per-round cost
+    is the edge-list shuffle — O(near-dup pairs), NOT O(n^2) — the label
+    state is 2 columns per doc, and the round count is logarithmic in the
+    deepest dup chain.
+
+    The DuckDB oracle is the same fixpoint as a recursive CTE (min label
+    reachable along edges). Documents with no near-dup edges (including
+    <3-token docs that have no shingles) are their own singleton cluster.
+    """
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        # materialize once: every propagation round re-reads the edge list,
+        # and without this each round would re-run the 3-band LSH join
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    while True:
+        nbr = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), on="src"
+        ).select(
+            F.col("dst").alias("doc_id"),
+            "cluster_id",
+            F.lit(False).alias("_self"),
+        )
+        # the doc's OWN current label rides through the same union tagged
+        # _self, so the min-aggregate yields (new, old) per doc in ONE
+        # shuffle — no separate old-vs-new join for the fixpoint test
+        hop1 = (
+            labels.withColumn("_self", F.lit(True))
+            .unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("_self"), F.col("cluster_id"))).alias("_old"),
+            )
+        )
+        # pointer doubling: follow my (new) label to ITS label and take the
+        # min — halves the remaining path length every round, turning
+        # O(diameter) rounds into O(log diameter)
+        parents = hop1.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("_parent"),
+        )
+        agg = (
+            hop1.join(parents, on="cluster_id", how="left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_parent"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                "_old",
+            )
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease: any change strictly lowers some label,
+        # so "no row changed" is the fixpoint (a narrow scan of the
+        # checkpointed round result — no extra shuffle)
+        changed = (
+            agg.where(F.col("cluster_id") != F.col("_old")).limit(1).count()
+        )
+        labels = agg.drop("_old")
+        if changed == 0:
+            break
+    # cluster_size via a window over the final labels: one shuffle on
+    # cluster_id and NO second relation — sizes are O(n_clusters) rows,
+    # which at 100 TB is NOT broadcastable (almost every doc is a
+    # singleton cluster)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
+    )
 
 
 #: document-frequency cap: shingles occurring in more than this many

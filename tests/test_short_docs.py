@@ -13,6 +13,7 @@ from multiversx_etl_spark import queries as Q
 NAMES = [
     "q_minhash_signatures",
     "q_minhash_lsh_pairs",
+    "q_dedup_clusters",
     "q_simhash",
     "q_ngram_jaccard_pairs",
     "q_doc_fingerprint",
