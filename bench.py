@@ -54,13 +54,19 @@ def _sf_of(path: str) -> float:
 
 def run_query_suite(spark, sf_dir: str) -> dict[str, float]:
     """Execute every registered query end-to-end (noop sink: full execution,
-    zero driver-collect overhead) and return per-query wall seconds."""
+    zero driver-collect overhead) and return per-query wall seconds.
+
+    The timer wraps DataFrame CONSTRUCTION as well as execution: queries
+    with an eager phase (q_ivf_ann's quantizer training collects centroids;
+    q_dedup_clusters' label-propagation rounds localCheckpoint inside the
+    builder) do real cluster work before the returned plan ever runs, and
+    timing only the final noop save would silently exclude it."""
     from multiversx_etl_spark import queries as Q
 
     timings: dict[str, float] = {}
     for name in sorted(Q.QUERIES):
-        df = Q.QUERIES[name](spark, sf_dir)
         t0 = time.perf_counter()
+        df = Q.QUERIES[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
     return timings

@@ -2409,3 +2409,198 @@ def q_embedding_pq_codes(spark, sf_dir):
             (-F.col("_w.nd")).alias("err_e12"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: vocabulary, TF-IDF, leakage matrix, length quantiles
+# ---------------------------------------------------------------------------
+
+_VOCAB_SQL = """
+SELECT t AS token, count(*) AS n_occurrences
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents)
+WHERE t <> ''
+GROUP BY 1
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+"""
+
+
+@_register("q_vocab_top_tokens", _VOCAB_SQL)
+def q_vocab_top_tokens(spark, sf_dir):
+    """Corpus vocabulary heavy hitters — the first aggregate of tokenizer
+    training (BPE/unigram seeding starts from exactly this table). Top 100
+    tokens by total occurrences, ties broken by token so the cut at rank
+    100 is deterministic.
+
+    100 TB plan: explode streams tokens out of the scan with no exchange,
+    the count is map-side partially aggregated (vocabulary-sized partials,
+    not corpus-sized), and the top-100 is TakeOrderedAndProject — per
+    partition heaps + a driver merge of 100-row slices, never a full sort
+    of the vocabulary."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(100)
+    )
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(tf.tf * ln(n.n / idf.df) * 1000000) AS BIGINT)
+           AS tfidf_micro
+  FROM tf JOIN idf USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_micro DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf_micro, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+@_register("q_tfidf_top_terms", _TFIDF_SQL)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — the classic keyword/relevance
+    scorer (and the feature extractor behind sparse retrieval indexes).
+    Scores are floored to fixed-point micro-units so both engines compare
+    exact integers; the double math before the floor (tf · ln(N/df) · 1e6)
+    is the identical IEEE754 expression on both sides.
+
+    100 TB plan: tf is one map-side-combined aggregate of the exploded
+    token stream; df is a second, vocabulary-sized aggregate OF tf (no
+    second corpus scan). The tf⋈df equi-join on term is the classic
+    skew-join — stopwords put millions of tf rows under one term key — so
+    AQE skew handling splits those partitions at runtime; the df side is
+    one row per term. The final ranking window partitions by doc_id:
+    bounded by document length, embarrassingly parallel. N comes from
+    parquet footers driver-side — no counting job."""
+    n_docs = float(_parquet_rows(f"{sf_dir}/documents.parquet"))
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        F.floor(
+            F.col("tf") * F.log(F.lit(n_docs) / F.col("df")) * F.lit(1000000)
+        ).alias("tfidf_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_micro"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf_micro", "rank")
+    )
+
+
+_LEAKAGE_SQL = f"""
+WITH {_MINHASH_SIG_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id
+   AND (a.m1 = b.m1 OR a.m2 = b.m2 OR a.m3 = b.m3)
+)
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       count(*) AS n_pairs
+FROM pairs p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+@_register("q_source_leakage_matrix", _LEAKAGE_SQL)
+def q_source_leakage_matrix(spark, sf_dir):
+    """Cross-source near-duplicate LEAKAGE MATRIX: for every pair of
+    sources, how many near-dup candidate pairs (MinHash-LSH band
+    agreement) span them. The off-diagonal cells are what a training-data
+    curator audits before mixing sources (shared boilerplate, mirrored
+    sites, benchmark bleed); the diagonal measures intra-source
+    redundancy.
+
+    100 TB plan: the pair list is O(near-dup pairs) from the banded LSH
+    equi-joins (never all-pairs); attaching sources is two equi-joins on
+    doc_id against the narrow (doc_id, source) projection of the corpus —
+    shuffle-partitioned joins keyed on the id, with the scan pruned to two
+    columns; the final aggregate is at most (n_sources choose 2) + n_sources
+    rows — tiny at any scale."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "_sa"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "_sb"), "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+        )
+    )
+    return lab.groupBy("src_a", "src_b").agg(F.count("*").alias("n_pairs"))
+
+
+_LENGTH_QUANTILES_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@_register("q_source_length_quantiles", _LENGTH_QUANTILES_SQL)
+def q_source_length_quantiles(spark, sf_dir):
+    """Per-source document-length distribution (discrete p50/p90) — the
+    length-filter calibration stat of a data pipeline (choose truncation
+    and minimum-length thresholds per source from its actual
+    distribution). DISCRETE quantiles — the order statistic at rank
+    ceil(q·n), an actual element of the group — so both engines return the
+    identical integer with no interpolation-formula ULP hazard (DuckDB's
+    quantile_disc computes the same rank; verified across group sizes
+    including exact multiples of 1/q).
+
+    100 TB plan: one ranking window per source (a single per-group sort
+    shuffle of a 2-column projection — n_chars and the id tiebreak; text
+    is pruned at the scan) feeding one partial-aggregated pivot. Group
+    count per window partition is the source's doc count; a pathological
+    mega-source is the classic window skew and would take the salted
+    two-pass rank (operators/dedup.py) — at this table's source
+    cardinality the plain window is the right plan."""
+    d = load(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    d2 = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    p50_rank = F.ceil(F.lit(0.5) * F.col("n"))
+    p90_rank = F.ceil(F.lit(0.9) * F.col("n"))
+    return d2.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.max(F.when(F.col("rn") == p50_rank, F.col("n_chars"))).alias("p50_chars"),
+        F.max(F.when(F.col("rn") == p90_rank, F.col("n_chars"))).alias("p90_chars"),
+    )

@@ -26,6 +26,14 @@ EXPECT = {
     "q_cdc_latest_state": ["partial"],
     "q_token_counts": ["ReadSchema: struct<doc_id:bigint,text:string>"],
     "q_mips_topk": ["TakeOrderedAndProject"],
+    # vocabulary top-k: partial (map-side) agg + per-partition heaps, no
+    # full sort of the vocabulary
+    "q_vocab_top_tokens": ["TakeOrderedAndProject", "partial"],
+    # length quantiles: text column pruned at the scan (the window sorts a
+    # 3-column projection, never the document bodies)
+    "q_source_length_quantiles": [
+        "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"
+    ],
 }
 
 
