@@ -60,16 +60,30 @@ def run_query_suite(spark, sf_dir: str) -> dict[str, float]:
     with an eager phase (q_ivf_ann's quantizer training collects centroids;
     q_dedup_clusters' label-propagation rounds localCheckpoint inside the
     builder) do real cluster work before the returned plan ever runs, and
-    timing only the final noop save would silently exclude it."""
+    timing only the final noop save would silently exclude it.
+
+    The whole suite runs NUM_REPEATS times and each query reports its
+    FASTEST pass (same stance as the CDC faces, VERDICT r02 #5): this VM's
+    wall times swing one-sided — identical back-to-back suite runs measure
+    2× apart under fabric/steal noise, which round-over-round reads as
+    phantom per-query regressions. All samples ship in the JSON."""
     from multiversx_etl_spark import queries as Q
 
     timings: dict[str, float] = {}
-    for name in sorted(Q.QUERIES):
-        t0 = time.perf_counter()
-        df = Q.QUERIES[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-    return timings
+    construct: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in Q.QUERIES}
+    for _rep in range(max(1, NUM_REPEATS)):
+        for name in sorted(Q.QUERIES):
+            t0 = time.perf_counter()
+            df = Q.QUERIES[name](spark, sf_dir)
+            t1 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            total = round(time.perf_counter() - t0, 4)
+            samples[name].append(total)
+            if name not in timings or total < timings[name]:
+                timings[name] = total
+                construct[name] = round(t1 - t0, 4)
+    return timings, construct, samples
 
 
 def run_cdc_replay(spark, workdir: str) -> dict[str, float]:
@@ -180,7 +194,7 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="mxetl-bench-")
     try:
         t_total = time.perf_counter()
-        timings = run_query_suite(spark, SF_DIR)
+        timings, construct, suite_samples = run_query_suite(spark, SF_DIR)
         cdc = run_cdc_replay(spark, workdir)
         # per-query ledger entry = the measured best replay itself (NOT the
         # whole harness incl. log gen + repeats — those are setup)
@@ -193,6 +207,12 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            # construction-phase share of each timing (driver-side plan
+            # build + any eager phase, e.g. quantizer training / label
+            # propagation rounds); execution = queries[k] - construct[k]
+            "construct": construct,
+            # every pass's wall seconds per query (headline = fastest)
+            "suite_samples": suite_samples,
             "sf": _sf_of(SF_DIR),
             "cpus": CPUS,
             "repeats": NUM_REPEATS,

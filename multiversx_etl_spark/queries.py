@@ -1094,17 +1094,10 @@ def q_embedding_cosine_near_dup(spark, sf_dir):
 
     band_rows = []
     for bi, planes in enumerate(_BAND_PLANES):
-        bits = []
-        for row in planes:
-            w = F.array(*[F.lit(v) for v in row])
-            proj = F.aggregate(
-                F.zip_with("qm", w, lambda x, wv: x * wv),
-                F.lit(0).cast("long"),
-                lambda s, x: s + x,
-            )
-            bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
         band_rows.append(
-            eq.select("vec_id", F.lit(bi).alias("band"), F.concat(*bits).alias("sig"))
+            eq.select(
+                "vec_id", F.lit(bi).alias("band"), _sig_expr(planes, "qm").alias("sig")
+            )
         )
     bands = band_rows[0]
     for extra in band_rows[1:]:
@@ -1203,6 +1196,26 @@ def _lsh_bucket_sql(planes: list[list[int]]) -> str:
     return " || ".join(bits)
 
 
+def _sig_expr(planes: list[list[int]], qcol: str):
+    """Hyperplane-signature bits over a pre-quantized BIGINT array column,
+    built as ONE SQL string instead of per-literal Column objects: the
+    F.lit-array form created 2,048 literal nodes through py4j (~3 s of
+    pure driver chatter per query — measured, bench `construct` split),
+    while one F.expr is a single round-trip parsed JVM-side. The runtime
+    shape is unchanged (zip_with/aggregate fold per bit); an inlined
+    64-term-per-bit arithmetic variant was also tried and rejected — its
+    2,048-term codegen units compiled slower than the fold evaluates."""
+    bits = []
+    for row in planes:
+        arr = ",".join(str(w) for w in row)
+        proj = (
+            f"aggregate(zip_with({qcol}, array({arr}), "
+            f"(x, w) -> x * CAST(w AS BIGINT)), 0L, (s, x) -> s + x)"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ", ".join(bits) + ")")
+
+
 _LSH_PLANES = _lsh_planes()
 
 _LSH_ANN_SQL = f"""
@@ -1232,17 +1245,7 @@ def q_embedding_lsh_ann(spark, sf_dir):
     fixed-point; per-vector top-1 via ranking window."""
     e = load(spark, sf_dir, "embeddings")
     qcol = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"))
-    e = e.withColumn("q", qcol)
-    bits = []
-    for row in _LSH_PLANES:
-        w = F.array(*[F.lit(v) for v in row])
-        proj = F.aggregate(
-            F.zip_with("q", w, lambda x, wv: x * wv),
-            F.lit(0).cast("long"),
-            lambda s, x: s + x,
-        )
-        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
-    e = e.withColumn("bucket", F.concat(*bits))
+    e = e.withColumn("q", qcol).withColumn("bucket", _sig_expr(_LSH_PLANES, "q"))
     a = e.select(F.col("vec_id"), F.col("bucket"), F.transform("embedding", lambda x: F.floor(x.cast("double") * 10000).cast("long")).alias("qa"))
     b = e.select(F.col("vec_id").alias("nn_id"), F.col("bucket").alias("bucket_b"), F.transform("embedding", lambda x: F.floor(x.cast("double") * 10000).cast("long")).alias("qb"))
     dot = F.aggregate(
