@@ -1,0 +1,271 @@
+"""Incrementally-maintained row-level TRANSFORM views over the change feed.
+
+The third downstream CDC consumer (beside table→table replication,
+``replicate.py``, and aggregate IVM, ``materialize.py``): a per-row derived
+table — feature columns computed from each source row — stored as its own
+LakeTable keyed by the SOURCE key, and refreshed from the upstream change
+feed instead of recomputed. The flagship instance is a **MinHash near-dup
+index over the source-code table's content** (``minhash_index_spec``): at
+100 TB you do not re-shingle the corpus per dedup run — you maintain the
+signature index from the change feed and the dedup candidate join reads the
+index, never the content.
+
+Reference analog: the reference re-derives its downstream datasets by
+re-running whole-dataset transfers on a schedule
+(/root/reference/multiversxetl/bq_client.py:118-130); here derivation is a
+delta consumer with the same exactly-once contract as every other stream
+into a LakeTable.
+
+Why this is simpler than aggregate IVM (materialize.py): a row transform is
+keyed by the source key, so no pre-image is needed — the post-image of the
+*changed keys only* fully determines the new view rows, and deletes map to
+deletes. A refresh therefore moves O(changed keys), never O(table):
+
+1. ``src.changes(start, cur)`` lists the delta files in the version range
+   (no table scan) and yields the changed row keys.
+2. The post-image (state at ``cur``) of those keys is a time-travel read
+   bucket-pruned to the buckets the keys hash into, semi-joined down to the
+   changed keys, WITH tombstones — a key whose latest state is a tombstone
+   becomes a view delete, a live key becomes a recomputed view row.
+3. One ``merge_batch`` commits the batch with the upstream version as both
+   ``seq`` and the exactly-once marker (``latest_only``): a crashed or
+   re-run refresh recomputes the identical rows from immutable versioned
+   inputs and the marker makes the re-commit a no-op.
+
+Retention interacts exactly as replication does: if ``expire_snapshots``
+dropped the range (or it contains a bootstrap/promote/rollback full-state
+replacement), the refresh auto-reseeds — full recompute at the current
+version, committed atomically with the marker.
+
+The transform is declared as SQL expression strings (worker-config
+serializable, parsed JVM-side — never a Python UDF), with optional ``pre``
+intermediate columns so shared subexpressions (e.g. the token array feeding
+every MinHash band) are computed once per row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from multiversx_etl_spark.lake.table import LakeTable
+from multiversx_etl_spark.operators.merge import MergeStats, merge_batch
+
+#: column names the engine owns on every LakeTable row
+_RESERVED = ("seq", "deleted", "op")
+
+
+@dataclass(frozen=True)
+class TransformViewSpec:
+    """A per-row derived view: ``SELECT key..., exprs... FROM src``.
+
+    ``exprs`` maps output column name -> SQL expression over a source row.
+    ``pre`` maps intermediate name -> SQL expression; pre columns are
+    computed first (in insertion order, later entries may reference earlier
+    ones), are visible to ``exprs``, and are NOT stored — the Spark-side
+    common-subexpression hoist for transforms like MinHash where every
+    output shares the same shingle array.
+    """
+
+    exprs: dict[str, str]
+    pre: dict[str, str] = field(default_factory=dict)
+
+    def transform(self, df: DataFrame, key: list[str]) -> DataFrame:
+        """The full (non-incremental) form — the reseed path, the refresh
+        batch, and the correctness oracle all use exactly this."""
+        for name, e in self.pre.items():
+            df = df.withColumn(name, F.expr(e))
+        return df.select(
+            *key, *[F.expr(e).alias(name) for name, e in self.exprs.items()]
+        )
+
+    def validate(self, src: LakeTable) -> None:
+        if not self.exprs:
+            raise ValueError("a transform view needs at least one expression")
+        snap = src.snapshot()
+        for name in self.exprs:
+            if name in snap.key_columns or name in _RESERVED or name in self.pre:
+                raise ValueError(f"output column {name!r} collides")
+        # surface bad references/syntax at declaration time, not first refresh
+        self.transform(src.read().limit(0), list(snap.key_columns))
+
+
+def create_transform_view(
+    src: LakeTable, root: str, spec: TransformViewSpec, num_buckets: int = 16
+) -> LakeTable:
+    """CREATE MATERIALIZED VIEW: derive the output schema from Catalyst's
+    own expression result types and create the backing LakeTable keyed by
+    the source key (same bucketing scheme, so view reads prune like source
+    reads)."""
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    spec.validate(src)
+    key = list(src.snapshot().key_columns)
+    out_schema = spec.transform(src.read().limit(0), key).schema
+    schema = StructType(
+        list(out_schema.fields)
+        + [
+            StructField("seq", LongType(), False),
+            StructField("deleted", BooleanType(), False),
+        ]
+    )
+    return LakeTable.create(
+        src.spark, root, schema, key_columns=key, num_buckets=num_buckets
+    )
+
+
+def reseed_transform_view(
+    src: LakeTable,
+    view: LakeTable,
+    spec: TransformViewSpec,
+    stream_id: str = "xformview",
+) -> MergeStats:
+    """Full recompute at the current upstream version, committed atomically
+    with the (stream, upstream-version) marker — the bootstrap path and the
+    retention-gap fallback."""
+    from multiversx_etl_spark.streaming.ingest import bootstrap_snapshot
+
+    key = list(src.snapshot().key_columns)
+    cur = src.current_version()
+    rows = spec.transform(src.read(version=cur), key).withColumn("seq", F.lit(cur))
+    n = bootstrap_snapshot(
+        view,
+        rows,
+        seq_column="seq",
+        stream_id=stream_id,
+        epoch_id=cur,
+        marker_mode="latest_only",
+    )
+    return MergeStats(rows_in=n, rows_inserted=n, reseeded=True)
+
+
+def _null_safe_on(left: DataFrame, right: DataFrame, cols):
+    cond = None
+    for c in cols:
+        eq = left[c].eqNullSafe(right[c])
+        cond = eq if cond is None else cond & eq
+    return cond
+
+
+def refresh_transform_view(
+    src: LakeTable,
+    view: LakeTable,
+    spec: TransformViewSpec,
+    stream_id: str = "xformview",
+    auto_reseed: bool = True,
+) -> MergeStats | None:
+    """Apply all upstream changes since the last refreshed version to the
+    view. Returns merge stats, or None when already up to date."""
+    last = view.last_committed_epoch(stream_id)
+    start = int(last) if last is not None else 0
+    cur = src.current_version()
+    if start >= cur:
+        return None
+    try:
+        feed = src.changes(start, cur)
+    except ValueError:
+        if not auto_reseed:
+            raise
+        return reseed_transform_view(src, view, spec, stream_id)
+
+    key = list(src.snapshot().key_columns)
+    changed = feed.select(*key).distinct()
+
+    # bucket-prune the post-image read to the buckets the changed keys hash
+    # into: bounded driver collect (<= num_buckets rows post-distinct)
+    buckets = {
+        r["b"]
+        for r in changed.select(src.bucket_of().alias("b")).distinct().collect()
+    }
+    if not buckets:  # feed had no logical rows (e.g. compact-only range)
+        empty = view.read().limit(0).drop("deleted", "seq").withColumn(
+            "op", F.lit("update")
+        )
+        return merge_batch(
+            view, empty.withColumn("seq", F.lit(cur)), stream_id, epoch_id=cur,
+            offset_lo=start, offset_hi=cur, marker_mode="latest_only",
+        )
+
+    # post-image WITH tombstones: the latest state of every changed key is
+    # either a live row (recompute its view row) or a tombstone (delete the
+    # view row) — no pre-image, no per-change-type case analysis
+    img = src.read(version=cur, buckets=buckets, include_tombstones=True)
+    img = img.join(changed, on=_null_safe_on(img, changed, key), how="left_semi")
+    batch = (
+        spec.transform(img.withColumn("_deleted", F.col("deleted")), key + ["_deleted"])
+        .withColumn(
+            "op", F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("update"))
+        )
+        .drop("_deleted")
+        .withColumn("seq", F.lit(cur))
+    )
+
+    return merge_batch(
+        view,
+        batch,
+        stream_id,
+        epoch_id=cur,  # marker = upstream version refreshed through
+        offset_lo=start,
+        offset_hi=cur,
+        marker_mode="latest_only",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship instance: the MinHash near-dup index over a text/content column.
+# Same signature scheme as the batch dedup family (queries.py
+# q_minhash_signatures / q_minhash_lsh_pairs): word 3-gram shingles, one
+# salted-md5 minimum per band. Docs with < 3 tokens carry NULL signatures
+# (NULL never equi-joins, so they are never near-dup candidates).
+# ---------------------------------------------------------------------------
+
+
+def minhash_index_spec(text_col: str = "content", bands: int = 3) -> TransformViewSpec:
+    """Spec for an incrementally-maintained MinHash band index over
+    ``text_col`` — vendored/forked file detection over a code table, kept
+    current by ``refresh_transform_view`` as the CDC stream rewrites files."""
+    w = "_mh_w"
+    sh = "_mh_sh"
+    pre = {
+        w: f"split(trim({text_col}), '\\\\s+')",
+        sh: (
+            f"CASE WHEN size({w}) >= 3 THEN "
+            f"transform(sequence(1, size({w}) - 2), i -> "
+            f"concat_ws(' ', element_at({w}, i), element_at({w}, i + 1), "
+            f"element_at({w}, i + 2))) END"
+        ),
+    }
+    exprs = {
+        f"minhash_{b}": f"array_min(transform({sh}, s -> md5(concat('s{b}|', s))))"
+        for b in range(1, bands + 1)
+    }
+    return TransformViewSpec(exprs=exprs, pre=pre)
+
+
+def near_dup_candidates(view: LakeTable, bands: int = 3) -> DataFrame:
+    """Candidate near-dup key pairs from a MinHash index view: keys agreeing
+    on ANY band signature. Physical plan: one equi-join per band on the band
+    value (shuffle on the signature hash — never an all-pairs product),
+    unioned and deduped; candidates ~ O(dup pairs), not O(n²). Columns:
+    ``<key>_a..., <key>_b...`` with pair order canonicalized by the key
+    struct ordering."""
+    df = view.read()
+    key = list(view.snapshot().key_columns)
+    a, b = df.alias("a"), df.alias("b")
+    ka = F.struct(*[F.col(f"a.{k}") for k in key])
+    kb = F.struct(*[F.col(f"b.{k}") for k in key])
+    out_cols = [F.col(f"a.{k}").alias(f"{k}_a") for k in key] + [
+        F.col(f"b.{k}").alias(f"{k}_b") for k in key
+    ]
+    parts = [
+        a.join(b, F.col(f"a.minhash_{i}") == F.col(f"b.minhash_{i}"))
+        .where(ka < kb)
+        .select(*out_cols)
+        for i in range(1, bands + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
