@@ -17,6 +17,10 @@ Subcommands:
               dashboard status report (tasks_dashboard.py:88-94)
   rollback    time-travel the table to an older snapshot (bq_client rewind
               analog, O(1))
+  refresh-view
+              create-if-absent + one refresh round of a materialized view
+              (agg IVM / row transform / minhash near-dup index) from the
+              source table's change feed
   reconcile   per-row sha256 verification against a LWW fold of the log
               (checks.py analog, stronger invariant; --erratum accepts known
               signed count drift like the reference's counts_checks_errata)
@@ -175,6 +179,27 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("dst_table")
     rp.add_argument("--stream-id", default="replica")
     rp.add_argument("--buckets", type=int, default=16)
+
+    rv = sub.add_parser(
+        "refresh-view",
+        help="create-if-absent and refresh a materialized view (agg IVM, "
+        "row transform, or minhash near-dup index) from the source table's "
+        "change feed (one round; run under cron/loop for a tail)",
+    )
+    rv.add_argument("src_table")
+    rv.add_argument("view_table")
+    rv.add_argument(
+        "--spec",
+        required=True,
+        help='JSON spec file: {"kind": "agg", "dims": [...], "sums": {alias: col}}'
+        ' | {"kind": "transform", "exprs": {col: sql}, "pre": {tmp: sql}}'
+        ' | {"kind": "minhash_index", "text_col": "content", "bands": 3}',
+    )
+    rv.add_argument("--stream-id", default=None, help="default: matview/xformview")
+    rv.add_argument("--buckets", type=int, default=16)
+    rv.add_argument(
+        "--reseed", action="store_true", help="force a full recompute (bootstrap)"
+    )
 
     rc = sub.add_parser("reconcile", help="sha256 verification vs the log's LWW fold")
     rc.add_argument("log")
@@ -430,6 +455,74 @@ def _dispatch(spark, args) -> int:
                 deleted=stats.rows_deleted,
             )
         out["dst_rows"] = dst.read().count()
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "refresh-view":
+        with open(args.spec) as fh:
+            spec_json = json.load(fh)
+        kind = spec_json.pop("kind")
+        if kind == "agg":
+            from multiversx_etl_spark.streaming.materialize import (
+                AggViewSpec,
+                create_agg_view,
+                refresh_agg_view,
+                reseed_agg_view,
+            )
+
+            spec = AggViewSpec(
+                dims=tuple(spec_json["dims"]),
+                sums=spec_json.get("sums", {}),
+                count_alias=spec_json.get("count_alias", "n_rows"),
+            )
+            create, refresh, reseed = create_agg_view, refresh_agg_view, reseed_agg_view
+            stream_id = args.stream_id or "matview"
+        elif kind in ("transform", "minhash_index"):
+            from multiversx_etl_spark.streaming.features import (
+                TransformViewSpec,
+                create_transform_view,
+                minhash_index_spec,
+                refresh_transform_view,
+                reseed_transform_view,
+            )
+
+            if kind == "minhash_index":
+                spec = minhash_index_spec(
+                    text_col=spec_json.get("text_col", "content"),
+                    bands=spec_json.get("bands", 3),
+                )
+            else:
+                spec = TransformViewSpec(
+                    exprs=spec_json["exprs"], pre=spec_json.get("pre", {})
+                )
+            create, refresh, reseed = (
+                create_transform_view,
+                refresh_transform_view,
+                reseed_transform_view,
+            )
+            stream_id = args.stream_id or "xformview"
+        else:
+            raise SystemExit(f"unknown view kind {kind!r}")
+        src = LakeTable(spark, args.src_table)
+        if LakeTable.exists(args.view_table):
+            view = LakeTable(spark, args.view_table)
+        else:
+            view = create(src, args.view_table, spec, num_buckets=args.buckets)
+        stats = (
+            reseed(src, view, spec, stream_id=stream_id)
+            if args.reseed
+            else refresh(src, view, spec, stream_id=stream_id)
+        )
+        out = {"kind": kind, "up_to_date": stats is None}
+        if stats is not None:
+            out.update(
+                rows_in=stats.rows_in,
+                inserted=stats.rows_inserted,
+                updated=stats.rows_updated,
+                deleted=stats.rows_deleted,
+                reseeded=stats.reseeded,
+            )
+        out["view_rows"] = view.read().count()
         print(json.dumps(out))
         return 0
 
