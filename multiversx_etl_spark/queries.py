@@ -843,8 +843,13 @@ def q_dedup_clusters(spark, sf_dir):
     lineage into an exponentially re-evaluated plan (on a cluster this
     would be a reliable checkpoint instead). At 100 TB the per-round cost
     is the edge-list shuffle — O(near-dup pairs), NOT O(n^2) — the label
-    state is 2 columns per doc, and the round count is logarithmic in the
-    deepest dup chain.
+    state is 2 columns per EDGE-TOUCHED doc (the loop runs on docs with at
+    least one near-dup edge; in a mostly-unique corpus that is a small
+    fraction of n, and singletons rejoin as their own cluster after the
+    fixpoint), and the round count is logarithmic in the deepest dup
+    chain. A band-bucket-min label seeding was tried and rejected: it did
+    not reduce the measured round count (the deepest chain still needs the
+    same doublings) and its two extra shuffles cost more than they saved.
 
     The DuckDB oracle is the same fixpoint as a recursive CTE (min label
     reachable along edges). Documents with no near-dup edges (including
@@ -861,7 +866,17 @@ def q_dedup_clusters(spark, sf_dir):
         # and without this each round would re-run the 3-band LSH join
         .localCheckpoint(eager=True)
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Iterate over the EDGE-TOUCHED docs only: a doc with no near-dup edge
+    # can never receive a smaller label (its component is itself), so the
+    # propagation loop runs on O(docs-with-dups) rows — in a mostly-unique
+    # corpus that is a tiny fraction of n — instead of shuffling every
+    # singleton through every round. Singletons rejoin (as their own
+    # cluster) after the fixpoint.
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
+    )
     while True:
         nbr = edges.join(
             labels.withColumnRenamed("doc_id", "src"), on="src"
@@ -910,6 +925,11 @@ def q_dedup_clusters(spark, sf_dir):
         labels = agg.drop("_old")
         if changed == 0:
             break
+    # singletons (docs with no near-dup edge) rejoin as their own cluster:
+    # a left anti-free outer join keeps the assembly one pass over docs
+    labels = docs.join(labels, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
     # cluster_size via a window over the final labels: one shuffle on
     # cluster_id and NO second relation — sizes are O(n_clusters) rows,
     # which at 100 TB is NOT broadcastable (almost every doc is a
