@@ -244,6 +244,58 @@ def minhash_index_spec(text_col: str = "content", bands: int = 3) -> TransformVi
     return TransformViewSpec(exprs=exprs, pre=pre)
 
 
+def dedup_on_ingest(
+    view: LakeTable,
+    spec: TransformViewSpec,
+    batch: DataFrame,
+    bands: int = 3,
+) -> DataFrame:
+    """Near-dup suppression AT INGEST: filter a batch of candidate rows
+    against the maintained MinHash index (and against each other) before
+    they are merged into the corpus — the training-pipeline shape where
+    duplicates are cheaper to reject at the door than to clean up later.
+    The caller's ``foreachBatch`` runs ``merge_batch(table,
+    dedup_on_ingest(view, spec, batch))`` then ``refresh_transform_view``
+    so the index stays current for the next micro-batch.
+
+    A row is admitted iff (a) none of its band signatures matches an
+    already-indexed row, and (b) it is the canonical (min-key) member
+    among its OWN batch's peers in every band it shares. (b) is a
+    deterministic one-pass batch semantics — order-free, so replays admit
+    the identical set — that can over-reject a chain A~B~C (B loses to A,
+    C loses to the already-rejected B) relative to sequential admission;
+    near-dup chains are precisely the content dedup exists to suppress,
+    so the conservative answer is the right one. Rows with NULL
+    signatures (< 3 tokens) are always admitted.
+
+    Plan shape: one anti equi-join per band against the index (the batch
+    side is micro-batch-small — Spark broadcasts it against the big
+    index) plus one min-struct window per band within the batch; never an
+    all-pairs product."""
+    key = list(view.snapshot().key_columns)
+    sigs = spec.transform(batch, key)
+    idx = view.read()
+    for i in range(1, bands + 1):
+        col = f"minhash_{i}"
+        sigs = sigs.join(
+            idx.select(F.col(col).alias("_m")).where(F.col("_m").isNotNull()),
+            on=sigs[col] == F.col("_m"),
+            how="left_anti",
+        )
+    from pyspark.sql import Window
+
+    kstruct = F.struct(*key)
+    keep = F.lit(True)
+    for i in range(1, bands + 1):
+        col = f"minhash_{i}"
+        w = Window.partitionBy(col)
+        keep = keep & (
+            F.col(col).isNull() | (kstruct == F.min(kstruct).over(w))
+        )
+    admitted = sigs.withColumn("_keep", keep).where("_keep").select(*key)
+    return batch.join(admitted, on=key, how="left_semi")
+
+
 def near_dup_candidates(view: LakeTable, bands: int = 3) -> DataFrame:
     """Candidate near-dup key pairs from a MinHash index view: keys agreeing
     on ANY band signature. Physical plan: one equi-join per band on the band

@@ -13,6 +13,7 @@ from multiversx_etl_spark.schemas import REPOS
 from multiversx_etl_spark.streaming.features import (
     TransformViewSpec,
     create_transform_view,
+    dedup_on_ingest,
     minhash_index_spec,
     near_dup_candidates,
     refresh_transform_view,
@@ -194,6 +195,44 @@ def test_spec_validation(spark, tmp_path):
         TransformViewSpec(exprs={"seq": "length(content)"}).validate(src)
     with pytest.raises(Exception):  # bad column reference surfaces at declare
         TransformViewSpec(exprs={"x": "length(nope)"}).validate(src)
+
+
+def test_dedup_on_ingest(spark, tmp_path):
+    src = _mk_src(spark, tmp_path)
+    view = create_transform_view(src, str(tmp_path / "view"), SPEC, num_buckets=4)
+
+    # batch 1: a vendored pair within the batch — only the min-key copy and
+    # the unrelated doc are admitted; short docs always pass
+    b1 = _batch(spark, [
+        (0, 1, "insert", "r1", "a.py", "c", "py", _A),
+        (1, 1, "insert", "r2", "copy.py", "c", "py", _A),
+        (2, 1, "insert", "r3", "c.py", "c", "py", _C),
+        (3, 1, "insert", "r3", "short.py", "c", "py", "tiny doc"),
+    ])
+    admitted = dedup_on_ingest(view, SPEC, b1)
+    got = {(r["repo"], r["path"]) for r in admitted.collect()}
+    assert got == {("r1", "a.py"), ("r3", "c.py"), ("r3", "short.py")}
+
+    # merge the admitted rows, refresh the index, then batch 2: a near-dup
+    # of the already-ingested _A is rejected by the INDEX (not the batch)
+    merge_batch(src, admitted, "m", 0, 0, 4)
+    refresh_transform_view(src, view, SPEC)
+    b2 = _batch(spark, [
+        (4, 2, "insert", "r9", "vendored.py", "c", "py", _B),  # ~_A via bands
+        (5, 2, "insert", "r9", "new.py", "c", "py",
+         "completely novel words appear in this file body"),
+    ])
+    admitted2 = dedup_on_ingest(view, SPEC, b2)
+    got2 = {(r["repo"], r["path"]) for r in admitted2.collect()}
+    assert got2 == {("r9", "new.py")}
+
+    # deleting the indexed original re-admits future near-dups
+    merge_batch(src, _batch(spark, [
+        (6, 3, "delete", "r1", "a.py", "c", None, None),
+    ]), "m", 1, 6, 7)
+    refresh_transform_view(src, view, SPEC)
+    got3 = {(r["repo"], r["path"]) for r in dedup_on_ingest(view, SPEC, b2).collect()}
+    assert got3 == {("r9", "vendored.py"), ("r9", "new.py")}
 
 
 def test_generic_feature_view(spark, tmp_path):
