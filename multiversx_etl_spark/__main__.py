@@ -94,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
         help="rewrite every pid group (default: only groups holding deltas)",
     )
 
+    rbk = sub.add_parser(
+        "rebucket",
+        help="rewrite the table into a new bucket count (partition-spec "
+        "evolution); state, streams, and time travel are preserved",
+    )
+    rbk.add_argument("table")
+    rbk.add_argument("--buckets", type=int, required=True)
+
     ex = sub.add_parser(
         "expire",
         help="drop manifests older than the newest N versions and GC data "
@@ -382,6 +390,15 @@ def _dispatch(spark, args) -> int:
         before = len(table.snapshot().files)
         m = table.compact(full=args.full)
         print(json.dumps({"version": m.version, "files_before": before, "files_after": len(m.files)}))
+        return 0
+
+    if args.cmd == "rebucket":
+        table = LakeTable(spark, args.table)
+        before = table.snapshot().num_buckets
+        m = table.rebucket(args.buckets)
+        print(json.dumps(
+            {"version": m.version, "buckets_before": before, "buckets_after": m.num_buckets}
+        ))
         return 0
 
     if args.cmd == "expire":

@@ -393,7 +393,7 @@ class LakeTable:
                     "gone — re-sync from a snapshot read instead"
                 ) from None
             cur_files = {f["path"] for f in m.files}
-            if m.operation == "compact":
+            if m.operation in ("compact", "rebucket"):
                 prev_files = cur_files
                 continue  # physical reorganization, no logical change
             if not m.operation.startswith("merge"):
@@ -541,6 +541,7 @@ class LakeTable:
         expected_parent: int | None = None,
         properties: dict[str, Any] | None = None,
         marker_mode: str = "contiguous",
+        num_buckets: int | None = None,
     ) -> Manifest:
         """Commit new files, replacing ``replaced_pids`` file groups
         (copy-on-write) — or none (``set()``): a merge-on-read delta append.
@@ -597,7 +598,7 @@ class LakeTable:
         manifest = Manifest(
             version=parent.version + 1,
             schema_json=json.dumps(schema.jsonValue()) if schema else parent.schema_json,
-            num_buckets=parent.num_buckets,
+            num_buckets=parent.num_buckets if num_buckets is None else num_buckets,
             key_columns=parent.key_columns,
             files=kept + new_files,
             streams=streams,
@@ -652,6 +653,54 @@ class LakeTable:
             operation="compact",
             expected_parent=m.version,
             properties={"mor_appends": 0},
+        )
+
+    def rebucket(self, new_buckets: int) -> Manifest:
+        """Bucket-layout evolution: rewrite the table into a different
+        bucket count in ONE commit (Iceberg analog: partition-spec
+        evolution, `ALTER TABLE ... PARTITIONED BY bucket(B', key)` +
+        rewrite_data_files). The layout chosen at CREATE is sized for the
+        data of day one; at 100× the volume each file group is 100× too
+        big for a task, and at 1/100th (after aggressive pruning) most
+        groups are small-file noise — re-bucketing is how the table
+        follows its data, without which `num_buckets` would be a
+        forever-fixed scalability ceiling.
+
+        One full-table rewrite: read the current snapshot (folding any
+        outstanding MOR deltas, keeping tombstones — their seqs must keep
+        suppressing late lower-seq updates), re-hash into ``new_buckets``,
+        one exchange + partition-local key sort, commit with every prior
+        file group replaced. ``num_buckets`` lives in each manifest, so
+        time travel to older versions keeps pruning with the OLD layout
+        while new reads/merges/lookups use the new one; stream epoch
+        markers carry over untouched, so a replay resumes against the new
+        layout with no coordination. Logically a no-op — ``changes()``
+        skips it exactly like ``compact``."""
+        m = self.snapshot()
+        if new_buckets == m.num_buckets:
+            return m
+        if new_buckets < 1:
+            raise ValueError(f"new_buckets must be >= 1, got {new_buckets}")
+        folded = (
+            self.read(include_tombstones=True)
+            .withColumn("_bucket", bucket_expr(m.key_columns, new_buckets))
+            .repartition(new_buckets, F.col("_bucket"))
+        )
+        new_files = self.write_data_files(
+            folded,
+            f"rebucket-v{m.version:08d}",
+            bucket_aligned=True,
+            sort_columns=list(m.key_columns),
+        )
+        for f in new_files:
+            f["base"] = True
+        return self.commit(
+            new_files,
+            replaced_pids={f["pid"] for f in m.files},
+            operation="rebucket",
+            expected_parent=m.version,
+            properties={"mor_appends": 0},
+            num_buckets=new_buckets,
         )
 
     def promote_from(self, staging: "LakeTable") -> Manifest:
