@@ -2627,3 +2627,230 @@ def q_source_length_quantiles(spark, sf_dir):
         F.max(F.when(F.col("rn") == p50_rank, F.col("n_chars"))).alias("p50_chars"),
         F.max(F.when(F.col("rn") == p90_rank, F.col("n_chars"))).alias("p90_chars"),
     )
+
+
+_SURVIVORS_SQL = f"""
+WITH {_MINHASH_SIG_CTES},
+bands AS (
+  SELECT doc_id, 1 AS band, m1 AS v FROM sigs
+  UNION ALL SELECT doc_id, 2, m2 FROM sigs
+  UNION ALL SELECT doc_id, 3, m3 FROM sigs
+),
+mins AS (SELECT band, v, min(doc_id) AS canon FROM bands GROUP BY 1, 2),
+flags AS (
+  SELECT b.doc_id, bool_and(m.canon = b.doc_id) AS kept
+  FROM bands b JOIN mins m USING (band, v) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(f.kept, TRUE) AS kept
+FROM documents d LEFT JOIN flags f USING (doc_id)
+"""
+
+
+@_register("q_near_dup_survivors", _SURVIVORS_SQL)
+def q_near_dup_survivors(spark, sf_dir):
+    """Near-dup SUPPRESSION verdict per document — the batch form of the
+    engine's ingest-admission rule (streaming/features.py dedup_on_ingest):
+    a document is kept iff it is the minimal doc_id in EVERY MinHash band
+    bucket it occupies; anything sharing a bucket with a smaller doc is
+    suppressed as a near-duplicate. Order-free and deterministic — a
+    replay admits the identical set — and strictly local to band buckets,
+    so no pair graph or component propagation is needed to act.
+
+    100 TB plan: signatures are one map-side-combined aggregate of the
+    shingle stream; the bucket minimum is a second aggregate over 3n
+    narrow (band, hash) rows; the verdict is one equi-join back on the
+    band hash and a per-doc bool aggregate. Three shuffles of narrow
+    rows, never a pair join — suppression cost does not depend on how
+    many duplicates a bucket holds (unlike the pair/cluster queries whose
+    output is itself O(dup pairs))."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    # one explode, not a 3-way union of the signature subtree: a union
+    # branch per band would re-evaluate the shingle aggregate per branch
+    # (Catalyst does not share subtrees across union legs) — 3 corpus
+    # scans instead of 1
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i + 1).alias("band"), F.col(f"minhash_{i + 1}").alias("v")
+                )
+                for i in range(3)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    mins = bands.groupBy("band", "v").agg(F.min("doc_id").alias("canon"))
+    flags = (
+        bands.join(mins, on=["band", "v"])
+        .groupBy("doc_id")
+        .agg(F.min(F.col("canon") == F.col("doc_id")).alias("kept"))
+    )
+    d = load(spark, sf_dir, "documents")
+    return d.join(flags, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("kept", F.lit(True)).alias("kept")
+    )
+
+
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+
+_CHUNKS_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  WHERE len(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST((s - 1) // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(s AS INT) AS start_token,
+       CAST(least(s + {_CHUNK_LEN} - 1, len(w)) - s + 1 AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(w, s, least(s + {_CHUNK_LEN} - 1, len(w))), ' '))
+         AS chunk_md5
+FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1, {_CHUNK_STRIDE})) AS s
+      FROM words)
+"""
+
+
+@_register("q_doc_chunks", _CHUNKS_SQL)
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping-window chunking — the retrieval/context-window prep op
+    (RAG indexing, long-doc training samples): split each document into
+    {_CHUNK_LEN}-token windows advancing by {_CHUNK_STRIDE} (16-token
+    overlap), emitting per-chunk offsets and an md5 of the chunk text (the
+    compact join key a downstream embedding/index stage would use).
+
+    100 TB plan: pure per-row expansion — sequence + explode + slice, no
+    exchange anywhere; output partitioning inherits the scan. Fan-out is
+    bounded at ~len/stride chunks per doc, and the md5 keeps the emitted
+    row narrow (the chunk text itself never leaves the codegen stage)."""
+    d = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    words = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    starts = F.sequence(F.lit(1), F.size("w"), F.lit(_CHUNK_STRIDE))
+    chunk = F.slice(F.col("w"), F.col("s"), F.lit(_CHUNK_LEN))
+    return words.select("doc_id", "w", F.explode(starts).alias("s")).select(
+        "doc_id",
+        ((F.col("s") - 1) / F.lit(_CHUNK_STRIDE)).cast("int").alias("chunk_idx"),
+        F.col("s").cast("int").alias("start_token"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+_SHARDS = 8
+
+_SHARDS_SQL = f"""
+SELECT doc_id,
+       CAST((rn - 1) % {_SHARDS} AS INT) AS shard,
+       CAST((rn - 1) // {_SHARDS} AS BIGINT) AS pos
+FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+"""
+
+
+@_register("q_training_shards", _SHARDS_SQL)
+def q_training_shards(spark, sf_dir):
+    """Deterministic global shuffle + shard assignment — the training-data
+    EXPORT op: every document gets a position in one md5-ordered global
+    permutation, dealt round-robin into {_SHARDS} shards (round-robin, not
+    contiguous ranges, so each shard is itself a uniform sample — training
+    can stream shard files in order).
+
+    The global index is NOT a single-partition window: the md5 order is
+    range-partitioned (repartitionByRange — a P-way total order), ranks
+    are computed per partition, and partition offsets (P narrow rows) come
+    from one count aggregate collected driver-side and joined back via
+    broadcast. This is the scalable global-row-number pattern — every
+    stage is O(n/P) per task at 100 TB; a plain ORDER BY window would
+    funnel the corpus through one task. Boundary placement from range
+    sampling does not affect the result: the (md5, doc_id) order is total,
+    so rank = partition offset + local rank is the same permutation
+    regardless of where the cuts land."""
+    d = load(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .repartitionByRange(8, "h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("pid").orderBy("h", "doc_id")
+    ranked = base.withColumn("rk", F.row_number().over(w))
+    sizes = {
+        r["pid"]: r["n"]
+        for r in ranked.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = F.broadcast(
+        ranked.sparkSession.createDataFrame(offsets, "pid int, off long")
+    )
+    rn = F.col("off") + F.col("rk")
+    return ranked.join(off, on="pid").select(
+        "doc_id",
+        ((rn - 1) % _SHARDS).cast("int").alias("shard"),
+        ((rn - 1) / _SHARDS).cast("bigint").alias("pos"),
+    )
+
+
+_PACK_LEN = 2048
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents WHERE len(trim(text)) > 0
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       CAST((cum - n_tokens) // {_PACK_LEN} AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % {_PACK_LEN} AS INT) AS pack_offset
+FROM c
+"""
+
+
+@_register("q_pack_assignments", _PACK_SQL)
+def q_pack_assignments(spark, sf_dir):
+    """Sequence-packing assignment — concatenate documents into fixed
+    {_PACK_LEN}-token training sequences: within each language stream
+    (packing is per-mixture-stream in practice), documents are laid out in
+    a deterministic md5 order and each starts at its running-token offset;
+    pack_id/pack_offset say which sequence it lands in and where. A doc
+    straddling a boundary belongs to the pack where it starts (greedy
+    concat-then-cut — the standard pretraining packing).
+
+    100 TB plan: one cumulative-sum window per lang partition over narrow
+    (doc_id, n_tokens) rows — text is pruned at the scan, the shuffle
+    carries ~16 bytes/doc, and each language stream packs independently in
+    parallel. Skew note: one dominant lang would take the two-pass salted
+    cumsum (rank within salt + salt offsets, same shape as
+    q_training_shards' offsets) — at this table's lang cardinality the
+    plain window is the right plan."""
+    d = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor(start / F.lit(_PACK_LEN)).cast("bigint").alias("pack_id"),
+        (start % F.lit(_PACK_LEN)).cast("int").alias("pack_offset"),
+    )

@@ -34,7 +34,26 @@ EXPECT = {
     "q_source_length_quantiles": [
         "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"
     ],
+    # packing: text never reaches the shuffle — the cumsum window moves a
+    # narrow token-count projection only
+    "q_pack_assignments": ["Window"],
 }
+
+
+def test_doc_chunks_no_exchange(spark):
+    """Chunking is pure per-row expansion: one codegen pipeline off the
+    scan, zero exchanges (at 100 TB the op inherits the scan partitioning)."""
+    text = plan_text(Q.QUERIES["q_doc_chunks"](spark, SF_DIR))
+    assert "Exchange" not in text.replace("BroadcastExchange", "")
+
+
+def test_training_shards_distributed_rank(spark):
+    """The global permutation must NOT funnel through a single-partition
+    window: ranks are per-range-partition + broadcast offsets. A plain
+    ORDER BY row_number would show a Window over an Exchange SinglePartition."""
+    text = plan_text(Q.QUERIES["q_training_shards"](spark, SF_DIR))
+    assert "SinglePartition" not in text
+    assert "rangepartitioning" in text.lower()
 
 
 def plan_text(df) -> str:
