@@ -278,12 +278,19 @@ class LakeTable:
         buckets: set[int] | None = None,
         include_tombstones: bool = False,
         raw: bool = False,
+        with_action: bool = False,
     ) -> DataFrame:
         """Read a snapshot (optionally bucket-pruned / time-travelled).
 
         The manifest schema is applied over every file, so files written
         before a column was added read as NULL (schema evolution).
         Iceberg analog: ``spark.read.option("snapshot-id", ...).table(t)``.
+
+        ``with_action=True`` (raw reads only) appends the ``_action``
+        bookkeeping column merge writes into its data files — NULL for
+        files that predate it or came from compaction/bootstrap — so
+        callers (the MERGE's target projection) can tell partial patch
+        generations from full images.
 
         When merge-on-read delta files are outstanding (manifest property
         ``mor_appends > 0``) a key may appear in several file generations;
@@ -292,17 +299,28 @@ class LakeTable:
         tombstone filter, returning every physical row — for callers (the
         MERGE itself) that fold downstream anyway.
         """
+        from pyspark.sql.types import StringType, StructField
+
         m = self.snapshot(version)
         files = m.files_for_pids(self.pids_for_buckets(buckets, m))
         schema = m.schema
+        patch_outstanding = int(m.properties.get("patch_deltas", 0)) > 0
+        read_action = with_action or patch_outstanding
+        read_schema = (
+            StructType(list(schema.fields) + [StructField("_action", StringType(), True)])
+            if read_action
+            else schema
+        )
         if not files:
-            df = self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], read_schema)
         else:
-            df = self.spark.read.schema(schema).parquet(*[
+            df = self.spark.read.schema(read_schema).parquet(*[
                 os.path.join(self.root, f["path"]) for f in files
             ])
         if raw:
-            return df
+            return df if with_action else df.drop("_action")
+        if read_action and not patch_outstanding:
+            df = df.drop("_action")  # folded reads never expose bookkeeping
         if buckets is not None:
             # bucket->pid is Murmur3 mod B (not injective): the pid file
             # groups may contain sibling buckets — post-filter for an exact
@@ -311,7 +329,42 @@ class LakeTable:
             df = df.where(
                 bucket_expr(m.key_columns, m.num_buckets).isin(*[int(b) for b in buckets])
             )
-        if int(m.properties.get("mor_appends", 0)) > 0:
+        if patch_outstanding:
+            # Per-COLUMN fold (partial-image patch generations outstanding):
+            # liveness and the row's base come from the max-seq FULL
+            # generation; each payload column independently takes the
+            # max-seq generation among full images (which set every column,
+            # NULLs included) and the patches that set it — column-level
+            # last-writer-wins, exact under arbitrary cross-epoch
+            # reordering because every patch generation keeps its own seq.
+            # Keys with no full generation at all (orphan patches) drop.
+            # The row seq is the newest generation folded in, so a
+            # redelivered event always seq-ties or loses (idempotence).
+            others = [c for c in schema.fieldNames() if c not in m.key_columns and c != "seq"]
+            payload = [c for c in others if c != "deleted"]
+            is_patch = F.coalesce(F.col("_action") == "patch", F.lit(False))
+            df = (
+                df.groupBy(*m.key_columns)
+                .agg(
+                    F.max(F.when(~is_patch, F.struct("seq", "deleted"))).alias("_b"),
+                    F.max("seq").alias("_smax"),
+                    *[
+                        F.max(
+                            F.when(~is_patch | F.col(p).isNotNull(), F.struct("seq", F.col(p)))
+                        ).alias(f"_c_{p}")
+                        for p in payload
+                    ],
+                )
+                .where(F.col("_b").isNotNull())
+                .select(
+                    *m.key_columns,
+                    F.col("_smax").alias("seq"),
+                    F.col("_b.deleted").alias("deleted"),
+                    *[F.col(f"_c_{p}.{p}").alias(p) for p in payload],
+                )
+                .select(*[f.name for f in schema.fields])
+            )
+        elif int(m.properties.get("mor_appends", 0)) > 0:
             # Wide max-struct fold, kept ON MEASUREMENT (VERDICT r02 #6
             # asked for a key-narrow fold + winners join-back; both its
             # sort-merge and shuffled-hash-semi-join variants were built
@@ -652,7 +705,12 @@ class LakeTable:
             replaced_pids=delta_pids,
             operation="compact",
             expected_parent=m.version,
-            properties={"mor_appends": 0},
+            # patch generations fold into full rows here: compaction
+            # FINALIZES column-level LWW (run it only past the stream's
+            # bounded-lateness window, the standard lakehouse contract —
+            # a full image arriving later than an already-compacted patch
+            # would find the row seq coarsened to the patch's seq)
+            properties={"mor_appends": 0, "patch_deltas": 0},
         )
 
     def rebucket(self, new_buckets: int) -> Manifest:
@@ -699,7 +757,7 @@ class LakeTable:
             replaced_pids={f["pid"] for f in m.files},
             operation="rebucket",
             expected_parent=m.version,
-            properties={"mor_appends": 0},
+            properties={"mor_appends": 0, "patch_deltas": 0},
             num_buckets=new_buckets,
         )
 
@@ -749,7 +807,10 @@ class LakeTable:
             operation="promote",
             schema=src.schema,
             expected_parent=cur.version,
-            properties={"mor_appends": int(src.properties.get("mor_appends", 0))},
+            properties={
+                "mor_appends": int(src.properties.get("mor_appends", 0)),
+                "patch_deltas": int(src.properties.get("patch_deltas", 0)),
+            },
         )
 
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:

@@ -146,6 +146,8 @@ class MergeStats:
     rows_inserted: int = 0
     rows_updated: int = 0
     rows_deleted: int = 0
+    #: partial-image generations appended this epoch (op='patch' rows)
+    rows_patched: int = 0
     touched_buckets: int = 0
     per_bucket: list[dict] | None = None
     #: set by replication when the round fell back to a full snapshot
@@ -197,6 +199,7 @@ def merge_batch(
     collect_per_bucket_stats: bool = True,
     mode: str = "mor",
     in_counts: dict[int, int] | None = None,
+    patch_count: int | None = None,
     map_side_combine: bool = False,
     pre_commit: "Callable[[MergeStats], None] | None" = None,
     marker_mode: str = "contiguous",
@@ -206,7 +209,12 @@ def merge_batch(
 
     ``in_counts`` (bucket -> raw change-row count for THIS batch) can be
     precomputed by the caller — replay() computes every epoch's counts in a
-    single pass over the log instead of one job per epoch."""
+    single pass over the log instead of one job per epoch. A caller that
+    precomputes ``in_counts`` should pass ``patch_count`` (the batch's
+    op='patch' row count, usually from the same aggregate) too; left None
+    it is detected with one extra tiny count job — never guessed, because
+    a partial-image row folded as a full image would null out the columns
+    it meant to keep."""
     assert mode in ("mor", "cow"), mode
     parent = table.snapshot()
     key = parent.key_columns
@@ -215,13 +223,21 @@ def merge_batch(
     changes = changes.withColumn("_bucket", bucket_expr(key, parent.num_buckets))
 
     # -- 1. rows_in per bucket + touched-bucket set (one tiny agg job,
-    #    unless the caller precounted).
+    #    unless the caller precounted; the same agg counts partial-image
+    #    'patch' rows, which take the pass-through path below).
+    may_patch = "op" in changes.columns
     if in_counts is None:
         with _phase("in_counts"):
-            in_counts = {
-                r["_bucket"]: r["n"]
-                for r in changes.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
-            }
+            aggs = [F.count("*").alias("n")]
+            if may_patch:
+                aggs.append(F.count(F.when(F.col("op") == "patch", 1)).alias("p"))
+            rows = changes.groupBy("_bucket").agg(*aggs).collect()
+            in_counts = {r["_bucket"]: r["n"] for r in rows}
+            patch_count = sum(r["p"] for r in rows) if may_patch else 0
+    elif patch_count is None:
+        patch_count = (
+            changes.where(F.col("op") == "patch").count() if may_patch else 0
+        )
     touched = set(in_counts)
     stats.rows_in = sum(in_counts.values())
     stats.touched_buckets = len(touched)
@@ -241,6 +257,31 @@ def merge_batch(
         f.name for f in evolved.fields if f.name not in key and f.name not in ("seq", "deleted")
     ]
 
+    # Partial-image events (op='patch', Debezium-style: NULL payload =
+    # keep the stored value) take a PASS-THROUGH path: they are appended
+    # as their own generations — never folded into the per-key winner,
+    # which would null out the columns they meant to keep — and the
+    # read-time fold resolves them per COLUMN (lake/table.py). Exact
+    # column-level LWW under arbitrary reordering requires keeping each
+    # patch's own seq, which only merge-on-read generations can represent;
+    # copy-on-write (and compact()) collapse to one row seq per key, so
+    # cow + patches is refused rather than silently coarsened.
+    patch_outstanding = int(parent.properties.get("patch_deltas", 0)) > 0
+    patches = None
+    if patch_count:
+        if mode != "mor":
+            raise ValueError(
+                "partial-image (op='patch') events require mode='mor': "
+                "copy-on-write collapses per-column seq state at rewrite"
+            )
+        patches = changes.where(F.col("op") == "patch")
+        changes = changes.where(F.col("op") != "patch")
+    elif patch_outstanding and mode != "mor":
+        raise ValueError(
+            "table has outstanding patch generations (patch_deltas > 0): "
+            "run compact() to finalize them before a copy-on-write merge"
+        )
+
     def aligned(df: DataFrame, is_change: bool) -> DataFrame:
         cols = [F.col(c) for c in key]
         cols.append(F.col("seq").cast("long").alias("seq"))
@@ -254,6 +295,14 @@ def merge_batch(
                 cols.append(F.col(p).cast(typ).alias(p))
             else:
                 cols.append(F.lit(None).cast(typ).alias(p))
+        # target patch GENERATIONS must not win the full-image fold (they
+        # are partial) — change-side patches were already split out above
+        if not is_change and "_action" in df.columns:
+            cols.append(
+                F.coalesce(F.col("_action") == "patch", F.lit(False)).alias("_is_patch")
+            )
+        else:
+            cols.append(F.lit(False).alias("_is_patch"))
         cols.append(F.lit(is_change).alias("_is_change"))
         cols.append(F.col("_bucket"))
         return df.select(*cols)
@@ -261,9 +310,12 @@ def merge_batch(
     # MOR consults only the target's narrow (key, seq, deleted) projection —
     # target content never moves. COW reads full rows (it must rewrite them).
     # raw=True returns every physical generation; the union-agg folds them.
-    target = table.read(buckets=touched, raw=True)
+    # With patch generations outstanding the projection also carries
+    # _action, so the fold can exclude them (still narrow).
+    target = table.read(buckets=touched, raw=True, with_action=patch_outstanding)
     if mode == "mor":
-        target = target.select(*key, "seq", "deleted")
+        keep = [*key, "seq", "deleted"] + (["_action"] if patch_outstanding else [])
+        target = target.select(*keep)
     target = target.withColumn("_bucket", bucket_expr(key, parent.num_buckets))
     if map_side_combine:
         # partition-local pre-reduction of the change side (hot keys / heavy
@@ -281,14 +333,21 @@ def merge_batch(
     #    flag (not "any generation was live") decides prior liveness, which
     #    matters when several MOR generations of a key are present.
     wstruct = F.struct("seq", "_is_change", "deleted", *payload, "_bucket")
+    not_patch = ~F.col("_is_patch")
     merged = (
         both.repartition(parent.num_buckets, F.col("_bucket"))
         .groupBy(*key, "_bucket")
         .agg(
-            F.max(wstruct).alias("_w"),
-            F.max(F.when(~F.col("_is_change"), F.struct("seq", "deleted"))).alias("_tw"),
+            F.max(F.when(not_patch, wstruct)).alias("_w"),
+            F.max(
+                F.when(~F.col("_is_change") & not_patch, F.struct("seq", "deleted"))
+            ).alias("_tw"),
             F.count(F.when(F.col("_is_change"), 1)).alias("_cn"),
         )
+        # a key whose only generations are (orphan) patch partials has no
+        # full-image winner: nothing to classify or write — the read fold
+        # likewise drops such keys
+        .where(F.col("_w").isNotNull())
     )
     won_change = F.col("_w._is_change")
     was_live = F.col("_tw").isNotNull() & ~F.col("_tw.deleted")
@@ -349,6 +408,43 @@ def merge_batch(
     # incremental compact() finds via this flag
     for f in new_files:
         f["base"] = mode == "cow"
+
+    # Patch pass-through write: one PARTIAL generation per original patch
+    # event (per-column seqs preserved exactly — see the split above),
+    # exact redeliveries within the batch collapsed by (key, seq). Same
+    # bucket-aligned plain-file write as the main path, separate tag, one
+    # atomic commit for both.
+    patch_files: list[dict] = []
+    if patches is not None:
+        ap = aligned(patches, True)
+        some_payload = None
+        for p in payload:
+            c = F.col(p).isNotNull()
+            some_payload = c if some_payload is None else (some_payload | c)
+        deduped = (
+            ap.where(some_payload)  # an all-NULL patch is a no-op: drop it
+            .repartition(parent.num_buckets, F.col("_bucket"))
+            .groupBy(*key, "seq", "_bucket")
+            .agg(F.max(F.struct(*payload)).alias("_pw"), F.count("*").alias("_cn"))
+            .select(
+                *key,
+                *[F.col(f"_pw.{p}").alias(p) for p in payload],
+                "seq",
+                F.lit(False).alias("deleted"),
+                F.lit("patch").alias("_action"),
+                F.col("_cn"),
+                F.col("_bucket"),
+            )
+        )
+        with _phase("patch_write"):
+            patch_files = table.write_data_files(
+                deduped.select(*out_cols), f"{tag}-p",
+                bucket_aligned=True, keep_bucket=True,
+            )
+        for f in patch_files:
+            f["base"] = False
+        stats.rows_patched = sum(f["rows"] for f in patch_files)
+
     metrics = obs.get
     stats.rows_inserted = int(metrics["ins"] or 0)
     stats.rows_updated = int(metrics["upd"] or 0)
@@ -356,11 +452,13 @@ def merge_batch(
     stats.rows_deduped = int(metrics["dedup"] or 0)
     # an all-carry MOR batch adds no delta files: don't arm the read-time
     # fold for nothing (and COW never sets the counter)
-    props = (
-        {"mor_appends": int(parent.properties.get("mor_appends", 0)) + 1}
-        if mode == "mor" and new_files
-        else None
-    )
+    props = None
+    if mode == "mor" and (new_files or patch_files):
+        props = {"mor_appends": int(parent.properties.get("mor_appends", 0)) + 1}
+        if patch_files:
+            props["patch_deltas"] = (
+                int(parent.properties.get("patch_deltas", 0)) + stats.rows_patched
+            )
 
     # Per-bucket ledger rows. NOTE on MOR semantics (ledger contract, see
     # schemas.LINEAGE): per-bucket counts are derived from WRITTEN delta
@@ -401,7 +499,7 @@ def merge_batch(
 
     # -- 5. atomic commit: data files + epoch marker + evolved schema.
     table.commit(
-        new_files,
+        new_files + patch_files,
         replaced_pids,
         f"merge-{mode}",
         stream_id,
@@ -413,6 +511,7 @@ def merge_batch(
             "inserted": stats.rows_inserted,
             "updated": stats.rows_updated,
             "deleted": stats.rows_deleted,
+            "patched": stats.rows_patched,
         },
         schema=evolved,
         expected_parent=parent.version,

@@ -38,6 +38,7 @@ def generate_change_log(
     content_blocks: int = 4,
     base_ts: int = 1_596_117_600,  # the reference's mainnet genesis (worker_config_mainnet.json:5)
     partitions: int | None = None,
+    patch_fraction: float = 0.0,
 ) -> DataFrame:
     """Build the change log as a lazy DataFrame of ``num_events * (1+dup)`` rows.
 
@@ -55,7 +56,7 @@ def generate_change_log(
     total = num_events + n_dups
     rng = spark.range(0, total, 1, partitions) if partitions else spark.range(total)
     return _event_columns(rng, num_events, num_repos, paths_per_repo, skew,
-                          content_blocks, base_ts)
+                          content_blocks, base_ts, patch_fraction)
 
 
 def slice_change_log(
@@ -96,6 +97,7 @@ def _event_columns(
     skew: float,
     content_blocks: int,
     base_ts: int,
+    patch_fraction: float = 0.0,
 ) -> DataFrame:
     # Effective logical row: duplicates re-deliver an earlier event verbatim.
     eff = F.when(
@@ -128,31 +130,60 @@ def _event_columns(
     )
 
     # op mix: ~10% delete / ~50% update / ~40% insert (FIXTURES.md §1).
+    # patch_fraction > 0 converts that share of the UPDATES into
+    # partial-image 'patch' events (Debezium-style: only the changed
+    # columns are present; NULL payload = keep the stored value).
     op_draw = F.pmod(F.xxhash64(F.col("seq"), F.lit(11)), F.lit(100))
+    is_patch = (
+        (op_draw >= 10)
+        & (op_draw < 60)
+        & (_u01(F.col("seq"), 41) < F.lit(float(patch_fraction)))
+    )
     df = df.withColumn(
         "op",
         F.when(op_draw < 10, F.lit("delete"))
-        .when(op_draw < 60, F.lit("update"))
+        .when(op_draw < 60, F.when(is_patch, F.lit("patch")).otherwise(F.lit("update")))
         .otherwise(F.lit("insert")),
     )
 
     # commit digest + nullable lang (~5% null) + deterministic content.
+    # Patch rows set ONLY their patched columns: selector 0 = lang-only,
+    # 1 = content-only (a content patch implies a new commit digest),
+    # 2 = both; everything else is NULL-means-keep.
     key_seq = F.concat_ws("|", "repo", "path", F.col("seq").cast("string"))
-    df = df.withColumn("commit", F.md5(key_seq))
-    langs = F.array(*[F.lit(x) for x in ("python", "go", "rust", "javascript", "c")])
-    lang_idx = F.pmod(F.xxhash64(F.col("repo")), F.lit(5))
+    patch_sel = F.pmod(F.xxhash64(F.col("seq"), F.lit(43)), F.lit(3))
+    patching = F.col("op") == "patch"
+    patches_lang = patching & ((patch_sel == 0) | (patch_sel == 2))
+    patches_content = patching & ((patch_sel == 1) | (patch_sel == 2))
     df = df.withColumn(
-        "lang",
-        F.when(_u01(F.col("seq"), 23) < 0.05, F.lit(None).cast("string")).otherwise(
-            F.element_at(langs, (lang_idx + 1).cast("int"))
+        "commit",
+        F.when(patching & ~patches_content, F.lit(None).cast("string")).otherwise(
+            F.md5(key_seq)
         ),
     )
+    langs = F.array(*[F.lit(x) for x in ("python", "go", "rust", "javascript", "c")])
+    lang_idx = F.pmod(F.xxhash64(F.col("repo")), F.lit(5))
+    patched_lang = F.element_at(
+        langs, (F.pmod(F.xxhash64(F.col("seq"), F.lit(47)), F.lit(5)) + 1).cast("int")
+    )
+    df = df.withColumn(
+        "lang",
+        F.when(patching, F.when(patches_lang, patched_lang).otherwise(F.lit(None)))
+        .when(_u01(F.col("seq"), 23) < 0.05, F.lit(None).cast("string"))
+        .otherwise(F.element_at(langs, (lang_idx + 1).cast("int"))),
+    )
     blocks = [F.md5(F.concat_ws("#", key_seq, F.lit(str(i)))) for i in range(content_blocks)]
+    full_content = F.concat_ws("\n", F.lit("// synthetic source"), *blocks)
     df = df.withColumn(
         "content",
-        F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
-            F.concat_ws("\n", F.lit("// synthetic source"), *blocks)
-        ),
+        F.when(F.col("op") == "delete", F.lit(None).cast("string"))
+        .when(
+            patching,
+            F.when(
+                patches_content, F.concat(F.lit("// patched\n"), full_content)
+            ).otherwise(F.lit(None)),
+        )
+        .otherwise(full_content),
     )
 
     # event_ts: monotone in seq with <=60s backward jitter (the reference's

@@ -144,6 +144,7 @@ def apply_epoch(
     normalize: bool = True,
     mode: str = "mor",
     in_counts: dict[int, int] | None = None,
+    patch_count: int | None = None,
     conflict_retries: int = 2,
     normalizer: Callable[[DataFrame], DataFrame] | None = None,
 ) -> MergeStats:
@@ -171,7 +172,8 @@ def apply_epoch(
         try:
             return merge_batch(
                 table, batch, stream_id, epoch_id, offset_lo, offset_hi,
-                mode=mode, in_counts=in_counts, pre_commit=write_ledger,
+                mode=mode, in_counts=in_counts, patch_count=patch_count,
+                pre_commit=write_ledger,
                 # each attempt writes its own tag dir: a retry must NEVER
                 # overwrite files a rival's committed manifest references
                 # (the rival may have committed this very (stream, epoch))
@@ -228,22 +230,28 @@ def replay(
     # counts per epoch as before (bounded at num_buckets rows per collect).
     m = table.snapshot()
     counts: dict[int, dict[int, int]] = {}
+    patch_counts: dict[int, int] = {}
     precounted = bool(pending) and len(pending) * m.num_buckets <= 500_000
     if precounted:
         with _phase("precount"):
             lo = min(p.offset_lo for p in pending)
             hi = min(max(p.offset_hi for p in pending), total_offsets)
+            aggs = [F.count("*").alias("n")]
+            if "op" in log.columns:  # partial-image rows (same pass)
+                aggs.append(F.count(F.when(F.col("op") == "patch", 1)).alias("p"))
             rows = (
                 log.where((F.col("offset") >= lo) & (F.col("offset") < hi))
                 .groupBy(
                     F.floor(F.col("offset") / interval_size).cast("int").alias("_epoch"),
                     bucket_expr(m.key_columns, m.num_buckets).alias("_bucket"),
                 )
-                .agg(F.count("*").alias("n"))
+                .agg(*aggs)
                 .collect()
             )
             for r in rows:
                 counts.setdefault(r["_epoch"], {})[r["_bucket"]] = r["n"]
+                if "op" in log.columns:
+                    patch_counts[r["_epoch"]] = patch_counts.get(r["_epoch"], 0) + r["p"]
     summary = ReplaySummary()
     for plan in plans:
         if max_epochs is not None and summary.epochs_run >= max_epochs:
@@ -255,6 +263,7 @@ def replay(
         stats = apply_epoch(
             table, batch, stream_id, plan.epoch_id, plan.offset_lo, plan.offset_hi,
             mode=mode, in_counts=counts.get(plan.epoch_id, {}) if precounted else None,
+            patch_count=patch_counts.get(plan.epoch_id, 0) if precounted else None,
             normalizer=normalizer,
         )
         summary.epochs_run += 1
@@ -311,21 +320,27 @@ def stream_ingest(
         # one aggregation supplies offset bounds AND per-bucket rows_in —
         # the batch is scanned once here, once by the merge itself
         m = table.snapshot()
+        aggs = [
+            F.count("*").alias("n"),
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+        ]
+        if "op" in batch_df.columns:  # partial-image rows (same pass)
+            aggs.append(F.count(F.when(F.col("op") == "patch", 1)).alias("p"))
         rows = (
             batch_df.groupBy(bucket_expr(m.key_columns, m.num_buckets).alias("_bucket"))
-            .agg(
-                F.count("*").alias("n"),
-                F.min("offset").alias("lo"),
-                F.max("offset").alias("hi"),
-            )
+            .agg(*aggs)
             .collect()
         )
         in_counts = {r["_bucket"]: r["n"] for r in rows}
         lo = min((r["lo"] for r in rows), default=0)
         hi = max((r["hi"] + 1 for r in rows), default=0)
+        patch_count = (
+            sum(r["p"] for r in rows) if "op" in batch_df.columns else 0
+        )
         apply_epoch(
             table, batch_df, stream_id, epoch_id, lo, hi, mode=mode,
-            in_counts=in_counts, normalizer=normalizer,
+            in_counts=in_counts, patch_count=patch_count, normalizer=normalizer,
         )
         if compact_every and (epoch_id + 1) % compact_every == 0:
             table.compact()

@@ -71,7 +71,13 @@ def replicate_changes(
             raise
         return reseed_replica(src, dst, stream_id)
     batch = feed.withColumn(
-        "op", F.when(F.col("deleted"), F.lit("delete")).otherwise(F.lit("update"))
+        "op",
+        F.when(F.col("deleted"), F.lit("delete"))
+        # partial-image generations replicate as partial-image events —
+        # replaying them as full updates would null out the columns the
+        # patch meant to keep
+        .when(F.col("change_type") == "patch", F.lit("patch"))
+        .otherwise(F.lit("update")),
     ).drop("change_type", "deleted")
     return merge_batch(
         dst,
