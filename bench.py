@@ -150,6 +150,55 @@ def run_cdc_replay(spark, workdir: str) -> dict[str, float]:
     }
 
 
+def run_cdc_patch_replay(spark, workdir: str) -> dict[str, float]:
+    """Partial-image face: same exactly-once replay over a log where 30% of
+    updates are op='patch' rows (column-level LWW, pass-through partial
+    generations + per-column read fold). Half the headline event count —
+    the point is a recorded throughput for the patch path, not a second
+    headline. Repeat-and-take-best like the other faces."""
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.schemas import REPOS
+    from multiversx_etl_spark.sources.changelog import generate_change_log, write_log_parquet
+    from multiversx_etl_spark.streaming.ingest import replay
+
+    import pyspark.sql.functions as F
+
+    n_events = NUM_EVENTS // 2
+    log_path = os.path.join(workdir, "plog")
+    num_repos = max(100, n_events // 2000)
+    log = generate_change_log(
+        spark, n_events, num_repos=num_repos, paths_per_repo=200,
+        partitions=max(CPUS * 2, 8), patch_fraction=0.3,
+    )
+    write_log_parquet(log, log_path, files=max(CPUS * 2, 8))
+    log_df = spark.read.parquet(log_path)
+    log_df.agg(F.sum(F.length("content")), F.sum("seq")).collect()
+    total = n_events + int(n_events * 0.01)
+    interval = -(-total // NUM_EPOCHS)
+    samples = []
+    best = None
+    for rep in range(NUM_REPEATS):
+        table = LakeTable.create(
+            spark, os.path.join(workdir, f"ptable-r{rep}"), REPOS,
+            key_columns=["repo", "path"], num_buckets=NUM_BUCKETS,
+        )
+        t0 = time.perf_counter()
+        summary = replay(log_df, table, interval_size=interval, total_offsets=total)
+        wall = time.perf_counter() - t0
+        samples.append(round(wall, 3))
+        if best is None or wall < best[0]:
+            best = (wall, summary, table)
+    wall, summary, table = best
+    return {
+        "events": total,
+        "patch_replay_sec": round(wall, 3),
+        "patch_replay_samples": samples,
+        "events_per_sec": round(total / wall, 1),
+        "rows_patched": sum(st.rows_patched for st in summary.stats),
+        "final_rows": table.read().count(),
+    }
+
+
 def run_cdc_stream(spark, workdir: str) -> dict[str, float]:
     """The Structured Streaming face of the same ingest (readStream →
     foreachBatch MERGE, availableNow drain) over the log run_cdc_replay
@@ -201,6 +250,8 @@ def main() -> None:
         timings["cdc_replay"] = cdc["replay_sec"]
         stream = run_cdc_stream(spark, workdir)
         timings["cdc_stream"] = stream["stream_sec"]
+        patch = run_cdc_patch_replay(spark, workdir)
+        timings["cdc_patch_replay"] = patch["patch_replay_sec"]
         harness = round(time.perf_counter() - t_total, 3)
         # headline value = sum of the recorded per-query timings (each the
         # fastest pass), NOT the harness wall — the harness runs the suite
@@ -232,6 +283,12 @@ def main() -> None:
             "cdc_stream_sec": stream["stream_sec"],
             "cdc_stream_samples": stream["stream_samples"],
             "cdc_stream_final_rows": stream["final_rows"],
+            "cdc_patch_events": patch["events"],
+            "cdc_patch_events_per_sec": patch["events_per_sec"],
+            "cdc_patch_replay_sec": patch["patch_replay_sec"],
+            "cdc_patch_replay_samples": patch["patch_replay_samples"],
+            "cdc_patch_rows_patched": patch["rows_patched"],
+            "cdc_patch_final_rows": patch["final_rows"],
         }
         print(json.dumps(out))
     finally:
