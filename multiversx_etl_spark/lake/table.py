@@ -909,6 +909,31 @@ class LakeTable:
             fcntl.flock(lock_fd, fcntl.LOCK_UN)
             os.close(lock_fd)
 
+    def version_at(self, ts: float) -> int:
+        """Newest snapshot version committed at or before ``ts`` (epoch
+        seconds) — Iceberg's ``TIMESTAMP AS OF`` resolved against the
+        manifests' ``committed_at`` (monotone by construction: commits are
+        serialized under the lock and stamped inside it). Walks newest →
+        oldest so the cost is O(snapshots newer than ts), the common
+        "recent point in time" case; raises ValueError when ts predates
+        the retention window (the manifest that covered it is expired) or
+        the table itself."""
+        for v in range(self.current_version(), -1, -1):
+            try:
+                m = self.snapshot(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"timestamp {ts} is beyond the retention window "
+                    "(expire_snapshots dropped the covering snapshot)"
+                ) from None
+            if m.committed_at <= ts:
+                return v
+        raise ValueError(f"timestamp {ts} predates the table's first snapshot")
+
+    def read_as_of(self, ts: float, **kwargs) -> DataFrame:
+        """``read()`` at the snapshot current as of wall time ``ts``."""
+        return self.read(version=self.version_at(ts), **kwargs)
+
     def rollback(self, version: int) -> None:
         """Repoint ``_current`` at an older snapshot (O(1) rewind — the
         reference's analog is a DELETE-above-checkpoint scan,

@@ -127,6 +127,28 @@ def test_rollback_time_travel(spark, log_path, tmp_path):
     assert table.read().count() == count_v2
 
 
+def test_timestamp_time_travel(spark, log_path, tmp_path):
+    """TIMESTAMP AS OF: version_at resolves wall time against committed_at;
+    read_as_of returns the snapshot state current at that instant."""
+    import time as _time
+
+    import pytest as _pytest
+
+    table = ensure_table(spark, str(tmp_path / "repos"), num_buckets=8)
+    log = spark.read.parquet(log_path)
+    replay(log, table, interval_size=500, max_epochs=2)
+    v_mid = table.current_version()
+    ts_mid = table.snapshot(v_mid).committed_at
+    count_mid = table.read().count()
+    _time.sleep(0.05)
+    replay(log, table, interval_size=500)
+    assert table.version_at(ts_mid) == v_mid
+    assert table.read_as_of(ts_mid).count() == count_mid
+    assert table.version_at(_time.time()) == table.current_version()
+    with _pytest.raises(ValueError, match="predates"):
+        table.version_at(ts_mid - 10_000)
+
+
 def test_epoch_status_dashboard(spark, tmp_path):
     """A25: per-epoch states derive from durable artifacts only — committed
     epochs read 'finished', an orphan lineage write without its marker (the
