@@ -86,7 +86,13 @@ def run_query_suite(spark, sf_dir: str) -> dict[str, float]:
     return timings, construct, samples
 
 
-def run_cdc_replay(spark, workdir: str) -> dict[str, float]:
+def run_cdc_replay(
+    spark,
+    workdir: str,
+    n_events: int = 0,
+    patch_fraction: float = 0.0,
+    tag: str = "",
+) -> dict[str, float]:
     """Headline: materialize a synthetic change log to parquet, then replay
     it through the exactly-once MERGE pipeline in NUM_EPOCHS micro-batches.
     Throughput counts only the replay (the log write is setup).
@@ -95,19 +101,24 @@ def run_cdc_replay(spark, workdir: str) -> dict[str, float]:
     reported number is the fastest run: this VM's wall times swing ±25%
     (fabric contention + steal, one-sided — noise only ever adds time), so
     a single sample recorded round-to-round is mostly measuring the VM
-    (VERDICT r02 item #5). All samples are reported alongside."""
+    (VERDICT r02 item #5). All samples are reported alongside.
+
+    ``patch_fraction``/``n_events``/``tag`` parameterize the PARTIAL-IMAGE
+    face over the same measurement protocol (one protocol, one function —
+    a one-sided edit to the warm/repeat/best logic must be impossible)."""
     from multiversx_etl_spark.lake.table import LakeTable
     from multiversx_etl_spark.schemas import REPOS
     from multiversx_etl_spark.sources.changelog import generate_change_log, write_log_parquet
     from multiversx_etl_spark.streaming.ingest import replay
 
-    log_path = os.path.join(workdir, "log")
+    n_events = n_events or NUM_EVENTS
+    log_path = os.path.join(workdir, f"log{tag}")
     # Repo/path population scales with the log so the merge state is
     # realistic (~25% of events hit a fresh key at the default mix).
-    num_repos = max(100, NUM_EVENTS // 2000)
+    num_repos = max(100, n_events // 2000)
     log = generate_change_log(
-        spark, NUM_EVENTS, num_repos=num_repos, paths_per_repo=200,
-        partitions=max(CPUS * 2, 8),
+        spark, n_events, num_repos=num_repos, paths_per_repo=200,
+        partitions=max(CPUS * 2, 8), patch_fraction=patch_fraction,
     )
     t0 = time.perf_counter()
     write_log_parquet(log, log_path, files=max(CPUS * 2, 8))
@@ -119,13 +130,13 @@ def run_cdc_replay(spark, workdir: str) -> dict[str, float]:
     # Warm the page cache by touching actual data pages (a bare count() reads
     # only parquet footers): the metric is SUSTAINED replay throughput.
     log_df.agg(F.sum(F.length("content")), F.sum("seq")).collect()
-    total = NUM_EVENTS + int(NUM_EVENTS * 0.01)  # incl. duplicate deliveries
+    total = n_events + int(n_events * 0.01)  # incl. duplicate deliveries
     interval = -(-total // NUM_EPOCHS)
     samples = []
     best = None
     for rep in range(NUM_REPEATS):
         table = LakeTable.create(
-            spark, os.path.join(workdir, f"table-r{rep}"), REPOS,
+            spark, os.path.join(workdir, f"table{tag}-r{rep}"), REPOS,
             key_columns=["repo", "path"], num_buckets=NUM_BUCKETS,
         )
         t0 = time.perf_counter()
@@ -147,55 +158,7 @@ def run_cdc_replay(spark, workdir: str) -> dict[str, float]:
         "rows_inserted": summary.rows_inserted,
         "rows_updated": summary.rows_updated,
         "rows_deleted": summary.rows_deleted,
-    }
-
-
-def run_cdc_patch_replay(spark, workdir: str) -> dict[str, float]:
-    """Partial-image face: same exactly-once replay over a log where 30% of
-    updates are op='patch' rows (column-level LWW, pass-through partial
-    generations + per-column read fold). Half the headline event count —
-    the point is a recorded throughput for the patch path, not a second
-    headline. Repeat-and-take-best like the other faces."""
-    from multiversx_etl_spark.lake.table import LakeTable
-    from multiversx_etl_spark.schemas import REPOS
-    from multiversx_etl_spark.sources.changelog import generate_change_log, write_log_parquet
-    from multiversx_etl_spark.streaming.ingest import replay
-
-    import pyspark.sql.functions as F
-
-    n_events = NUM_EVENTS // 2
-    log_path = os.path.join(workdir, "plog")
-    num_repos = max(100, n_events // 2000)
-    log = generate_change_log(
-        spark, n_events, num_repos=num_repos, paths_per_repo=200,
-        partitions=max(CPUS * 2, 8), patch_fraction=0.3,
-    )
-    write_log_parquet(log, log_path, files=max(CPUS * 2, 8))
-    log_df = spark.read.parquet(log_path)
-    log_df.agg(F.sum(F.length("content")), F.sum("seq")).collect()
-    total = n_events + int(n_events * 0.01)
-    interval = -(-total // NUM_EPOCHS)
-    samples = []
-    best = None
-    for rep in range(NUM_REPEATS):
-        table = LakeTable.create(
-            spark, os.path.join(workdir, f"ptable-r{rep}"), REPOS,
-            key_columns=["repo", "path"], num_buckets=NUM_BUCKETS,
-        )
-        t0 = time.perf_counter()
-        summary = replay(log_df, table, interval_size=interval, total_offsets=total)
-        wall = time.perf_counter() - t0
-        samples.append(round(wall, 3))
-        if best is None or wall < best[0]:
-            best = (wall, summary, table)
-    wall, summary, table = best
-    return {
-        "events": total,
-        "patch_replay_sec": round(wall, 3),
-        "patch_replay_samples": samples,
-        "events_per_sec": round(total / wall, 1),
         "rows_patched": sum(st.rows_patched for st in summary.stats),
-        "final_rows": table.read().count(),
     }
 
 
@@ -250,8 +213,15 @@ def main() -> None:
         timings["cdc_replay"] = cdc["replay_sec"]
         stream = run_cdc_stream(spark, workdir)
         timings["cdc_stream"] = stream["stream_sec"]
-        patch = run_cdc_patch_replay(spark, workdir)
-        timings["cdc_patch_replay"] = patch["patch_replay_sec"]
+        # partial-image face: 30%-of-updates patch mix at half the headline
+        # event count, same measurement protocol. Its entry joins the
+        # per-query ledger AND the bench_total sum (totals are declared
+        # non-comparable across rounds as the suite grows — the ledger is
+        # the round-over-round instrument, BENCH/BASELINE.md).
+        patch = run_cdc_replay(
+            spark, workdir, n_events=NUM_EVENTS // 2, patch_fraction=0.3, tag="p"
+        )
+        timings["cdc_patch_replay"] = patch["replay_sec"]
         harness = round(time.perf_counter() - t_total, 3)
         # headline value = sum of the recorded per-query timings (each the
         # fastest pass), NOT the harness wall — the harness runs the suite
@@ -285,8 +255,8 @@ def main() -> None:
             "cdc_stream_final_rows": stream["final_rows"],
             "cdc_patch_events": patch["events"],
             "cdc_patch_events_per_sec": patch["events_per_sec"],
-            "cdc_patch_replay_sec": patch["patch_replay_sec"],
-            "cdc_patch_replay_samples": patch["patch_replay_samples"],
+            "cdc_patch_replay_sec": patch["replay_sec"],
+            "cdc_patch_replay_samples": patch["replay_samples"],
             "cdc_patch_rows_patched": patch["rows_patched"],
             "cdc_patch_final_rows": patch["final_rows"],
         }

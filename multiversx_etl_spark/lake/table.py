@@ -912,23 +912,44 @@ class LakeTable:
     def version_at(self, ts: float) -> int:
         """Newest snapshot version committed at or before ``ts`` (epoch
         seconds) — Iceberg's ``TIMESTAMP AS OF`` resolved against the
-        manifests' ``committed_at`` (monotone by construction: commits are
-        serialized under the lock and stamped inside it). Walks newest →
-        oldest so the cost is O(snapshots newer than ts), the common
-        "recent point in time" case; raises ValueError when ts predates
-        the retention window (the manifest that covered it is expired) or
-        the table itself."""
-        for v in range(self.current_version(), -1, -1):
-            try:
-                m = self.snapshot(v)
-            except FileNotFoundError:
+        manifests' ``committed_at``. Monotonicity holds because every
+        commit path constructs its Manifest (and stamps ``committed_at``)
+        AFTER reading the parent snapshot, and the create+swap critical
+        section is serialized under the commit flock — so a later version
+        is always stamped later. Binary search over the retained version
+        list (one cheap listdir, then O(log n) manifest parses — a long
+        replay retains one manifest per epoch, so a linear walk would
+        parse thousands of multi-KB file lists to read one float each).
+        Raises ValueError when ts predates the retention window (the
+        covering snapshot is expired) or the table itself."""
+        import bisect
+
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        versions = sorted(
+            int(name[1:-5])
+            for name in os.listdir(mdir)
+            if name.startswith("v") and name.endswith(".json")
+        )
+        # only retained-and-live versions (a crash orphan above _current is
+        # not committed state)
+        cur = self.current_version()
+        versions = versions[: bisect.bisect_right(versions, cur)]
+        lo, hi, best = 0, len(versions) - 1, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self.snapshot(versions[mid]).committed_at <= ts:
+                best = versions[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if best is None:
+            if versions and versions[0] > 0:
                 raise ValueError(
                     f"timestamp {ts} is beyond the retention window "
                     "(expire_snapshots dropped the covering snapshot)"
-                ) from None
-            if m.committed_at <= ts:
-                return v
-        raise ValueError(f"timestamp {ts} predates the table's first snapshot")
+                )
+            raise ValueError(f"timestamp {ts} predates the table's first snapshot")
+        return best
 
     def read_as_of(self, ts: float, **kwargs) -> DataFrame:
         """``read()`` at the snapshot current as of wall time ``ts``."""
