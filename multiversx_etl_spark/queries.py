@@ -779,23 +779,35 @@ FROM sigs a JOIN sigs b
 @_register("q_minhash_lsh_pairs", _MINHASH_PAIR_SQL)
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash LSH band join: docs agreeing on ANY of 3 minhash bands are
-    near-dup candidate pairs. Physical plan: 3 equi-joins on one band value
-    each (shuffle on the band hash — never an all-pairs product), unioned
-    and deduped. This is THE scale path for near-dup at 100 TB: candidates
-    ~ O(dup pairs), not O(n^2)."""
+    near-dup candidate pairs — never an all-pairs product; candidates ~
+    O(dup pairs), not O(n²). THE scale path for near-dup at 100 TB.
+
+    Physical plan: ONE self equi-join on (band, value) over the exploded
+    3n-row band table, instead of a union of 3 per-band joins. Same rows
+    shuffled in total (3n each side either way; sf0.1 wall identical,
+    A/B'd), but the single join keeps the plan to one exchange pair —
+    whose identical sides Catalyst can ReusedExchange — and one dedup,
+    where the union form re-evaluated the signature aggregate per leg and
+    paid 3 separate shuffle pairs at cluster scale."""
     sig = q_minhash_signatures(spark, sf_dir)  # already filtered to >=3 tokens
-    a, b = sig.alias("a"), sig.alias("b")
-    parts = []
-    for band in ("minhash_1", "minhash_2", "minhash_3"):
-        parts.append(
-            a.join(b, F.col(f"a.{band}") == F.col(f"b.{band}"))
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i + 1).alias("band"), F.col(f"minhash_{i + 1}").alias("v")
+                )
+                for i in range(3)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.v") == F.col("b.v")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
 
 
 _CLUSTERS_SQL = f"""

@@ -411,7 +411,8 @@ def bootstrap_snapshot(
         epoch_id=epoch_id,
         epoch_info={"reseed": True, "rows": n_rows} if stream_id is not None else None,
         expected_parent=m.version,
-        properties={"mor_appends": 0},
+        # full-state replacement: no delta or patch generations survive it
+        properties={"mor_appends": 0, "patch_deltas": 0},
         marker_mode=marker_mode,
     )
     return n_rows
