@@ -71,6 +71,7 @@ def slice_change_log(
     content_blocks: int = 4,
     base_ts: int = 1_596_117_600,
     partitions: int | None = None,
+    patch_fraction: float = 0.0,
 ) -> DataFrame:
     """The offset slice ``[lo, hi)`` of the ``num_events``-sized log,
     constructed DIRECTLY as ``spark.range(lo, hi)`` — O(slice), never
@@ -86,7 +87,7 @@ def slice_change_log(
         spark.range(lo, hi, 1, partitions) if partitions else spark.range(lo, hi)
     )
     return _event_columns(rng, num_events, num_repos, paths_per_repo, skew,
-                          content_blocks, base_ts)
+                          content_blocks, base_ts, patch_fraction)
 
 
 def _event_columns(
