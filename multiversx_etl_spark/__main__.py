@@ -102,6 +102,16 @@ def main(argv: list[str] | None = None) -> int:
     rbk.add_argument("table")
     rbk.add_argument("--buckets", type=int, required=True)
 
+    mt = sub.add_parser(
+        "maintain",
+        help="one cron-able maintenance pass: compact outstanding deltas, "
+        "expire old snapshots, GC orphan files",
+    )
+    mt.add_argument("table")
+    mt.add_argument("--keep-last", type=int, default=10)
+    mt.add_argument("--min-age", type=float, default=3600.0,
+                    help="orphan-GC age guard in seconds")
+
     ex = sub.add_parser(
         "expire",
         help="drop manifests older than the newest N versions and GC data "
@@ -399,6 +409,21 @@ def _dispatch(spark, args) -> int:
         print(json.dumps(
             {"version": m.version, "buckets_before": before, "buckets_after": m.num_buckets}
         ))
+        return 0
+
+    if args.cmd == "maintain":
+        table = LakeTable(spark, args.table)
+        before = len(table.snapshot().files)
+        m = table.compact()
+        expired = table.expire_snapshots(keep_last=args.keep_last)
+        gc = table.gc_orphan_files(min_age_seconds=args.min_age)
+        print(json.dumps({
+            "version": m.version,
+            "files_before": before,
+            "files_after": len(m.files),
+            **expired,
+            "orphans_deleted": gc["deleted"],
+        }))
         return 0
 
     if args.cmd == "expire":

@@ -2806,6 +2806,93 @@ def q_training_shards(spark, sf_dir):
     )
 
 
+_PMI_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  WHERE len(trim(text)) > 0
+),
+uni AS (
+  SELECT u AS w1, count(*) AS n_x
+  FROM (SELECT unnest(w) AS u FROM tok) WHERE u <> '' GROUP BY 1
+),
+bi AS (
+  SELECT b1 AS w1, b2 AS w2, count(*) AS n_xy
+  FROM (
+    SELECT w[i] AS b1, w[i+1] AS b2
+    FROM (SELECT w, unnest(range(1, len(w), 1)) AS i FROM tok)
+  ) WHERE b1 <> '' AND b2 <> '' GROUP BY 1, 2
+),
+nu AS (SELECT CAST(sum(n_x) AS DOUBLE) AS nu FROM uni),
+nb AS (SELECT CAST(sum(n_xy) AS DOUBLE) AS nb FROM bi),
+scored AS (
+  SELECT b.w1, b.w2, b.n_xy,
+         CAST(floor(ln((b.n_xy * nu.nu * nu.nu)
+                       / (ux.n_x * uy.n_x * nb.nb)) * 1000000) AS BIGINT)
+           AS pmi_micro
+  FROM bi b
+  JOIN uni ux ON b.w1 = ux.w1
+  JOIN uni uy ON b.w2 = uy.w1
+  CROSS JOIN nu CROSS JOIN nb
+  WHERE b.n_xy >= 5
+)
+SELECT w1, w2, n_xy, pmi_micro FROM scored
+ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
+"""
+
+
+@_register("q_bigram_pmi", _PMI_SQL)
+def q_bigram_pmi(spark, sf_dir):
+    """Bigram PMI phrase mining — the collocation scorer behind phrase
+    vocabularies and tokenizer merge seeding: top-50 adjacent word pairs
+    (support ≥ 5) by pointwise mutual information, fixed-point micro-units
+    (the ln runs on the identical product/ratio expression in both engines
+    — same IEEE64 arithmetic as q_tfidf_top_terms' idf).
+
+    100 TB plan: unigram and bigram counts are map-side-combined
+    aggregates of the exploded token stream (vocabulary-sized partials,
+    never corpus-sized); the corpus totals are one-row aggregates
+    broadcast by the cross joins; the bi⋈uni joins are vocabulary-sized
+    with the classic stopword skew (AQE-split); the final top-50 is
+    TakeOrderedAndProject — per-partition heaps, no full sort."""
+    d = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    words = d.select(F.split(F.trim("text"), r"\s+").alias("w"))
+    tok = words.select(F.explode("w").alias("t")).where(F.col("t") != "")
+    uni = tok.groupBy(F.col("t").alias("w1")).agg(F.count("*").alias("n_x"))
+    idx = F.sequence(F.lit(0), F.size("w") - F.lit(2))
+    bi = (
+        words.where(F.size("w") >= 2)
+        .select(F.explode(idx).alias("i"), "w")
+        .select(
+            F.element_at("w", F.col("i") + 1).alias("w1"),
+            F.element_at("w", F.col("i") + 2).alias("w2"),
+        )
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_xy"))
+    )
+    nu = uni.agg(F.sum("n_x").cast("double").alias("nu"))
+    nb = bi.agg(F.sum("n_xy").cast("double").alias("nb"))
+    ux = uni.select(F.col("w1"), F.col("n_x").alias("nx_1"))
+    uy = uni.select(F.col("w1").alias("w2"), F.col("n_x").alias("nx_2"))
+    pmi = F.floor(
+        F.log(
+            (F.col("n_xy") * F.col("nu") * F.col("nu"))
+            / (F.col("nx_1") * F.col("nx_2") * F.col("nb"))
+        )
+        * F.lit(1_000_000)
+    ).cast("long")
+    return (
+        bi.where(F.col("n_xy") >= 5)
+        .join(ux, on="w1")
+        .join(uy, on="w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "n_xy", pmi.alias("pmi_micro"))
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(50)
+    )
+
+
 _PACK_LEN = 2048
 
 _PACK_SQL = f"""

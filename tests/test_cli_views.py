@@ -83,3 +83,22 @@ def test_refresh_view_cli_minhash_and_agg(spark, tmp_path):
         "--spec", str(mh_spec),
     )
     assert out["up_to_date"] is True
+
+
+def test_maintain_cli(spark, tmp_path):
+    """One cron-able pass: compact + expire + orphan GC, reported together."""
+    src = LakeTable.create(
+        spark, str(tmp_path / "m"), REPOS, key_columns=["repo", "path"], num_buckets=4
+    )
+    for i in range(4):
+        merge_batch(src, _batch(spark, [
+            (i, 10 + i, "insert", "r1", f"f{i}.py", "c", "py", f"body {i}"),
+        ]), "s", i)
+    assert int(src.snapshot().properties["mor_appends"]) > 0
+    out = _cli("maintain", str(tmp_path / "m"), "--keep-last", "2", "--min-age", "0")
+    assert out["files_after"] <= out["files_before"] + 1
+    assert out["expired_manifests"] >= 1
+    t = LakeTable(spark, str(tmp_path / "m"))
+    m = t.snapshot()
+    assert int(m.properties["mor_appends"]) == 0
+    assert t.read().count() == 4
