@@ -174,6 +174,47 @@ def test_patch_orphan_is_noop(spark, tmp_path):
     assert got2 == got
 
 
+def test_patch_with_schema_evolution(spark, tmp_path):
+    """A patch event can CARRY a brand-new column: the schema evolves in
+    the same atomic commit and the new column patches in per-column — old
+    full images read it as NULL, the patch sets it, a later full image
+    without the column resets it to NULL (full images set every column)."""
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    base_rows = [
+        (0, 0, "insert", "r1", "p1", "c0", "python", "body0", None),
+        (1, 1, "insert", "r1", "p2", "c1", "go", "body1", None),
+    ]
+    log1 = spark.createDataFrame(base_rows, CHANGE_EVENTS)
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    replay(log1, table, interval_size=10, total_offsets=2, mode="mor")
+
+    evolved = StructType(list(CHANGE_EVENTS.fields) + [StructField("stars", StringType(), True)])
+    rows2 = [
+        (2, 4, "patch", "r1", "p1", None, None, None, None, "5"),   # new col via patch
+        (3, 6, "update", "r1", "p2", "c6", "rust", "body6", None, None),
+    ]
+    log2 = spark.createDataFrame(rows2, evolved)
+    from multiversx_etl_spark.streaming.ingest import apply_epoch
+
+    apply_epoch(table, log2, "main", 1, offset_lo=2, offset_hi=4)
+    got = {
+        (r["repo"], r["path"]): (r["lang"], r["content"], r["stars"], r["seq"])
+        for r in table.read().collect()
+    }
+    assert got == {
+        ("r1", "p1"): ("python", "body0", "5", 4),
+        ("r1", "p2"): ("rust", "body6", None, 6),
+    }
+    table.compact()
+    got2 = {
+        (r["repo"], r["path"]): (r["lang"], r["content"], r["stars"], r["seq"])
+        for r in table.read().collect()
+    }
+    assert got2 == got
+
+
 def test_patch_delete_interplay(spark, tmp_path):
     """Patches don't resurrect deleted keys; a full re-insert after the
     delete resets columns, later patches re-apply."""

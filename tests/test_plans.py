@@ -37,6 +37,9 @@ EXPECT = {
     # packing: text never reaches the shuffle — the cumsum window moves a
     # narrow token-count projection only
     "q_pack_assignments": ["Window"],
+    # PMI: vocabulary-sized partial aggs + per-partition top-k heaps, no
+    # full sort of the bigram table
+    "q_bigram_pmi": ["TakeOrderedAndProject", "partial"],
 }
 
 
