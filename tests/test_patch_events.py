@@ -148,6 +148,20 @@ def test_patch_replication_chain(spark, patch_log, tmp_path):
     assert table_state(dst) == table_state(src) == oracle_state(patch_log)
 
 
+def test_patch_rebucket_finalizes(spark, patch_log, tmp_path):
+    """rebucket() with patch generations outstanding folds them exactly
+    like compact (same finalization contract) and the new layout carries
+    zero patch debt."""
+    log = spark.read.parquet(patch_log)
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    replay(log, table, interval_size=600, mode="mor")
+    want = oracle_state(patch_log)
+    assert int(table.snapshot().properties["patch_deltas"]) > 0
+    m = table.rebucket(16)
+    assert int(m.properties["patch_deltas"]) == 0
+    assert table_state(table) == want
+
+
 def test_patch_orphan_is_noop(spark, tmp_path):
     """Patches never create rows: a patch to a key with no full image is
     dropped (and a later full image for OTHER keys doesn't resurrect it)."""
