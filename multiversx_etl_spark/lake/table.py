@@ -663,7 +663,7 @@ class LakeTable:
         self._write_manifest(manifest)
         return manifest
 
-    def compact(self, full: bool = False) -> Manifest:
+    def compact(self, full: bool = False, preserve_patches: bool = False) -> Manifest:
         """Fold outstanding merge-on-read deltas into base files (tombstones
         retained — a late lower-seq update must never resurrect a deleted
         key, so tombstone seqs survive compaction). Iceberg analog:
@@ -678,7 +678,15 @@ class LakeTable:
         ``full=True`` forces the old whole-table rewrite (e.g. after
         changing file-size targets). Delta files are marked ``base: false``
         in the manifest by the MERGE; files from manifests predating the
-        flag read as deltas (conservative: they stay compactable)."""
+        flag read as deltas (conservative: they stay compactable).
+
+        With partial-image generations outstanding, the default run
+        FINALIZES column-level LWW (folds patches into full rows — exact
+        once the stream's bounded-lateness window has passed);
+        ``preserve_patches=True`` instead rewrites contested patch
+        generations alongside the wide-folded base, keeping per-column
+        exactness under arbitrary lateness at the cost of the read fold
+        staying armed until newer full images clear the debt."""
         m = self.snapshot()
         delta_pids = {f["pid"] for f in m.files if not f.get("base", False)}
         if full:
@@ -689,28 +697,78 @@ class LakeTable:
         # every bucket stored in a touched pid group (bucket->pid is fixed,
         # so these buckets' keys live ONLY in the rewritten groups)
         buckets = {b for b in range(m.num_buckets) if mapping[b] in delta_pids}
-        folded = self.read(buckets=buckets, include_tombstones=True).withColumn(
-            "_bucket", bucket_expr(m.key_columns, m.num_buckets)
-        )
+        key = m.key_columns
+        patch_outstanding = int(m.properties.get("patch_deltas", 0)) > 0
+        tag = f"compact-v{m.version:08d}"
+        patch_files: list[dict] = []
+        n_preserved = 0
+        if preserve_patches and patch_outstanding:
+            # Semantics-preserving mode: CONTESTED patch generations (newer
+            # than their key's full-image winner — per-column state a single
+            # folded row cannot carry) are rewritten as compacted patch
+            # files instead of folded, so a full image arriving later than
+            # an already-compacted patch still folds exactly; the base side
+            # is the classic wide fold over FULL generations only (its row
+            # seq stays the full winner's — never coarsened). Patch debt
+            # self-clears as newer full images supersede the patches.
+            raw = self.read(
+                buckets=buckets, include_tombstones=True, raw=True, with_action=True
+            )
+            is_patch = F.coalesce(F.col("_action") == "patch", F.lit(False))
+            fulls = raw.where(~is_patch).drop("_action")
+            others = [c for c in fulls.columns if c not in key and c != "seq"]
+            folded = (
+                fulls.groupBy(*key)
+                .agg(F.max(F.struct("seq", *others)).alias("_w"))
+                .select(
+                    *key,
+                    F.col("_w.seq").alias("seq"),
+                    *[F.col(f"_w.{c}").alias(c) for c in others],
+                )
+                .select(*[f.name for f in m.schema.fields])
+                .withColumn("_bucket", bucket_expr(key, m.num_buckets))
+            )
+            base_seqs = fulls.groupBy(*key).agg(F.max("seq").alias("_bseq"))
+            patches = (
+                raw.where(is_patch)
+                .join(base_seqs, on=key, how="inner")  # orphans drop
+                .where(F.col("seq") > F.col("_bseq"))
+                .drop("_bseq")
+                .dropDuplicates([*key, "seq"])  # redelivered partials
+                .withColumn("_bucket", bucket_expr(key, m.num_buckets))
+            )
+            patch_files = self.write_data_files(
+                patches, f"{tag}-p", sort_columns=list(key)
+            )
+            for f in patch_files:
+                f["base"] = False
+            n_preserved = sum(f["rows"] for f in patch_files)
+        else:
+            # Finalizing mode (default): the read fold applies any patch
+            # generations into full rows — column-level LWW is FINALIZED
+            # here (run it only past the stream's bounded-lateness window,
+            # the standard lakehouse contract — a full image arriving later
+            # than an already-compacted patch would find the row seq
+            # coarsened to the patch's seq). preserve_patches=True keeps
+            # exactness under arbitrary lateness instead.
+            folded = self.read(buckets=buckets, include_tombstones=True).withColumn(
+                "_bucket", bucket_expr(key, m.num_buckets)
+            )
         # base files come out key-sorted: partition-local sort (no extra
         # shuffle), and parquet row-group min/max stats then let key
         # lookups skip row groups — compaction doubles as clustering
-        new_files = self.write_data_files(
-            folded, f"compact-v{m.version:08d}", sort_columns=list(m.key_columns)
-        )
+        new_files = self.write_data_files(folded, tag, sort_columns=list(key))
         for f in new_files:
             f["base"] = True
         return self.commit(
-            new_files,
+            new_files + patch_files,
             replaced_pids=delta_pids,
             operation="compact",
             expected_parent=m.version,
-            # patch generations fold into full rows here: compaction
-            # FINALIZES column-level LWW (run it only past the stream's
-            # bounded-lateness window, the standard lakehouse contract —
-            # a full image arriving later than an already-compacted patch
-            # would find the row seq coarsened to the patch's seq)
-            properties={"mor_appends": 0, "patch_deltas": 0},
+            properties={
+                "mor_appends": 1 if patch_files else 0,
+                "patch_deltas": n_preserved,
+            },
         )
 
     def rebucket(self, new_buckets: int) -> Manifest:

@@ -114,6 +114,52 @@ def test_patch_compact_finalizes(spark, patch_log, tmp_path):
     assert table_state(t2) == want
 
 
+def test_patch_preserving_compaction_exact_under_lateness(spark, tmp_path):
+    """compact(preserve_patches=True) keeps contested patch generations:
+    a full image arriving LATER than an already-compacted patch still
+    folds per-column exactly (the finalizing default would coarsen the
+    row seq to the patch's and carry the late update)."""
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+    from multiversx_etl_spark.streaming.ingest import apply_epoch
+
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    e0 = [
+        (0, 0, "insert", "r1", "p1", "c0", "python", "body0", None),
+        (1, 5, "patch", "r1", "p1", None, "go", None, None),
+    ]
+    apply_epoch(table, spark.createDataFrame(e0, CHANGE_EVENTS), "main", 0, 0, 2)
+    m = table.compact(preserve_patches=True)
+    assert int(m.properties["patch_deltas"]) == 1  # contested patch kept
+    # late full image BETWEEN the base and the preserved patch
+    e1 = [(2, 3, "update", "r1", "p1", "c3", "rust", "body3", None)]
+    apply_epoch(table, spark.createDataFrame(e1, CHANGE_EVENTS), "main", 1, 2, 3)
+    r = table.read().collect()[0]
+    assert (r["lang"], r["content"], r["commit"], r["seq"]) == ("go", "body3", "c3", 5)
+    # finalizing compact now absorbs everything; state unchanged
+    table.compact()
+    r2 = table.read().collect()[0]
+    assert (r2["lang"], r2["content"], r2["commit"]) == ("go", "body3", "c3")
+
+
+def test_patch_preserving_compaction_roundtrip(spark, patch_log, tmp_path):
+    """Preserve-mode compaction over the generated mix: state identical to
+    the oracle before and after, and the preserved debt is exactly the
+    contested patches (superseded ones folded away)."""
+    log = spark.read.parquet(patch_log)
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=8)
+    replay(log, table, interval_size=600, mode="mor")
+    want = oracle_state(patch_log)
+    before = int(table.snapshot().properties["patch_deltas"])
+    m = table.compact(preserve_patches=True)
+    kept = int(m.properties["patch_deltas"])
+    assert 0 < kept <= before
+    assert table_state(table) == want
+    # preserved files are deltas: a later finalizing compact clears them
+    table.compact()
+    assert int(table.snapshot().properties["patch_deltas"]) == 0
+    assert table_state(table) == want
+
+
 def test_patch_requires_mor(spark, patch_log, tmp_path):
     log = spark.read.parquet(patch_log)
     table = ensure_table(spark, str(tmp_path / "t"), num_buckets=8)
