@@ -93,6 +93,11 @@ def main(argv: list[str] | None = None) -> int:
         "--full", action="store_true",
         help="rewrite every pid group (default: only groups holding deltas)",
     )
+    c.add_argument(
+        "--preserve-patches", action="store_true",
+        help="keep contested partial-image generations instead of "
+        "finalizing them (exact column-level LWW under arbitrary lateness)",
+    )
 
     rbk = sub.add_parser(
         "rebucket",
@@ -398,7 +403,7 @@ def _dispatch(spark, args) -> int:
     if args.cmd == "compact":
         table = LakeTable(spark, args.table)
         before = len(table.snapshot().files)
-        m = table.compact(full=args.full)
+        m = table.compact(full=args.full, preserve_patches=args.preserve_patches)
         print(json.dumps({"version": m.version, "files_before": before, "files_after": len(m.files)}))
         return 0
 
