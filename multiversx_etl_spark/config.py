@@ -70,6 +70,7 @@ class WorkerConfig:
     num_buckets: int = 16
     mode: str = "mor"
     compact_every: int | None = None
+    compact_preserve_patches: bool = False
     max_files_per_trigger: int = 4
     trigger_interval: str | None = None
     fail_on_counts_mismatch: bool = True
@@ -98,8 +99,8 @@ _REQUIRED = ("table_root", "log_path")
 _KNOWN = {
     "table_root", "log_path", "name", "schema", "normalizer", "stream_id",
     "interval_size", "num_buckets", "mode", "compact_every",
-    "max_files_per_trigger", "trigger_interval", "fail_on_counts_mismatch",
-    "counts_checks_errata",
+    "compact_preserve_patches", "max_files_per_trigger", "trigger_interval",
+    "fail_on_counts_mismatch", "counts_checks_errata",
 }
 
 
@@ -195,6 +196,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
             max_files_per_trigger=cfg.max_files_per_trigger,
             mode=cfg.mode,
             compact_every=cfg.compact_every,
+            compact_preserve_patches=cfg.compact_preserve_patches,
             trigger_interval=cfg.trigger_interval,
             normalizer=normalizer,
             log_schema=log_schema,
@@ -213,6 +215,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
             stream_id=cfg.stream_id,
             mode=cfg.mode,
             compact_every=cfg.compact_every,
+            compact_preserve_patches=cfg.compact_preserve_patches,
             normalizer=normalizer,
         )
         summary = {"epochs_run": s.epochs_run, "epochs_skipped": s.epochs_skipped,

@@ -199,13 +199,18 @@ def replay(
     on_epoch: Callable[[int, MergeStats], None] | None = None,
     mode: str = "mor",
     compact_every: int | None = None,
+    compact_preserve_patches: bool = False,
     normalizer: Callable[[DataFrame], DataFrame] | None = None,
 ) -> ReplaySummary:
     """Replay the log in offset-range epochs, skipping committed ones.
 
     ``mode='mor'`` (default) appends delta files per epoch — O(batch) write
     cost; ``compact_every=K`` folds deltas into base files after every K run
-    epochs (read-amplification bound, like Iceberg maintenance cadence).
+    epochs (read-amplification bound, like Iceberg maintenance cadence);
+    ``compact_preserve_patches=True`` makes those mid-stream compactions
+    keep contested partial-image generations (exact column-level LWW under
+    arbitrary lateness — use for patch streams whose full images may
+    arrive later than the compaction cadence).
     ``normalizer`` overrides the per-table transformer (normalize.REGISTRY
     dispatch — the reference's per-index transformers); default is the
     ``change_events`` normalization.
@@ -269,7 +274,7 @@ def replay(
         summary.epochs_run += 1
         if compact_every and summary.epochs_run % compact_every == 0:
             with _phase("compact"):
-                table.compact()
+                table.compact(preserve_patches=compact_preserve_patches)
         summary.rows_in += stats.rows_in
         summary.rows_inserted += stats.rows_inserted
         summary.rows_updated += stats.rows_updated
@@ -289,6 +294,7 @@ def stream_ingest(
     max_files_per_trigger: int = 4,
     mode: str = "mor",
     compact_every: int | None = None,
+    compact_preserve_patches: bool = False,
     trigger_interval: str | None = None,
     normalizer: Callable[[DataFrame], DataFrame] | None = None,
     log_schema=None,
@@ -343,7 +349,7 @@ def stream_ingest(
             in_counts=in_counts, patch_count=patch_count, normalizer=normalizer,
         )
         if compact_every and (epoch_id + 1) % compact_every == 0:
-            table.compact()
+            table.compact(preserve_patches=compact_preserve_patches)
 
     writer = src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

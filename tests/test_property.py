@@ -182,3 +182,104 @@ def test_replication_chain_matches_direct_state(
     want = python_lww(events)
     assert live(src) == want
     assert live(dst) == want
+
+
+patch_event_st = st.tuples(
+    st.integers(min_value=0, max_value=2),                     # key index
+    st.sampled_from(["insert", "update", "delete", "patch"]),
+    st.integers(min_value=0, max_value=2),                     # patch mask
+)
+patch_scenario_st = st.tuples(
+    st.lists(patch_event_st, min_size=1, max_size=12),
+    st.randoms(use_true_random=False),
+)
+
+_PATCH_COLS = {0: ("lang",), 1: ("content",), 2: ("lang", "content")}
+
+
+def python_column_lww(events):
+    """Reference per-column LWW: full images set every column at their seq
+    (delete = None), patches set only their masked columns; liveness from
+    the full-image winner; keys with no full image are absent."""
+    full: dict[int, tuple[int, str]] = {}
+    colw: dict[tuple[int, str], tuple[int, str | None]] = {}
+    for seq, (ki, op, mask) in sorted(events):
+        if op != "patch":
+            if ki not in full or seq > full[ki][0]:
+                full[ki] = (seq, op)
+            for col in ("lang", "content"):
+                val = None if op == "delete" else f"{col}-{ki}-{seq}"
+                k = (ki, col)
+                if k not in colw or seq > colw[k][0]:
+                    colw[k] = (seq, val)
+        else:
+            for col in _PATCH_COLS[mask]:
+                val = f"p{col}-{ki}-{seq}"
+                k = (ki, col)
+                if k not in colw or seq > colw[k][0]:
+                    colw[k] = (seq, val)
+    return {
+        KEYS[ki]: (colw[(ki, "lang")][1], colw[(ki, "content")][1])
+        for ki, (s, op) in full.items()
+        if op != "delete"
+    }
+
+
+def _patch_rows(order):
+    rows = []
+    for off, (seq, (ki, op, mask)) in enumerate(order):
+        repo, path = KEYS[ki]
+        if op == "patch":
+            cols = _PATCH_COLS[mask]
+            lang = f"plang-{ki}-{seq}" if "lang" in cols else None
+            content = f"pcontent-{ki}-{seq}" if "content" in cols else None
+            commit = None
+        else:
+            lang = None if op == "delete" else f"lang-{ki}-{seq}"
+            content = None if op == "delete" else f"content-{ki}-{seq}"
+            commit = f"c{seq}"
+        rows.append((off, seq, op, repo, path, commit, lang, content))
+    return rows
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(patch_scenario_st, st.integers(min_value=1, max_value=3))
+def test_patch_column_lww_matches_python_oracle(
+    spark, tmp_path_factory, scenario, n_batches
+):
+    """Adversarial partial-image interleavings (patches before their base,
+    across epoch splits, duplicated deliveries, deletes between patches)
+    must always fold to the reference per-column LWW — with no compaction,
+    with preserve-mode compaction mid-replay, and with a finalizing
+    compact after all events."""
+    events_raw, rng = scenario
+    events = list(enumerate(events_raw))
+    order = list(events)
+    rng.shuffle(order)
+    dup_count = rng.randint(0, min(3, len(order)))
+    order = order + order[:dup_count]
+    rows = _patch_rows(order)
+    size = -(-len(rows) // n_batches)
+    chunks = [rows[i : i + size] for i in range(0, len(rows), size)]
+
+    want = python_column_lww(events)
+    base = tmp_path_factory.mktemp("pprop")
+    schema = (
+        "offset long, seq long, op string, repo string, path string, "
+        "commit string, lang string, content string"
+    )
+    for variant in ("plain", "preserve_mid", "finalize_end"):
+        t = ensure_table(spark, str(base / variant), num_buckets=4)
+        for epoch, chunk in enumerate(chunks):
+            df = spark.createDataFrame(chunk, schema)
+            merge_batch(t, df, "prop", epoch, collect_per_bucket_stats=False)
+            if variant == "preserve_mid":
+                t.compact(preserve_patches=True)
+        if variant == "finalize_end":
+            t.compact()
+        got = {
+            (r["repo"], r["path"]): (r["lang"], r["content"])
+            for r in t.read().collect()
+        }
+        assert got == want, f"{variant}: {got} != {want}"
