@@ -116,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--keep-last", type=int, default=10)
     mt.add_argument("--min-age", type=float, default=3600.0,
                     help="orphan-GC age guard in seconds")
+    mt.add_argument(
+        "--preserve-patches", action="store_true",
+        help="keep contested partial-image generations through the compact "
+        "step (match this to the stream's compact_preserve_patches)",
+    )
 
     ex = sub.add_parser(
         "expire",
@@ -419,7 +424,7 @@ def _dispatch(spark, args) -> int:
     if args.cmd == "maintain":
         table = LakeTable(spark, args.table)
         before = len(table.snapshot().files)
-        m = table.compact()
+        m = table.compact(preserve_patches=args.preserve_patches)
         expired = table.expire_snapshots(keep_last=args.keep_last)
         gc = table.gc_orphan_files(min_age_seconds=args.min_age)
         print(json.dumps({

@@ -511,8 +511,13 @@ class LakeTable:
             df = df.where(F.col(k) == key[k])
         return df
 
-    def bucket_of(self) -> Column:
-        m = self.snapshot()
+    def bucket_of(self, version: int | None = None) -> Column:
+        """Bucket id of each row's key — under the layout of ``version``
+        (default: current). Callers pruning a TIME-TRAVELLED read must pass
+        that read's version: rebucket() changes num_buckets between
+        snapshots, and a bucket id computed under one layout prunes
+        garbage under another."""
+        m = self.snapshot(version)
         return bucket_expr(m.key_columns, m.num_buckets)
 
     def is_epoch_committed(self, stream_id: str, epoch_id: int) -> bool:
@@ -663,6 +668,48 @@ class LakeTable:
         self._write_manifest(manifest)
         return manifest
 
+    def _preserving_split(
+        self, m: Manifest, buckets: set[int] | None, target_buckets: int
+    ):
+        """Semantics-preserving rewrite inputs: (wide-folded base over FULL
+        generations only, contested+orphan patch generations), both carrying
+        ``_bucket`` under ``target_buckets``.
+
+        The base's row seq stays the full-image winner's — never coarsened
+        by patch seqs — and contested patches (newer than their key's full
+        winner) plus ORPHANS (no full image yet: arbitrary lateness is
+        exactly what preserve mode promises) are kept as generations, so a
+        full image arriving later than the rewrite still folds per-column
+        exactly. Patch debt self-clears as newer full images supersede."""
+        key = m.key_columns
+        raw = self.read(
+            buckets=buckets, include_tombstones=True, raw=True, with_action=True
+        )
+        is_patch = F.coalesce(F.col("_action") == "patch", F.lit(False))
+        fulls = raw.where(~is_patch).drop("_action")
+        others = [c for c in fulls.columns if c not in key and c != "seq"]
+        folded = (
+            fulls.groupBy(*key)
+            .agg(F.max(F.struct("seq", *others)).alias("_w"))
+            .select(
+                *key,
+                F.col("_w.seq").alias("seq"),
+                *[F.col(f"_w.{c}").alias(c) for c in others],
+            )
+            .select(*[f.name for f in m.schema.fields])
+            .withColumn("_bucket", bucket_expr(key, target_buckets))
+        )
+        base_seqs = fulls.groupBy(*key).agg(F.max("seq").alias("_bseq"))
+        patches = (
+            raw.where(is_patch)
+            .join(base_seqs, on=key, how="left")
+            .where(F.col("seq") > F.coalesce(F.col("_bseq"), F.lit(-1)))
+            .drop("_bseq")
+            .dropDuplicates([*key, "seq"])  # redelivered partials
+            .withColumn("_bucket", bucket_expr(key, target_buckets))
+        )
+        return folded, patches
+
     def compact(self, full: bool = False, preserve_patches: bool = False) -> Manifest:
         """Fold outstanding merge-on-read deltas into base files (tombstones
         retained — a late lower-seq update must never resurrect a deleted
@@ -703,40 +750,7 @@ class LakeTable:
         patch_files: list[dict] = []
         n_preserved = 0
         if preserve_patches and patch_outstanding:
-            # Semantics-preserving mode: CONTESTED patch generations (newer
-            # than their key's full-image winner — per-column state a single
-            # folded row cannot carry) are rewritten as compacted patch
-            # files instead of folded, so a full image arriving later than
-            # an already-compacted patch still folds exactly; the base side
-            # is the classic wide fold over FULL generations only (its row
-            # seq stays the full winner's — never coarsened). Patch debt
-            # self-clears as newer full images supersede the patches.
-            raw = self.read(
-                buckets=buckets, include_tombstones=True, raw=True, with_action=True
-            )
-            is_patch = F.coalesce(F.col("_action") == "patch", F.lit(False))
-            fulls = raw.where(~is_patch).drop("_action")
-            others = [c for c in fulls.columns if c not in key and c != "seq"]
-            folded = (
-                fulls.groupBy(*key)
-                .agg(F.max(F.struct("seq", *others)).alias("_w"))
-                .select(
-                    *key,
-                    F.col("_w.seq").alias("seq"),
-                    *[F.col(f"_w.{c}").alias(c) for c in others],
-                )
-                .select(*[f.name for f in m.schema.fields])
-                .withColumn("_bucket", bucket_expr(key, m.num_buckets))
-            )
-            base_seqs = fulls.groupBy(*key).agg(F.max("seq").alias("_bseq"))
-            patches = (
-                raw.where(is_patch)
-                .join(base_seqs, on=key, how="inner")  # orphans drop
-                .where(F.col("seq") > F.col("_bseq"))
-                .drop("_bseq")
-                .dropDuplicates([*key, "seq"])  # redelivered partials
-                .withColumn("_bucket", bucket_expr(key, m.num_buckets))
-            )
+            folded, patches = self._preserving_split(m, buckets, m.num_buckets)
             patch_files = self.write_data_files(
                 patches, f"{tag}-p", sort_columns=list(key)
             )
@@ -771,7 +785,7 @@ class LakeTable:
             },
         )
 
-    def rebucket(self, new_buckets: int) -> Manifest:
+    def rebucket(self, new_buckets: int, preserve_patches: bool = False) -> Manifest:
         """Bucket-layout evolution: rewrite the table into a different
         bucket count in ONE commit (Iceberg analog: partition-spec
         evolution, `ALTER TABLE ... PARTITIONED BY bucket(B', key)` +
@@ -791,31 +805,55 @@ class LakeTable:
         while new reads/merges/lookups use the new one; stream epoch
         markers carry over untouched, so a replay resumes against the new
         layout with no coordination. Logically a no-op — ``changes()``
-        skips it exactly like ``compact``."""
+        skips it exactly like ``compact``.
+
+        Like ``compact``, the default run FINALIZES outstanding
+        partial-image generations (row seq coarsened to the newest patch —
+        exact once the stream's bounded-lateness window has passed);
+        ``preserve_patches=True`` rewrites contested patch generations
+        under the new layout instead, keeping column-level LWW exact under
+        arbitrary lateness."""
         m = self.snapshot()
         if new_buckets == m.num_buckets:
             return m
         if new_buckets < 1:
             raise ValueError(f"new_buckets must be >= 1, got {new_buckets}")
-        folded = (
-            self.read(include_tombstones=True)
-            .withColumn("_bucket", bucket_expr(m.key_columns, new_buckets))
-            .repartition(new_buckets, F.col("_bucket"))
-        )
+        tag = f"rebucket-v{m.version:08d}"
+        patch_files: list[dict] = []
+        n_preserved = 0
+        if preserve_patches and int(m.properties.get("patch_deltas", 0)) > 0:
+            folded, patches = self._preserving_split(m, None, new_buckets)
+            patch_files = self.write_data_files(
+                patches.repartition(new_buckets, F.col("_bucket")),
+                f"{tag}-p",
+                bucket_aligned=True,
+                sort_columns=list(m.key_columns),
+            )
+            for f in patch_files:
+                f["base"] = False
+            n_preserved = sum(f["rows"] for f in patch_files)
+        else:
+            folded = self.read(include_tombstones=True).withColumn(
+                "_bucket", bucket_expr(m.key_columns, new_buckets)
+            )
+        folded = folded.repartition(new_buckets, F.col("_bucket"))
         new_files = self.write_data_files(
             folded,
-            f"rebucket-v{m.version:08d}",
+            tag,
             bucket_aligned=True,
             sort_columns=list(m.key_columns),
         )
         for f in new_files:
             f["base"] = True
         return self.commit(
-            new_files,
+            new_files + patch_files,
             replaced_pids={f["pid"] for f in m.files},
             operation="rebucket",
             expected_parent=m.version,
-            properties={"mor_appends": 0, "patch_deltas": 0},
+            properties={
+                "mor_appends": 1 if patch_files else 0,
+                "patch_deltas": n_preserved,
+            },
             num_buckets=new_buckets,
         )
 
@@ -995,7 +1033,16 @@ class LakeTable:
         lo, hi, best = 0, len(versions) - 1, None
         while lo <= hi:
             mid = (lo + hi) // 2
-            if self.snapshot(versions[mid]).committed_at <= ts:
+            try:
+                committed_at = self.snapshot(versions[mid]).committed_at
+            except FileNotFoundError:
+                # a concurrent expire_snapshots dropped this probe between
+                # the listdir and the read; expiration removes oldest-first,
+                # so the answer (if still covered) lives in the newer half —
+                # keep searching up WITHOUT recording the vanished version
+                lo = mid + 1
+                continue
+            if committed_at <= ts:
                 best = versions[mid]
                 lo = mid + 1
             else:

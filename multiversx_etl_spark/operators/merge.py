@@ -417,12 +417,13 @@ def merge_batch(
     patch_files: list[dict] = []
     if patches is not None:
         ap = aligned(patches, True)
-        some_payload = None
+        # an all-NULL patch is a no-op: drop it (and with NO payload columns
+        # at all, every patch is one — F.lit(False), not a None condition)
+        some_payload = F.lit(False)
         for p in payload:
-            c = F.col(p).isNotNull()
-            some_payload = c if some_payload is None else (some_payload | c)
+            some_payload = some_payload | F.col(p).isNotNull()
         deduped = (
-            ap.where(some_payload)  # an all-NULL patch is a no-op: drop it
+            ap.where(some_payload)
             .repartition(parent.num_buckets, F.col("_bucket"))
             .groupBy(*key, "seq", "_bucket")
             .agg(F.max(F.struct(*payload)).alias("_pw"), F.count("*").alias("_cn"))

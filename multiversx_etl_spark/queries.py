@@ -776,6 +776,23 @@ FROM sigs a JOIN sigs b
 """
 
 
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """Signature table → narrow (doc_id, band, v) rows via ONE explode —
+    never a per-band union, whose legs would each re-evaluate the shingle
+    aggregate (Catalyst does not share subtrees across union legs)."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i + 1).alias("band"), F.col(f"minhash_{i + 1}").alias("v")
+                )
+                for i in range(3)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+
+
 @_register("q_minhash_lsh_pairs", _MINHASH_PAIR_SQL)
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash LSH band join: docs agreeing on ANY of 3 minhash bands are
@@ -790,17 +807,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     where the union form re-evaluated the signature aggregate per leg and
     paid 3 separate shuffle pairs at cluster scale."""
     sig = q_minhash_signatures(spark, sf_dir)  # already filtered to >=3 tokens
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i + 1).alias("band"), F.col(f"minhash_{i + 1}").alias("v")
-                )
-                for i in range(3)
-            ])
-        ).alias("bv"),
-    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    bands = _band_rows(sig)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.v") == F.col("b.v")))
@@ -2676,21 +2683,7 @@ def q_near_dup_survivors(spark, sf_dir):
     many duplicates a bucket holds (unlike the pair/cluster queries whose
     output is itself O(dup pairs))."""
     sig = q_minhash_signatures(spark, sf_dir)
-    # one explode, not a 3-way union of the signature subtree: a union
-    # branch per band would re-evaluate the shingle aggregate per branch
-    # (Catalyst does not share subtrees across union legs) — 3 corpus
-    # scans instead of 1
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i + 1).alias("band"), F.col(f"minhash_{i + 1}").alias("v")
-                )
-                for i in range(3)
-            ])
-        ).alias("bv"),
-    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    bands = _band_rows(sig)
     mins = bands.groupBy("band", "v").agg(F.min("doc_id").alias("canon"))
     flags = (
         bands.join(mins, on=["band", "v"])
@@ -2749,6 +2742,22 @@ def q_doc_chunks(spark, sf_dir):
 
 _SHARDS = 8
 
+
+def _shards_ranked_plan(spark, sf_dir) -> DataFrame:
+    """The distributed-global-rank plan BEFORE checkpoint pinning, exposed
+    so the plan test can assert its shape (range partitioning, never a
+    single-partition window): per-range-partition row_number over the
+    total (md5, doc_id) order."""
+    d = load(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .repartitionByRange(8, "h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("pid").orderBy("h", "doc_id")
+    return base.withColumn("rk", F.row_number().over(w))
+
+
 _SHARDS_SQL = f"""
 SELECT doc_id,
        CAST((rn - 1) % {_SHARDS} AS INT) AS shard,
@@ -2779,14 +2788,14 @@ def q_training_shards(spark, sf_dir):
     sampling does not affect the result: the (md5, doc_id) order is total,
     so rank = partition offset + local rank is the same permutation
     regardless of where the cuts land."""
-    d = load(spark, sf_dir, "documents")
-    base = (
-        d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
-        .repartitionByRange(8, "h", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    w = Window.partitionBy("pid").orderBy("h", "doc_id")
-    ranked = base.withColumn("rk", F.row_number().over(w))
+    ranked_plan = _shards_ranked_plan(spark, sf_dir)
+    # pin the range boundaries: the sizes collect and the final join are
+    # separate executions, and RangePartitioner's boundary SAMPLING is
+    # seeded per execution — unpinned, a boundary row could land in a
+    # different pid than the one whose size was counted, breaking the
+    # permutation. (The total (h, doc_id) order — hence the result — never
+    # depends on where the cuts land, only both passes must agree on them.)
+    ranked = ranked_plan.localCheckpoint()
     sizes = {
         r["pid"]: r["n"]
         for r in ranked.groupBy("pid").agg(F.count("*").alias("n")).collect()

@@ -191,11 +191,19 @@ def refresh_agg_view(
     changed = feed.select(*key).distinct()
 
     # bucket-prune both time-travel reads to the buckets the changed keys
-    # hash into: bounded driver collect (<= num_buckets rows post-distinct)
-    src_buckets = {
-        r["b"]
-        for r in changed.select(src.bucket_of().alias("b")).distinct().collect()
-    }
+    # hash into: bounded driver collect (<= num_buckets rows post-distinct).
+    # Bucket sets are computed PER VERSION: a rebucket() between `start`
+    # and `cur` changes the layout, and ids derived under one layout prune
+    # garbage (or index out of range) under the other.
+    def _buckets_at(version: int) -> set[int]:
+        return {
+            r["b"]
+            for r in changed.select(
+                src.bucket_of(version=version).alias("b")
+            ).distinct().collect()
+        }
+
+    src_buckets = _buckets_at(cur)
     if not src_buckets:  # feed had no logical rows (e.g. compact-only range)
         empty = view.read().limit(0).drop("deleted", "seq").withColumn(
             "op", F.lit("update")
@@ -206,7 +214,8 @@ def refresh_agg_view(
         )
 
     def _image(version: int, weight: int) -> DataFrame:
-        img = src.read(version=version, buckets=src_buckets)
+        buckets = src_buckets if version == cur else _buckets_at(version)
+        img = src.read(version=version, buckets=buckets)
         return img.join(
             changed, on=_null_safe_on(img, changed, key), how="left_semi"
         ).withColumn("_w", F.lit(weight))

@@ -179,3 +179,33 @@ def test_spec_validation(spark, tmp_path):
         AggViewSpec(dims=("lang",), sums={"lang": "seq"}).validate(src)
     with pytest.raises(ValueError, match="not in source schema"):
         AggViewSpec(dims=("lang",), sums={"s": "nope"}).validate(src)
+
+
+def test_refresh_across_rebucket(spark, tmp_path):
+    """A rebucket() between two refreshes must not break the pre-image
+    read: bucket ids are computed under EACH version's own layout (a
+    current-layout id applied to the old-layout snapshot would prune
+    garbage or index out of range)."""
+    src = _mk_src(spark, tmp_path)  # 4 buckets
+    view = create_agg_view(src, str(tmp_path / "view"), SPEC, num_buckets=4)
+    merge_batch(src, _batch(spark, [
+        (0, 1, "insert", "r", "a.py", "c", "py", "v1"),
+        (1, 1, "insert", "r", "b.rs", "c", "rs", "v1"),
+    ]), "m", 0, 0, 2)
+    refresh_agg_view(src, view, SPEC)
+    src.rebucket(16)  # pre-image reads now time-travel across layouts
+    merge_batch(src, _batch(spark, [
+        (2, 2, "update", "r", "a.py", "c", "py", "v2"),
+        (3, 2, "insert", "r", "c.py", "c", "py", "v1"),
+        (4, 2, "delete", "r", "b.rs", "c", None, None),
+    ]), "m", 1, 2, 5)
+    s = refresh_agg_view(src, view, SPEC)
+    assert s is not None
+    assert _view_state(view) == _recompute_state(src)
+    # and shrinking the layout works too
+    src.rebucket(2)
+    merge_batch(src, _batch(spark, [
+        (5, 3, "insert", "r", "d.rs", "c", "rs", "v1"),
+    ]), "m", 2, 5, 6)
+    refresh_agg_view(src, view, SPEC)
+    assert _view_state(view) == _recompute_state(src)

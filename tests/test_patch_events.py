@@ -297,3 +297,51 @@ def test_patch_delete_interplay(spark, tmp_path):
     assert (r["lang"], r["content"], r["commit"], r["seq"]) == (
         "rust", "body8", "c6", 8
     )
+
+
+def test_preserving_compaction_keeps_orphans(spark, tmp_path):
+    """Arbitrary lateness, the hard case: a patch arrives BEFORE its key's
+    first full image, a preserve-mode compaction runs in between, and the
+    base lands only afterwards — the patch generation must survive the
+    rewrite and apply."""
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+    from multiversx_etl_spark.streaming.ingest import apply_epoch
+
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    e0 = [
+        (0, 9, "patch", "r1", "p1", None, "go", None, None),   # orphan
+        (1, 0, "insert", "r1", "p2", "c0", "python", "body0", None),
+    ]
+    apply_epoch(table, spark.createDataFrame(e0, CHANGE_EVENTS), "main", 0, 0, 2)
+    m = table.compact(preserve_patches=True)
+    assert int(m.properties["patch_deltas"]) == 1  # the orphan survived
+    assert {r["path"] for r in table.read().collect()} == {"p2"}  # still hidden
+    e1 = [(2, 5, "insert", "r1", "p1", "c5", "rust", "body5", None)]
+    apply_epoch(table, spark.createDataFrame(e1, CHANGE_EVENTS), "main", 1, 2, 3)
+    got = {r["path"]: (r["lang"], r["content"], r["seq"]) for r in table.read().collect()}
+    assert got["p1"] == ("go", "body5", 9)  # late base + preserved patch
+
+
+def test_patch_rebucket_preserve_mode(spark, tmp_path):
+    """rebucket(preserve_patches=True): the layout changes, contested
+    patch generations survive under the new layout, and a late full image
+    still folds per-column exactly."""
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+    from multiversx_etl_spark.streaming.ingest import apply_epoch
+
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    e0 = [
+        (0, 0, "insert", "r1", "p1", "c0", "python", "body0", None),
+        (1, 5, "patch", "r1", "p1", None, "go", None, None),
+    ]
+    apply_epoch(table, spark.createDataFrame(e0, CHANGE_EVENTS), "main", 0, 0, 2)
+    m = table.rebucket(16, preserve_patches=True)
+    assert m.num_buckets == 16
+    assert int(m.properties["patch_deltas"]) == 1
+    e1 = [(2, 3, "update", "r1", "p1", "c3", "rust", "body3", None)]
+    apply_epoch(table, spark.createDataFrame(e1, CHANGE_EVENTS), "main", 1, 2, 3)
+    r = table.read().collect()[0]
+    assert (r["lang"], r["content"], r["commit"], r["seq"]) == ("go", "body3", "c3", 5)
+    # lookup prunes with the new layout and finds the folded row
+    got = table.lookup(repo="r1", path="p1").collect()
+    assert len(got) == 1 and got[0]["lang"] == "go"

@@ -53,10 +53,14 @@ def test_doc_chunks_no_exchange(spark):
 def test_training_shards_distributed_rank(spark):
     """The global permutation must NOT funnel through a single-partition
     window: ranks are per-range-partition + broadcast offsets. A plain
-    ORDER BY row_number would show a Window over an Exchange SinglePartition."""
-    text = plan_text(Q.QUERIES["q_training_shards"](spark, SF_DIR))
+    ORDER BY row_number would show a Window over an Exchange SinglePartition.
+    Asserted on the pre-checkpoint rank plan (the checkpoint that pins the
+    range boundaries truncates lineage from the final plan) AND on the
+    final assembled plan."""
+    text = plan_text(Q._shards_ranked_plan(spark, SF_DIR))
     assert "SinglePartition" not in text
     assert "rangepartitioning" in text.lower()
+    assert "SinglePartition" not in plan_text(Q.QUERIES["q_training_shards"](spark, SF_DIR))
 
 
 def plan_text(df) -> str:
