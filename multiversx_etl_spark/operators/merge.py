@@ -155,6 +155,18 @@ class MergeStats:
     reseeded: bool = False
 
 
+def null_safe_on(left: DataFrame, right: DataFrame, cols) -> "F.Column":
+    """Null-safe key-equality join condition (`<=>` per column): the engine
+    supports NULL key parts end-to-end (bucket_expr hashes them, the merge
+    groups them), so every key join in the view/dedup family must use this
+    instead of `on=key` — a plain equi-join silently drops NULL-keyed rows."""
+    cond = None
+    for c in cols:
+        eq = left[c].eqNullSafe(right[c])
+        cond = eq if cond is None else cond & eq
+    return cond
+
+
 def _fully_nullable(dt):
     """Deep-nullable copy of a data type: lake columns are always nullable
     (old files read new columns as NULL), and a batch whose expression

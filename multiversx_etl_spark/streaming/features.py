@@ -88,6 +88,13 @@ class TransformViewSpec:
         for name in self.exprs:
             if name in snap.key_columns or name in _RESERVED or name in self.pre:
                 raise ValueError(f"output column {name!r} collides")
+            if name == "_deleted":
+                raise ValueError("output column '_deleted' is refresh-internal")
+        for name in self.pre:
+            # a pre column shadowing a KEY would silently re-key every view
+            # row with the pre expression's value (withColumn replaces)
+            if name in snap.key_columns or name in _RESERVED or name == "_deleted":
+                raise ValueError(f"pre column {name!r} collides")
         # surface bad references/syntax at declaration time, not first refresh
         self.transform(src.read().limit(0), list(snap.key_columns))
 
@@ -141,12 +148,7 @@ def reseed_transform_view(
     return MergeStats(rows_in=n, rows_inserted=n, reseeded=True)
 
 
-def _null_safe_on(left: DataFrame, right: DataFrame, cols):
-    cond = None
-    for c in cols:
-        eq = left[c].eqNullSafe(right[c])
-        cond = eq if cond is None else cond & eq
-    return cond
+from multiversx_etl_spark.operators.merge import null_safe_on as _null_safe_on  # noqa: E402
 
 
 def refresh_transform_view(
@@ -177,7 +179,10 @@ def refresh_transform_view(
     # into: bounded driver collect (<= num_buckets rows post-distinct)
     buckets = {
         r["b"]
-        for r in changed.select(src.bucket_of().alias("b")).distinct().collect()
+        # under the layout of the PINNED read version: a concurrent
+        # rebucket() between current_version() and here must not make the
+        # ids prune garbage (bucket_of contract; materialize does the same)
+        for r in changed.select(src.bucket_of(version=cur).alias("b")).distinct().collect()
     }
     if not buckets:  # feed had no logical rows (e.g. compact-only range)
         empty = view.read().limit(0).drop("deleted", "seq").withColumn(
@@ -244,11 +249,25 @@ def minhash_index_spec(text_col: str = "content", bands: int = 3) -> TransformVi
     return TransformViewSpec(exprs=exprs, pre=pre)
 
 
+def _view_bands(view: LakeTable) -> int:
+    """Band count encoded in the index view's own schema (minhash_1..N) —
+    derived, not passed, so a caller can never check fewer bands than the
+    index actually maintains (silently admitting near-dups) or more
+    (AnalysisException)."""
+    n = sum(
+        1 for f in view.snapshot().schema.fields
+        if f.name.startswith("minhash_") and f.name[8:].isdigit()
+    )
+    if not n:
+        raise ValueError("view schema has no minhash_<i> band columns")
+    return n
+
+
 def dedup_on_ingest(
     view: LakeTable,
     spec: TransformViewSpec,
     batch: DataFrame,
-    bands: int = 3,
+    bands: int | None = None,
 ) -> DataFrame:
     """Near-dup suppression AT INGEST: filter a batch of candidate rows
     against the maintained MinHash index (and against each other) before
@@ -259,7 +278,10 @@ def dedup_on_ingest(
     so the index stays current for the next micro-batch.
 
     A row is admitted iff (a) none of its band signatures matches an
-    already-indexed row, and (b) it is the canonical (min-key) member
+    already-indexed row UNDER A DIFFERENT KEY (its own index entry never
+    rejects it — a CDC update to an indexed document must pass through,
+    not be suppressed as a near-dup of itself), and (b) it is the
+    canonical (min-key) member
     among its OWN batch's peers in every band it shares. (b) is a
     deterministic one-pass batch semantics — order-free, so replays admit
     the identical set — that can over-reject a chain A~B~C (B loses to A,
@@ -273,14 +295,20 @@ def dedup_on_ingest(
     index) plus one min-struct window per band within the batch; never an
     all-pairs product."""
     key = list(view.snapshot().key_columns)
+    bands = bands if bands is not None else _view_bands(view)
     sigs = spec.transform(batch, key)
     idx = view.read()
     for i in range(1, bands + 1):
         col = f"minhash_{i}"
+        idx_i = idx.select(
+            *[F.col(k).alias(f"_ik_{k}") for k in key], F.col(col).alias("_m")
+        ).where(F.col("_m").isNotNull())
+        same_key = None
+        for k in key:
+            eq = sigs[k].eqNullSafe(idx_i[f"_ik_{k}"])
+            same_key = eq if same_key is None else same_key & eq
         sigs = sigs.join(
-            idx.select(F.col(col).alias("_m")).where(F.col("_m").isNotNull()),
-            on=sigs[col] == F.col("_m"),
-            how="left_anti",
+            idx_i, on=(sigs[col] == idx_i["_m"]) & ~same_key, how="left_anti"
         )
     from pyspark.sql import Window
 
@@ -293,10 +321,14 @@ def dedup_on_ingest(
             F.col(col).isNull() | (kstruct == F.min(kstruct).over(w))
         )
     admitted = sigs.withColumn("_keep", keep).where("_keep").select(*key)
-    return batch.join(admitted, on=key, how="left_semi")
+    # null-safe: NULL key parts are first-class everywhere else in the
+    # engine; a plain on=key semi-join would drop their admitted rows
+    return batch.join(
+        admitted, on=_null_safe_on(batch, admitted, key), how="left_semi"
+    )
 
 
-def near_dup_candidates(view: LakeTable, bands: int = 3) -> DataFrame:
+def near_dup_candidates(view: LakeTable, bands: int | None = None) -> DataFrame:
     """Candidate near-dup key pairs from a MinHash index view: keys agreeing
     on ANY band signature. Physical plan: one equi-join per band on the band
     value (shuffle on the signature hash — never an all-pairs product),
@@ -305,6 +337,7 @@ def near_dup_candidates(view: LakeTable, bands: int = 3) -> DataFrame:
     struct ordering."""
     df = view.read()
     key = list(view.snapshot().key_columns)
+    bands = bands if bands is not None else _view_bands(view)
     a, b = df.alias("a"), df.alias("b")
     ka = F.struct(*[F.col(f"a.{k}") for k in key])
     kb = F.struct(*[F.col(f"b.{k}") for k in key])

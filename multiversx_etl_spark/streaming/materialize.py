@@ -105,6 +105,12 @@ class AggViewSpec:
                     f"sum({col!r}) is {t}: only numeric columns are "
                     "incrementally summable"
                 )
+        for d in self.dims:
+            # the backing table appends its own (seq, deleted) fields; a
+            # dim with either name would duplicate a schema field, and 'op'
+            # collides with the merge-input column the refresh synthesizes
+            if d in ("seq", "deleted", "op"):
+                raise ValueError(f"dim {d!r} collides with an engine column")
         reserved = {*self.dims, "seq", "deleted", "op"}
         for alias in (*self.sums, self.count_alias):
             if alias in reserved:
@@ -158,12 +164,7 @@ def reseed_agg_view(
     return MergeStats(rows_in=n, rows_inserted=n, reseeded=True)
 
 
-def _null_safe_on(left: DataFrame, right: DataFrame, cols) :
-    cond = None
-    for c in cols:
-        eq = left[c].eqNullSafe(right[c])
-        cond = eq if cond is None else cond & eq
-    return cond
+from multiversx_etl_spark.operators.merge import null_safe_on as _null_safe_on  # noqa: E402
 
 
 def refresh_agg_view(
@@ -249,11 +250,7 @@ def refresh_agg_view(
     )
 
     v, d = cur_rows.alias("v"), delta.alias("d")
-    cond = None
-    for c in spec.dims:
-        eq = F.col(f"v.{c}").eqNullSafe(F.col(f"d.{c}"))
-        cond = eq if cond is None else cond & eq
-    joined = v.join(d, on=cond, how="full_outer")
+    joined = v.join(d, on=_null_safe_on(v, d, spec.dims), how="full_outer")
     out_cols = [
         F.coalesce(F.col(f"d.{c}"), F.col(f"v.{c}")).alias(c) for c in spec.dims
     ]

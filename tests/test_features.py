@@ -255,3 +255,39 @@ def test_generic_feature_view(spark, tmp_path):
     rows = {r["path"]: (r["n_tokens"], r["fingerprint"]) for r in view.read().collect()}
     assert rows["a.py"][0] == 10 and rows["a.py"][1] is not None
     assert rows["b.py"][0] == 0
+
+
+def test_dedup_on_ingest_self_update_passes(spark, tmp_path):
+    """A CDC UPDATE to an already-indexed document must NOT be rejected as
+    a near-dup of its own index entry: the anti-join excludes same-key
+    index rows. A different-key near-dup of the same content stays
+    rejected."""
+    src = _mk_src(spark, tmp_path)
+    view = create_transform_view(src, str(tmp_path / "view"), SPEC, num_buckets=4)
+    b1 = _batch(spark, [(0, 1, "insert", "r1", "a.py", "c", "py", _A)])
+    merge_batch(src, dedup_on_ingest(view, SPEC, b1), "m", 0, 0, 1)
+    refresh_transform_view(src, view, SPEC)
+    # the update shares most shingles with its own index entry (_B ~ _A)
+    b2 = _batch(spark, [
+        (1, 2, "update", "r1", "a.py", "c", "py", _B),     # same key: pass
+        (2, 2, "insert", "r9", "copy.py", "c", "py", _B),  # other key: reject
+    ])
+    got = {(r["repo"], r["path"]) for r in dedup_on_ingest(view, SPEC, b2).collect()}
+    assert got == {("r1", "a.py")}
+
+
+def test_spec_validation_pre_and_band_derivation(spark, tmp_path):
+    src = _mk_src(spark, tmp_path)
+    # a pre column shadowing a key would silently re-key the view
+    with pytest.raises(ValueError, match="pre column"):
+        TransformViewSpec(
+            exprs={"x": "length(content)"}, pre={"repo": "upper(content)"}
+        ).validate(src)
+    with pytest.raises(ValueError, match="_deleted"):
+        TransformViewSpec(exprs={"_deleted": "length(content)"}).validate(src)
+    # band count is derived from the view schema, not guessed
+    from multiversx_etl_spark.streaming.features import _view_bands, minhash_index_spec
+
+    spec5 = minhash_index_spec(bands=5)
+    view5 = create_transform_view(src, str(tmp_path / "v5"), spec5, num_buckets=4)
+    assert _view_bands(view5) == 5
