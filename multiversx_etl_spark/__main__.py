@@ -248,6 +248,11 @@ def main(argv: list[str] | None = None) -> int:
     fg.add_argument("--stream-id", default="main")
     fg.add_argument("--no-rollback", action="store_true")
     fg.add_argument("--max-candidates", type=int, default=None)
+    fg.add_argument(
+        "--normalizer", default="change_events",
+        help="normalize.REGISTRY key the INGEST ran (the table stores "
+        "normalized rows; the log fold must match)",
+    )
 
     rcfg = sub.add_parser(
         "run-config",
@@ -639,6 +644,7 @@ def _dispatch(spark, args) -> int:
 
     if args.cmd == "find-latest-good":
         from multiversx_etl_spark.operators.checks import find_latest_good_version
+        from multiversx_etl_spark.operators.normalize import get_normalizer
 
         table = LakeTable(spark, args.table)
         before = table.current_version()
@@ -648,6 +654,7 @@ def _dispatch(spark, args) -> int:
             stream_id=args.stream_id,
             rollback=not args.no_rollback,
             max_candidates=args.max_candidates,
+            normalizer=get_normalizer(args.normalizer),
         )
         print(
             json.dumps(

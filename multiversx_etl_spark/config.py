@@ -105,11 +105,20 @@ _KNOWN = {
 
 
 def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerConfig:
+    if not isinstance(data, dict):
+        raise ConfigError(f"config must be a JSON object, got {type(data).__name__}")
     if "tables" in data:
         defaults = {k: v for k, v in data.items() if k != "tables"}
         entries = data["tables"]
         if not isinstance(entries, list) or not entries:
             raise ConfigError("'tables' must be a non-empty list")
+        for e in entries:
+            if not isinstance(e, dict):
+                raise ConfigError(
+                    f"'tables' entries must be objects, got {type(e).__name__}"
+                )
+            if "tables" in e:
+                raise ConfigError("'tables' entries cannot nest further 'tables'")
         jobs = [worker_config_from_dict({**defaults, **e}) for e in entries]
         names = [j.name for j in jobs]
         if len(set(names)) != len(names):
@@ -124,12 +133,16 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
     cfg = WorkerConfig(**data)
     if cfg.mode not in ("mor", "cow"):
         raise ConfigError(f"mode must be 'mor' or 'cow', got {cfg.mode!r}")
-    if cfg.interval_size <= 0:
-        raise ConfigError("interval_size must be positive")
-    if cfg.num_buckets <= 0:
-        raise ConfigError("num_buckets must be positive")
-    if not all(isinstance(v, int) for v in cfg.counts_checks_errata.values()):
-        raise ConfigError("counts_checks_errata values must be signed integers")
+    if not isinstance(cfg.interval_size, int) or cfg.interval_size <= 0:
+        raise ConfigError("interval_size must be a positive integer")
+    if not isinstance(cfg.num_buckets, int) or cfg.num_buckets <= 0:
+        raise ConfigError("num_buckets must be a positive integer")
+    if not isinstance(cfg.counts_checks_errata, dict) or not all(
+        isinstance(v, int) for v in cfg.counts_checks_errata.values()
+    ):
+        raise ConfigError(
+            "counts_checks_errata must be an object of signed integers"
+        )
     from multiversx_etl_spark.operators.normalize import REGISTRY
     from multiversx_etl_spark.schemas import TABLES
 

@@ -104,12 +104,20 @@ def content_sha(
 ) -> DataFrame:
     """Attach the per-row invariant column ``content_sha = sha2(content, 256)``.
 
-    Tables without a ``content`` column (e.g. the nested ``commits`` table)
-    hash the canonical JSON of ALL payload columns instead — same invariant
-    strength, schema-agnostic; both reconcile sides compute it identically."""
+    This is the BASELINE.json invariant verbatim: content-column equality —
+    deliberately NOT a whole-row hash for tables that have a ``content``
+    column (drift in other payload columns is the counts checks' job, as in
+    the reference). NULL content hashes distinctly from empty content (a
+    NULL marker, not coalesce-to-''). Tables WITHOUT a ``content`` column
+    (e.g. the nested ``commits`` table) fall back to hashing the canonical
+    JSON of ALL payload columns — a strictly wider invariant, the only
+    schema-agnostic choice; both reconcile sides compute it identically."""
     if column in df.columns:
         return df.withColumn(
-            "content_sha", F.sha2(F.coalesce(F.col(column), F.lit("")), 256)
+            "content_sha",
+            F.sha2(
+                F.coalesce(F.concat(F.lit("v:"), F.col(column)), F.lit("null")), 256
+            ),
         )
     skip = set(key_columns or []) | {"seq", "deleted", "op", "offset"}
     payload = sorted(c for c in df.columns if c not in skip)
@@ -133,27 +141,71 @@ def reconcile(
     ``erratum`` accepts a known signed count drift (reference
     checks.py:82-85); ``version`` reconciles a time-travelled snapshot
     (the checkpoint-search building block)."""
+    from multiversx_etl_spark.operators.merge import null_safe_on
+
     key = key_columns or KEY_COLUMNS
     actual = content_sha(table.read(version=version), key_columns=key).select(
         *key, "content_sha"
     )
     exp = content_sha(expected, key_columns=key).select(*key, "content_sha")
 
-    missing = exp.join(actual, on=key, how="left_anti").count()
-    unexpected = actual.join(exp, on=key, how="left_anti").count()
-    joined = exp.alias("e").join(actual.alias("a"), on=key, how="inner")
-    sha_mismatch = joined.where(F.col("e.content_sha") != F.col("a.content_sha")).count()
+    # ONE full-outer join + ONE aggregate computes all five numbers in a
+    # single job: the anti-join/inner-join/count formulation re-executed
+    # the full-log fold 3x and the table read 4x — and the checkpoint walk
+    # (find_latest_good_version) pays this per candidate version.
+    e, a = exp.alias("e"), actual.alias("a")
+    es, as_ = F.col("e.content_sha"), F.col("a.content_sha")
+    row = (
+        e.join(a, on=null_safe_on(e, a, key), how="full_outer")
+        .agg(
+            F.count(es).alias("n_exp"),
+            F.count(as_).alias("n_act"),
+            F.count(F.when(es.isNotNull() & as_.isNull(), 1)).alias("missing"),
+            F.count(F.when(es.isNull() & as_.isNotNull(), 1)).alias("unexpected"),
+            F.count(F.when(es.isNotNull() & as_.isNotNull() & (es != as_), 1)).alias("bad"),
+        )
+        .collect()[0]
+    )
     report = ReconcileReport(
-        expected_rows=exp.count(),
-        actual_rows=actual.count(),
-        missing=missing,
-        unexpected=unexpected,
-        sha_mismatches=sha_mismatch,
+        expected_rows=row["n_exp"],
+        actual_rows=row["n_act"],
+        missing=row["missing"],
+        unexpected=row["unexpected"],
+        sha_mismatches=row["bad"],
         erratum=erratum,
     )
     if raise_on_mismatch and not report.ok:
         raise CountsMismatchError(repr(report))
     return report
+
+
+def _reconcile_candidate(table: LakeTable, log: DataFrame, hi: int, m, v: int) -> None:
+    """One candidate reconcile with a single retry on Spark-side failures:
+    a truncated/corrupt data file fails DETERMINISTICALLY on the retry
+    (still a bad candidate), while a transient executor/shuffle/IO error
+    succeeds the second time — without the retry, Py4J surfaces both as
+    the same exception class, and a transient blip on the genuinely-good
+    newest snapshot would silently walk the search back."""
+    from multiversx_etl_spark.oracle import expected_state
+
+    attempts = 2
+    for attempt in range(attempts):
+        try:
+            reconcile(
+                table,
+                expected_state(log, offset_hi=hi, key_columns=m.key_columns),
+                key_columns=m.key_columns,
+                raise_on_mismatch=True,
+                version=v,
+            )
+            return
+        except CountsMismatchError:
+            raise  # deterministic drift: no point retrying
+        except FileNotFoundError:
+            raise  # expired/missing file: deterministic
+        except _CANDIDATE_FAILURES:
+            if attempt == attempts - 1:
+                raise
 
 
 def find_latest_good_version(
@@ -162,6 +214,7 @@ def find_latest_good_version(
     stream_id: str = "main",
     rollback: bool = False,
     max_candidates: int | None = None,
+    normalizer=None,
 ) -> int | None:
     """A20 checkpoint search: walk snapshots newest → oldest, reconciling
     each time-travelled version against the change-log-derived expected
@@ -182,9 +235,17 @@ def find_latest_good_version(
     "reconcile everything against the log" would otherwise fail every real
     version and happily roll a healthy bootstrapped table back to empty.
     Recover such tables by re-seeding (``bootstrap_snapshot``) + re-tail
-    instead."""
+    instead.
+
+    ``normalizer`` must match the one the INGEST ran (apply_epoch's
+    default is the ``change_events`` transformer, so that is the default
+    here too): the table stores normalized rows, so reconciling them
+    against a raw-log fold would fail every snapshot of any table whose
+    transformer is not an identity on its log."""
+    from multiversx_etl_spark.operators.normalize import normalize_change_events
     from multiversx_etl_spark.oracle import expected_state
 
+    log = (normalizer or normalize_change_events)(log)
     tried = 0
     for v in range(table.current_version(), -1, -1):
         if max_candidates is not None and tried >= max_candidates:
@@ -206,13 +267,7 @@ def find_latest_good_version(
             hi = 0  # pre-stream snapshot: expected state is empty
         tried += 1
         try:
-            reconcile(
-                table,
-                expected_state(log, offset_hi=hi, key_columns=m.key_columns),
-                key_columns=m.key_columns,
-                raise_on_mismatch=True,
-                version=v,
-            )
+            _reconcile_candidate(table, log, hi, m, v)
         except _CANDIDATE_FAILURES:
             # EXPECTED candidate failures only — counts/sha drift or an
             # unreadable (truncated/corrupt/expired) data file. Anything

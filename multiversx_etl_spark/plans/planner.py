@@ -28,6 +28,15 @@ def plan_offset_ranges(total_offsets: int, interval_size: int, start_offset: int
     """Slice [start_offset, total_offsets) into fixed-size epochs."""
     if interval_size <= 0:
         raise ValueError("interval_size must be positive")
+    if start_offset % interval_size != 0:
+        # epoch_id = lo // interval_size must be injective over RANGES: a
+        # misaligned start would mint epoch ids that collide with an
+        # aligned plan's differently-ranged epochs, and a resumed replay
+        # would skip offsets its markers never covered — silent data loss
+        raise ValueError(
+            f"start_offset {start_offset} must be a multiple of "
+            f"interval_size {interval_size} (epoch ids are range-derived)"
+        )
     plans = []
     lo = start_offset
     while lo < total_offsets:

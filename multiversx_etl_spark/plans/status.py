@@ -46,6 +46,18 @@ def epoch_status(
     # Manifest via epoch_info (the single home of the watermark-or-sparse
     # marker logic) and ship the result in with the plan rows
     m = table.snapshot()
+    # guard: the caller's interval_size must match the one the stream was
+    # actually planned with — otherwise epoch ids line up with different
+    # RANGES and the dashboard reports committed offsets as pending (and
+    # vice versa). Validated against every retained marker's recorded lo.
+    for eid, info in m.streams.get(stream_id, {}).get("epochs", {}).items():
+        lo = (info or {}).get("offset_lo")
+        if lo is not None and lo != int(eid) * interval_size:
+            raise ValueError(
+                f"interval_size {interval_size} does not match the stream's "
+                f"planning: committed epoch {eid} starts at offset {lo} "
+                f"(expected {int(eid) * interval_size})"
+            )
     plan_df = spark.createDataFrame(
         [
             (

@@ -190,3 +190,19 @@ def test_run_from_config_end_to_end(spark, tmp_path):
     s2 = run_from_config(spark, cfg)  # rerun: markers skip every epoch
     assert s2["epochs_run"] == 0 and s2["epochs_skipped"] == s1["epochs_run"]
     assert s2["reconcile_ok"]
+
+
+def test_malformed_config_shapes_raise_config_error():
+    from multiversx_etl_spark.config import ConfigError, worker_config_from_dict
+
+    for bad in (
+        {"tables": ["x"]},                                   # non-dict entry
+        {"tables": [{"tables": []}]},                        # nested tables
+        {"table_root": "/t", "log_path": "/l",
+         "counts_checks_errata": None},                      # null errata
+        {"table_root": "/t", "log_path": "/l",
+         "interval_size": "big"},                            # non-int size
+        ["not", "an", "object"],                             # non-dict root
+    ):
+        with pytest.raises(ConfigError):
+            worker_config_from_dict(bad)

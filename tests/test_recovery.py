@@ -115,3 +115,53 @@ def test_find_latest_good_on_healthy_table_is_head(spark, tmp_path):
     head = table.current_version()
     assert find_latest_good_version(table, df) == head
     assert table.current_version() == head  # no rollback needed
+
+
+def test_find_latest_good_normalized_table(spark, tmp_path):
+    """The recovery walk must fold the log through the SAME normalizer the
+    ingest ran: this log's content carries CRLF + trailing whitespace (not
+    a normalization fixed point), so a raw-log fold would sha-mismatch
+    every snapshot of a perfectly healthy table."""
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+
+    table = _mk_table(spark, tmp_path)
+    rows = [
+        (0, 0, "insert", "r1", "p1", "c0", "py", "line one\r\nline two   \n", None),
+        (1, 1, "insert", "r1", "p2", "c1", "py", "plain body", None),
+        (2, 2, "update", "r1", "p1", "c2", "py", "edit\r\nagain\t\n", None),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENTS)
+    replay(df, table, interval_size=10, total_offsets=3)
+    head = table.current_version()
+    assert find_latest_good_version(table, df) == head
+
+
+def test_planner_rejects_misaligned_start(spark):
+    from multiversx_etl_spark.plans.planner import plan_offset_ranges
+
+    with pytest.raises(ValueError, match="multiple"):
+        plan_offset_ranges(10_000, 1000, start_offset=5500)
+    assert plan_offset_ranges(4000, 1000, start_offset=2000)[0].epoch_id == 2
+
+
+def test_epoch_status_rejects_wrong_interval(spark, tmp_path):
+    from multiversx_etl_spark.plans.status import epoch_status
+
+    table = _mk_table(spark, tmp_path)
+    log = generate_change_log(spark, 400, num_repos=5, paths_per_repo=10)
+    path = str(tmp_path / "log")
+    write_log_parquet(log, path, files=2)
+    replay(spark.read.parquet(path), table, interval_size=200)
+    with pytest.raises(ValueError, match="does not match"):
+        epoch_status(table, 404, 100)
+    assert epoch_status(table, 404, 200).count() > 0
+
+
+def test_content_sha_null_vs_empty(spark, tmp_path):
+    """A bug that turns NULL content into '' (or back) must fail reconcile,
+    not hash identically."""
+    from multiversx_etl_spark.operators.checks import content_sha
+
+    df = spark.createDataFrame([("a", None), ("b", "")], "k string, content string")
+    shas = {r["k"]: r["content_sha"] for r in content_sha(df).collect()}
+    assert shas["a"] != shas["b"]
