@@ -64,8 +64,8 @@ _PART_RE = re.compile(r"part-(\d+)-")
 #: (debuggability window; everything older answers {"compacted": True}).
 _EPOCH_INFO_KEEP = 16
 
-#: num_buckets -> [pid of bucket k] (pid = Murmur3(k) % B, via Spark itself).
-_PID_CACHE: dict[int, list[int]] = {}
+#: (num_buckets, layout) -> [pid of bucket k] (derived via Spark itself).
+_PID_CACHE: dict[tuple[int, str], list[int]] = {}
 
 #: (num_buckets, schema_json, key values) -> bucket, for point lookups: the
 #: one-row createDataFrame+collect that derives a probe key's bucket costs
@@ -76,7 +76,9 @@ _PID_CACHE: dict[int, list[int]] = {}
 _BUCKET_CACHE: dict[tuple, int] = {}
 
 
-def bucket_expr(key_columns: list[str], num_buckets: int) -> Column:
+def bucket_expr(
+    key_columns: list[str], num_buckets: int, layout: str = "xxhash"
+) -> Column:
     """Logical hash-bucket assignment — pure function of the upsert key.
 
     Bucketing on the full ``(repo, path)`` key (not just ``repo``) keeps the
@@ -84,17 +86,49 @@ def bucket_expr(key_columns: list[str], num_buckets: int) -> Column:
     population (FIXTURES.md Zipf skew): a monorepo's files spread across all
     buckets instead of hot-spotting one. Iceberg analog:
     ``PARTITIONED BY (bucket(B, repo, path))``.
+
+    Two layouts:
+    - ``xxhash`` (default): ``pmod(xxhash64(key), B)``; file pid =
+      Murmur3(bucket) % B (derived via the actual partitioner, below).
+    - ``spark``: ``pmod(hash(key), B)`` — Spark's own Murmur3 bucket
+      function, identical to ``HashPartitioning(key, B)``'s partition id
+      AND to ``bucketBy(B, key)``'s bucket assignment, so pid == bucket and
+      a table's bucket-aligned files can be registered as a Spark catalog
+      BUCKETED table: scans then report HashPartitioning(key, B) and the
+      MERGE fold runs with ZERO exchanges (operators/merge.py fold='join').
+      This is the manifest-reader emulation of Iceberg's storage-partitioned
+      join reporting (SPARK-37375).
     """
+    if layout == "spark":
+        return F.pmod(F.hash(*key_columns), F.lit(num_buckets)).cast("int")
     return F.pmod(F.xxhash64(*key_columns), F.lit(num_buckets)).cast("int")
 
 
-def bucket_to_pid(spark: SparkSession, num_buckets: int) -> list[int]:
-    """pid of each logical bucket under ``repartition(B, _bucket)``.
+def repartition_for_write(
+    df: DataFrame, num_buckets: int, key_columns: list[str], layout: str
+) -> DataFrame:
+    """Exchange that makes shuffle-partition index == file pid for the
+    layout: xxhash partitions by the ``_bucket`` column (pid = Murmur3(
+    bucket) % B); spark partitions by the KEY columns directly (partition
+    index = pmod(Murmur3(key), B) == bucket == pid — the identity mapping
+    the catalog-bucketed staging relies on)."""
+    if layout == "spark":
+        return df.repartition(num_buckets, *[F.col(k) for k in key_columns])
+    return df.repartition(num_buckets, F.col("_bucket"))
 
-    Derived by running B rows through the actual partitioner (not by
-    reimplementing Murmur3), so it is exact by construction; cached per B.
+
+def bucket_to_pid(
+    spark: SparkSession, num_buckets: int, layout: str = "xxhash"
+) -> list[int]:
+    """pid of each logical bucket under the layout's write partitioning.
+
+    ``spark`` layout: identity (partition index == bucket by construction).
+    ``xxhash``: derived by running B rows through the actual partitioner
+    (not by reimplementing Murmur3), exact by construction; cached per B.
     """
-    m = _PID_CACHE.get(num_buckets)
+    if layout == "spark":
+        return list(range(num_buckets))
+    m = _PID_CACHE.get((num_buckets, layout))
     if m is None:
         df = (
             spark.range(num_buckets)
@@ -104,7 +138,7 @@ def bucket_to_pid(spark: SparkSession, num_buckets: int) -> list[int]:
         )
         pairs = {r["_bucket"]: r["pid"] for r in df.collect()}
         m = [pairs[k] for k in range(num_buckets)]
-        _PID_CACHE[num_buckets] = m
+        _PID_CACHE[(num_buckets, layout)] = m
     return m
 
 
@@ -122,10 +156,18 @@ class Manifest:
     operation: str = "create"
     committed_at: float = 0.0
     properties: dict[str, Any] = field(default_factory=dict)
+    #: bucket-hash layout: "xxhash" (historical default) or "spark"
+    #: (Murmur3, catalog-bucketed-scan compatible — see bucket_expr).
+    #: Dataclass default keeps pre-layout manifests readable.
+    layout: str = "xxhash"
 
     @property
     def schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema_json))
+
+    def bucket_expr(self) -> Column:
+        """This snapshot's bucket assignment (layout- and B-aware)."""
+        return bucket_expr(self.key_columns, self.num_buckets, self.layout)
 
     def files_for_pids(self, pids: set[int] | None) -> list[dict[str, Any]]:
         if pids is None:
@@ -166,6 +208,7 @@ class Manifest:
                 "operation": self.operation,
                 "committed_at": self.committed_at,
                 "properties": self.properties,
+                "layout": self.layout,
             }
         )
 
@@ -191,8 +234,15 @@ class LakeTable:
         schema: StructType,
         key_columns: list[str],
         num_buckets: int = 16,
+        layout: str = "xxhash",
     ) -> "LakeTable":
-        """Iceberg analog: CREATE TABLE ... PARTITIONED BY (bucket(B, key))."""
+        """Iceberg analog: CREATE TABLE ... PARTITIONED BY (bucket(B, key)).
+
+        ``layout='spark'`` uses Spark's own Murmur3 bucket function so the
+        table's files double as a Spark catalog BUCKETED table (pid ==
+        bucket), unlocking the zero-exchange MERGE fold — see bucket_expr."""
+        if layout not in ("xxhash", "spark"):
+            raise ValueError(f"unknown bucket layout {layout!r}")
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         table = cls(spark, root)
         manifest = Manifest(
@@ -201,6 +251,7 @@ class LakeTable:
             num_buckets=num_buckets,
             key_columns=list(key_columns),
             committed_at=time.time(),
+            layout=layout,
         )
         table._write_manifest(manifest)
         return table
@@ -269,7 +320,7 @@ class LakeTable:
     def pids_for_buckets(self, buckets: set[int] | None, m: Manifest) -> set[int] | None:
         if buckets is None:
             return None
-        mapping = bucket_to_pid(self.spark, m.num_buckets)
+        mapping = bucket_to_pid(self.spark, m.num_buckets, m.layout)
         return {mapping[b] for b in buckets}
 
     def read(
@@ -326,9 +377,7 @@ class LakeTable:
             # groups may contain sibling buckets — post-filter for an exact
             # bucket-scoped result. raw=True callers (the MERGE) skip this:
             # copy-on-write must rewrite whole pid groups.
-            df = df.where(
-                bucket_expr(m.key_columns, m.num_buckets).isin(*[int(b) for b in buckets])
-            )
+            df = df.where(m.bucket_expr().isin(*[int(b) for b in buckets]))
         if patch_outstanding:
             # Per-COLUMN fold (partial-image patch generations outstanding):
             # liveness and the row's base come from the max-seq FULL
@@ -395,6 +444,63 @@ class LakeTable:
         if not include_tombstones and "deleted" in df.columns:
             df = df.where(~F.col("deleted"))
         return df
+
+    @contextlib.contextmanager
+    def staged_bucketed_target(
+        self,
+        m: Manifest,
+        buckets: set[int] | None,
+        columns: list[str],
+    ):
+        """Register this snapshot's live files (bucket-pruned) as a TEMPORARY
+        Spark catalog BUCKETED table and yield its DataFrame.
+
+        Requires ``layout='spark'`` (pid == Spark bucket id, every file pure
+        one bucket — enforced at write time by ``_assert_bucket_purity``).
+        The scan then reports ``HashPartitioning(key, B)``, which is what
+        lets the MERGE's join-shaped fold run with ZERO exchanges
+        (operators/merge.py ``fold='join'``). On a real cluster this is
+        Iceberg's storage-partitioned-join scan reporting (SPARK-37375 /
+        Iceberg ``spark.sql.sources.v2.bucketing.enabled``); a file-manifest
+        reader has no way to declare its partitioning to Catalyst, so we
+        hand Catalyst the one shape it does trust — a catalog bucketed
+        table — via a per-epoch link farm (hardlinks, O(files) metadata
+        ops, no bytes copied; falls back to symlinks across devices).
+
+        ``columns`` picks the projection DDL-declared on the staged table
+        (the MERGE wants only the narrow (key, seq, deleted) target view;
+        parquet prunes the rest as usual)."""
+        import shutil
+
+        if m.layout != "spark":
+            raise ValueError("staged_bucketed_target requires layout='spark'")
+        files = m.files_for_pids(self.pids_for_buckets(buckets, m))
+        name = f"mxetl_stage_{uuid.uuid4().hex[:12]}"
+        stage = os.path.join(self.root, "_stage", name)
+        os.makedirs(stage)
+        try:
+            for i, f in enumerate(files):
+                src = os.path.join(self.root, f["path"])
+                dst = os.path.join(stage, f"g{i:05d}_{f['pid']:05d}.parquet")
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    os.symlink(os.path.abspath(src), dst)
+            cols_ddl = ", ".join(
+                f"`{fld.name}` {fld.dataType.simpleString()}"
+                for fld in m.schema.fields
+                if fld.name in columns
+            )
+            key_ddl = ", ".join(f"`{k}`" for k in m.key_columns)
+            self.spark.sql(
+                f"CREATE TABLE {name} ({cols_ddl}) USING parquet "
+                f"CLUSTERED BY ({key_ddl}) INTO {m.num_buckets} BUCKETS "
+                f"LOCATION '{stage}'"
+            )
+            yield self.spark.table(name)
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(stage, ignore_errors=True)
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change feed (Iceberg analog: changelog scan / CDC read): the
@@ -492,6 +598,7 @@ class LakeTable:
         key_schema = StructType([m.schema[k] for k in m.key_columns])
         cache_key = (
             m.num_buckets,
+            m.layout,
             key_schema.json(),
             tuple(key[k] for k in m.key_columns),
         )
@@ -500,11 +607,7 @@ class LakeTable:
             row = self.spark.createDataFrame(
                 [tuple(key[k] for k in m.key_columns)], key_schema
             )
-            bucket = int(
-                row.select(
-                    bucket_expr(m.key_columns, m.num_buckets).alias("b")
-                ).collect()[0]["b"]
-            )
+            bucket = int(row.select(m.bucket_expr().alias("b")).collect()[0]["b"])
             _BUCKET_CACHE[cache_key] = bucket
         df = self.read(buckets={int(bucket)})
         for k in m.key_columns:
@@ -518,7 +621,7 @@ class LakeTable:
         snapshots, and a bucket id computed under one layout prunes
         garbage under another."""
         m = self.snapshot(version)
-        return bucket_expr(m.key_columns, m.num_buckets)
+        return m.bucket_expr()
 
     def is_epoch_committed(self, stream_id: str, epoch_id: int) -> bool:
         m = self.snapshot()
@@ -564,7 +667,7 @@ class LakeTable:
         m = self.snapshot()
         out_dir = os.path.join(self.root, "data", commit_tag)
         if not bucket_aligned:
-            df = df.repartition(m.num_buckets, F.col("_bucket"))
+            df = repartition_for_write(df, m.num_buckets, m.key_columns, m.layout)
         if not keep_bucket:
             df = df.drop("_bucket")
         if sort_columns:
@@ -581,11 +684,40 @@ class LakeTable:
             # footer-only read (driver-side, ~ms): record real row counts in
             # the manifest and drop schema-only empty files (Spark writes one
             # for an all-empty DataFrame — e.g. an all-carry MOR batch)
-            n_rows = pq.ParquetFile(os.path.join(self.root, path)).metadata.num_rows
+            pf = pq.ParquetFile(os.path.join(self.root, path))
+            n_rows = pf.metadata.num_rows
             if n_rows == 0:
                 continue
-            entries.append({"path": path, "pid": int(match.group(1)), "rows": n_rows})
+            pid = int(match.group(1))
+            if m.layout == "spark" and keep_bucket:
+                # The spark layout's whole value rests on pid == bucket
+                # (files double as catalog bucket files; pruning trusts it).
+                # A caller that passed bucket_aligned=True with a plan whose
+                # final partitioning is NOT HashPartitioning(key, B) — e.g.
+                # a fold whose input lost its bucketed-scan property — would
+                # write impure files and silently corrupt pruning. The
+                # footer's _bucket min/max (already in hand) makes the
+                # invariant airtight at ~zero cost.
+                self._assert_bucket_purity(pf, path, pid)
+            entries.append({"path": path, "pid": pid, "rows": n_rows})
         return entries
+
+    @staticmethod
+    def _assert_bucket_purity(pf, path: str, pid: int) -> None:
+        idx = {name: i for i, name in enumerate(pf.schema_arrow.names)}.get("_bucket")
+        if idx is None:
+            return
+        md = pf.metadata
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                return  # stats unavailable: nothing to assert against
+            if stats.min != pid or stats.max != pid:
+                raise RuntimeError(
+                    f"bucket-impure data file {path}: pid {pid} holds "
+                    f"_bucket range [{stats.min}, {stats.max}] — the write "
+                    "plan's partitioning does not match the spark layout"
+                )
 
     def commit(
         self,
@@ -664,6 +796,7 @@ class LakeTable:
             operation=operation,
             committed_at=time.time(),
             properties=props,
+            layout=parent.layout,
         )
         self._write_manifest(manifest)
         return manifest
@@ -697,7 +830,7 @@ class LakeTable:
                 *[F.col(f"_w.{c}").alias(c) for c in others],
             )
             .select(*[f.name for f in m.schema.fields])
-            .withColumn("_bucket", bucket_expr(key, target_buckets))
+            .withColumn("_bucket", bucket_expr(key, target_buckets, m.layout))
         )
         base_seqs = fulls.groupBy(*key).agg(F.max("seq").alias("_bseq"))
         patches = (
@@ -706,7 +839,7 @@ class LakeTable:
             .where(F.col("seq") > F.coalesce(F.col("_bseq"), F.lit(-1)))
             .drop("_bseq")
             .dropDuplicates([*key, "seq"])  # redelivered partials
-            .withColumn("_bucket", bucket_expr(key, target_buckets))
+            .withColumn("_bucket", bucket_expr(key, target_buckets, m.layout))
         )
         return folded, patches
 
@@ -740,7 +873,7 @@ class LakeTable:
             delta_pids = {f["pid"] for f in m.files}
         if not delta_pids:
             return m  # nothing outstanding: compaction is a no-op
-        mapping = bucket_to_pid(self.spark, m.num_buckets)
+        mapping = bucket_to_pid(self.spark, m.num_buckets, m.layout)
         # every bucket stored in a touched pid group (bucket->pid is fixed,
         # so these buckets' keys live ONLY in the rewritten groups)
         buckets = {b for b in range(m.num_buckets) if mapping[b] in delta_pids}
@@ -766,7 +899,7 @@ class LakeTable:
             # coarsened to the patch's seq). preserve_patches=True keeps
             # exactness under arbitrary lateness instead.
             folded = self.read(buckets=buckets, include_tombstones=True).withColumn(
-                "_bucket", bucket_expr(key, m.num_buckets)
+                "_bucket", m.bucket_expr()
             )
         # base files come out key-sorted: partition-local sort (no extra
         # shuffle), and parquet row-group min/max stats then let key
@@ -824,7 +957,7 @@ class LakeTable:
         if preserve_patches and int(m.properties.get("patch_deltas", 0)) > 0:
             folded, patches = self._preserving_split(m, None, new_buckets)
             patch_files = self.write_data_files(
-                patches.repartition(new_buckets, F.col("_bucket")),
+                repartition_for_write(patches, new_buckets, m.key_columns, m.layout),
                 f"{tag}-p",
                 bucket_aligned=True,
                 sort_columns=list(m.key_columns),
@@ -834,9 +967,9 @@ class LakeTable:
             n_preserved = sum(f["rows"] for f in patch_files)
         else:
             folded = self.read(include_tombstones=True).withColumn(
-                "_bucket", bucket_expr(m.key_columns, new_buckets)
+                "_bucket", bucket_expr(m.key_columns, new_buckets, m.layout)
             )
-        folded = folded.repartition(new_buckets, F.col("_bucket"))
+        folded = repartition_for_write(folded, new_buckets, m.key_columns, m.layout)
         new_files = self.write_data_files(
             folded,
             tag,
@@ -869,11 +1002,15 @@ class LakeTable:
         likewise tracks worker state per target dataset)."""
         src = staging.snapshot()
         cur = self.snapshot()
-        if src.num_buckets != cur.num_buckets or src.key_columns != cur.key_columns:
+        if (
+            src.num_buckets != cur.num_buckets
+            or src.key_columns != cur.key_columns
+            or src.layout != cur.layout
+        ):
             raise ValueError(
                 "promotion requires identical bucket layout: "
-                f"staging ({src.num_buckets}, {src.key_columns}) vs "
-                f"main ({cur.num_buckets}, {cur.key_columns})"
+                f"staging ({src.num_buckets}, {src.key_columns}, {src.layout}) vs "
+                f"main ({cur.num_buckets}, {cur.key_columns}, {cur.layout})"
             )
         tag = f"promote-v{cur.version + 1:08d}"
         out_dir = os.path.join(self.root, "data", tag)
@@ -1077,5 +1214,6 @@ class LakeTable:
             operation=f"rollback_to_{version}",
             committed_at=time.time(),
             properties=dict(target.properties),
+            layout=target.layout,
         )
         self._write_manifest(manifest)

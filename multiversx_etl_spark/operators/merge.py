@@ -58,7 +58,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql.types import StructType
 
-from multiversx_etl_spark.lake.table import LakeTable, bucket_expr
+from multiversx_etl_spark.lake.table import LakeTable, repartition_for_write
 
 #: written-row ceiling for deriving per-bucket ledger stats on the driver
 #: with pyarrow (3 narrow columns, ~ms) instead of a Spark job (~0.3 s fixed
@@ -128,6 +128,9 @@ def _per_bucket_counts(
 
 #: log bookkeeping columns that never enter the target table.
 _LOG_ONLY = ("offset", "op")
+
+#: last MERGE write plan (set only under MXETL_CAPTURE_PLAN=1 — see below).
+LAST_WRITE_PLAN: str | None = None
 
 
 @contextlib.contextmanager
@@ -216,6 +219,8 @@ def merge_batch(
     pre_commit: "Callable[[MergeStats], None] | None" = None,
     marker_mode: str = "contiguous",
     tag_suffix: str = "",
+    fold: str = "union",
+    null_key_count: int | None = None,
 ) -> MergeStats:
     """Apply one micro-batch of change events and commit atomically.
 
@@ -226,13 +231,36 @@ def merge_batch(
     op='patch' row count, usually from the same aggregate) too; left None
     it is detected with one extra tiny count job — never guessed, because
     a partial-image row folded as a full image would null out the columns
-    it meant to keep."""
+    it meant to keep.
+
+    ``fold`` picks the fold's physical shape:
+
+    - ``'union'`` (default): union target+changes, ONE shuffle, ONE hash
+      aggregate (module docstring step 2). Works with every layout and
+      mode, handles patches.
+    - ``'join'``: the ZERO-EXCHANGE fold for ``layout='spark'`` MOR tables
+      fed from a Spark catalog BUCKETED log table: dedup the change side
+      with a partition-local aggregate, fold the (narrow, catalog-staged)
+      target side likewise, left-outer-join the winners — every stage
+      already satisfies HashPartitioning(key, B), so Catalyst inserts NO
+      Exchange anywhere and the bucket-aligned file write consumes the scan
+      partitioning directly. When the batch carries partial-image 'patch'
+      rows (per-column generations need the union machinery) the call
+      downgrades to 'union' for that batch — correctness never depends on
+      the caller picking right. The written files' purity is re-verified
+      from parquet footers (lake/table.py _assert_bucket_purity), so a
+      caller whose log was NOT actually bucket-scanned still gets a correct
+      (merely shuffled) merge or a loud error, never silent pid corruption.
+    """
     assert mode in ("mor", "cow"), mode
+    assert fold in ("union", "join"), fold
     parent = table.snapshot()
     key = parent.key_columns
     stats = MergeStats()
+    if fold == "join" and (parent.layout != "spark" or mode != "mor"):
+        raise ValueError("fold='join' requires layout='spark' and mode='mor'")
 
-    changes = changes.withColumn("_bucket", bucket_expr(key, parent.num_buckets))
+    changes = changes.withColumn("_bucket", parent.bucket_expr())
 
     # -- 1. rows_in per bucket + touched-bucket set (one tiny agg job,
     #    unless the caller precounted; the same agg counts partial-image
@@ -319,144 +347,198 @@ def merge_batch(
         cols.append(F.col("_bucket"))
         return df.select(*cols)
 
-    # MOR consults only the target's narrow (key, seq, deleted) projection —
-    # target content never moves. COW reads full rows (it must rewrite them).
-    # raw=True returns every physical generation; the union-agg folds them.
-    # With patch generations outstanding the projection also carries
-    # _action, so the fold can exclude them (still narrow).
-    target = table.read(buckets=touched, raw=True, with_action=patch_outstanding)
-    if mode == "mor":
-        keep = [*key, "seq", "deleted"] + (["_action"] if patch_outstanding else [])
-        target = target.select(*keep)
-    target = target.withColumn("_bucket", bucket_expr(key, parent.num_buckets))
-    if map_side_combine:
-        # partition-local pre-reduction of the change side (hot keys / heavy
-        # duplication): each shuffle partition then receives at most one row
-        # per (input partition x key). Opt-in — costs an Arrow round-trip.
-        from multiversx_etl_spark.operators.dedup import combine_partitions_latest
+    # Per-column patch generations need the union machinery; NULL-keyed
+    # rows under a plain equi-join would mis-ledger (table state would stay
+    # exact — the MOR read fold resolves per key regardless — but A17
+    # reconciliation must be exact too). Both are detected, never assumed.
+    if fold == "join" and (patches is not None or patch_outstanding):
+        fold = "union"
+    if fold == "join":
+        if null_key_count is None:
+            nk = F.lit(False)
+            for k in key:
+                nk = nk | F.col(k).isNull()
+            null_key_count = changes.where(nk).limit(1).count()
+        if null_key_count:
+            fold = "union"
 
-        changes = combine_partitions_latest(changes, key)
-    both = aligned(target, False).unionByName(aligned(changes, True))
-
-    # -- 3. ONE shuffle, ONE aggregate (see module docstring step 2).
-    #    Winner struct compares (seq, _is_change, ...): on a seq tie the
-    #    change row wins, carrying identical data (idempotent replay).
-    #    The separate _tw struct is the TARGET-side winner — its deleted
-    #    flag (not "any generation was live") decides prior liveness, which
-    #    matters when several MOR generations of a key are present.
-    wstruct = F.struct("seq", "_is_change", "deleted", *payload, "_bucket")
-    not_patch = ~F.col("_is_patch")
-    merged = (
-        both.repartition(parent.num_buckets, F.col("_bucket"))
-        .groupBy(*key, "_bucket")
-        .agg(
-            F.max(F.when(not_patch, wstruct)).alias("_w"),
-            F.max(
-                F.when(~F.col("_is_change") & not_patch, F.struct("seq", "deleted"))
-            ).alias("_tw"),
-            F.count(F.when(F.col("_is_change"), 1)).alias("_cn"),
-        )
-        # a key whose only generations are (orphan) patch partials has no
-        # full-image winner: nothing to classify or write — the read fold
-        # likewise drops such keys
-        .where(F.col("_w").isNotNull())
-    )
-    won_change = F.col("_w._is_change")
-    was_live = F.col("_tw").isNotNull() & ~F.col("_tw.deleted")
-    action = (
-        F.when(~won_change, F.lit("carry"))
-        # seq tie = the same event re-applied (at-least-once replay): no-op
-        .when(F.col("_tw").isNotNull() & (F.col("_w.seq") == F.col("_tw.seq")), F.lit("carry"))
-        .when(F.col("_w.deleted") & was_live, F.lit("delete"))
-        .when(F.col("_w.deleted"), F.lit("tombstone"))  # delete of an absent/dead key
-        .when(was_live, F.lit("update"))
-        .otherwise(F.lit("insert"))  # new key, or resurrection of a tombstone
-    )
-    merged = merged.select(
-        *key,
-        F.col("_w.seq").alias("seq"),
-        F.col("_w.deleted").alias("deleted"),
-        *[F.col(f"_w.{p}").alias(p) for p in payload],
-        F.col("_bucket"),
-        action.alias("_action"),
-        F.col("_cn"),
-    )
-
-    # -- 4. write. ``_action``/``_cn``/``_bucket`` are written INTO the data
-    #    files (readers never see them: reads apply the manifest schema, so
-    #    parquet column pruning skips them entirely). GLOBAL merge stats are
-    #    collected by an Observation on the write job itself (CollectMetrics
-    #    sits below the carry filter, so carries ARE counted — exact in both
-    #    modes, zero extra jobs); per-bucket ledger stats are then a narrow
-    #    read-back of ONLY the just-written files — no second pass over the
-    #    inputs, no cache, and the ledger is derived from the durable output
-    #    itself (self-auditing).
-    out_cols = [*key, *payload, "seq", "deleted", "_action", "_cn", "_bucket"]
-    obs = Observation(f"merge-{stream_id}-{epoch_id}")
-    merged = merged.observe(
-        obs,
-        F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
-        F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
-        F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("del"),
-        # change-side distinct keys (carries included — the pre-filter node
-        # sees every merged row, fixing the MOR undercount)
-        F.sum(F.when(F.col("_cn") >= 1, 1).otherwise(0)).alias("dedup"),
-    )
-    if mode == "mor":
-        # Only the delta rows are written; 'carry' (target won / seq tie)
-        # rewrites nothing. Appended files join the fold at read time.
-        to_write = merged.where(F.col("_action") != "carry").select(*out_cols)
-        replaced_pids: set[int] = set()
-    else:
-        to_write = merged.select(*out_cols)
-        replaced_pids = table.pids_for_buckets(touched, parent)
-
-    tag = f"{stream_id}-e{epoch_id:08d}{tag_suffix}"
-    with _phase("merge_write"):
-        new_files = table.write_data_files(
-            to_write, tag, bucket_aligned=True, keep_bucket=True
-        )
-    # cow rewrites whole pid groups (base files); mor appends deltas, which
-    # incremental compact() finds via this flag
-    for f in new_files:
-        f["base"] = mode == "cow"
-
-    # Patch pass-through write: one PARTIAL generation per original patch
-    # event (per-column seqs preserved exactly — see the split above),
-    # exact redeliveries within the batch collapsed by (key, seq). Same
-    # bucket-aligned plain-file write as the main path, separate tag, one
-    # atomic commit for both.
-    patch_files: list[dict] = []
-    if patches is not None:
-        ap = aligned(patches, True)
-        # an all-NULL patch is a no-op: drop it (and with NO payload columns
-        # at all, every patch is one — F.lit(False), not a None condition)
-        some_payload = F.lit(False)
-        for p in payload:
-            some_payload = some_payload | F.col(p).isNotNull()
-        deduped = (
-            ap.where(some_payload)
-            .repartition(parent.num_buckets, F.col("_bucket"))
-            .groupBy(*key, "seq", "_bucket")
-            .agg(F.max(F.struct(*payload)).alias("_pw"), F.count("*").alias("_cn"))
-            .select(
-                *key,
-                *[F.col(f"_pw.{p}").alias(p) for p in payload],
-                "seq",
-                F.lit(False).alias("deleted"),
-                F.lit("patch").alias("_action"),
-                F.col("_cn"),
-                F.col("_bucket"),
+    with contextlib.ExitStack() as stack:
+        if fold == "join":
+            # -- 3'. ZERO-EXCHANGE fold (docstring ``fold='join'``): the
+            #    change side arrives from a catalog-bucketed log scan and
+            #    the target side is the snapshot's live files catalog-staged
+            #    (lake/table.py staged_bucketed_target) — both report
+            #    HashPartitioning(key, B), so the two aggregates are
+            #    partition-local, the left-outer join needs no exchange,
+            #    and the write below consumes the scan partitioning
+            #    (partition index == bucket == pid). Only change-touched
+            #    keys can produce output (MOR writes no carries), hence
+            #    LEFT outer with the deduped change side driving.
+            cha = aligned(changes, True)
+            ch_w = cha.groupBy(*key).agg(
+                F.max(F.struct("seq", "deleted", *payload)).alias("_w"),
+                F.count("*").alias("_cn"),
             )
-        )
-        with _phase("patch_write"):
-            patch_files = table.write_data_files(
-                deduped.select(*out_cols), f"{tag}-p",
-                bucket_aligned=True, keep_bucket=True,
+            tgt = stack.enter_context(
+                table.staged_bucketed_target(parent, touched, [*key, "seq", "deleted"])
             )
-        for f in patch_files:
-            f["base"] = False
-        stats.rows_patched = sum(f["rows"] for f in patch_files)
+            tg_w = tgt.groupBy(*key).agg(F.max(F.struct("seq", "deleted")).alias("_tw"))
+            merged = ch_w.join(tg_w, on=list(key), how="left").select(
+                *key, "_w", "_tw", "_cn"
+            ).withColumn("_bucket", parent.bucket_expr())
+            won_change = F.col("_tw").isNull() | (F.col("_w.seq") > F.col("_tw.seq"))
+        else:
+            # MOR consults only the target's narrow (key, seq, deleted)
+            # projection — target content never moves. COW reads full rows
+            # (it must rewrite them). raw=True returns every physical
+            # generation; the union-agg folds them. With patch generations
+            # outstanding the projection also carries _action, so the fold
+            # can exclude them (still narrow).
+            target = table.read(buckets=touched, raw=True, with_action=patch_outstanding)
+            if mode == "mor":
+                keep = [*key, "seq", "deleted"] + (["_action"] if patch_outstanding else [])
+                target = target.select(*keep)
+            target = target.withColumn("_bucket", parent.bucket_expr())
+            if map_side_combine:
+                # partition-local pre-reduction of the change side (hot keys
+                # / heavy duplication): each shuffle partition then receives
+                # at most one row per (input partition x key). Opt-in —
+                # costs an Arrow round-trip.
+                from multiversx_etl_spark.operators.dedup import combine_partitions_latest
+
+                changes = combine_partitions_latest(changes, key)
+            both = aligned(target, False).unionByName(aligned(changes, True))
+
+            # -- 3. ONE shuffle, ONE aggregate (module docstring step 2).
+            #    Winner struct compares (seq, _is_change, ...): on a seq tie
+            #    the change row wins, carrying identical data (idempotent
+            #    replay). The separate _tw struct is the TARGET-side winner
+            #    — its deleted flag (not "any generation was live") decides
+            #    prior liveness, which matters when several MOR generations
+            #    of a key are present.
+            wstruct = F.struct("seq", "_is_change", "deleted", *payload, "_bucket")
+            not_patch = ~F.col("_is_patch")
+            merged = (
+                repartition_for_write(both, parent.num_buckets, key, parent.layout)
+                .groupBy(*key, "_bucket")
+                .agg(
+                    F.max(F.when(not_patch, wstruct)).alias("_w"),
+                    F.max(
+                        F.when(~F.col("_is_change") & not_patch, F.struct("seq", "deleted"))
+                    ).alias("_tw"),
+                    F.count(F.when(F.col("_is_change"), 1)).alias("_cn"),
+                )
+                # a key whose only generations are (orphan) patch partials
+                # has no full-image winner: nothing to classify or write —
+                # the read fold likewise drops such keys
+                .where(F.col("_w").isNotNull())
+            )
+            won_change = F.col("_w._is_change")
+        was_live = F.col("_tw").isNotNull() & ~F.col("_tw.deleted")
+        action = (
+            F.when(~won_change, F.lit("carry"))
+            # seq tie = the same event re-applied (at-least-once replay): no-op
+            .when(F.col("_tw").isNotNull() & (F.col("_w.seq") == F.col("_tw.seq")), F.lit("carry"))
+            .when(F.col("_w.deleted") & was_live, F.lit("delete"))
+            .when(F.col("_w.deleted"), F.lit("tombstone"))  # delete of an absent/dead key
+            .when(was_live, F.lit("update"))
+            .otherwise(F.lit("insert"))  # new key, or resurrection of a tombstone
+        )
+        merged = merged.select(
+            *key,
+            F.col("_w.seq").alias("seq"),
+            F.col("_w.deleted").alias("deleted"),
+            *[F.col(f"_w.{p}").alias(p) for p in payload],
+            F.col("_bucket"),
+            action.alias("_action"),
+            F.col("_cn"),
+        )
+
+        # -- 4. write. ``_action``/``_cn``/``_bucket`` are written INTO the
+        #    data files (readers never see them: reads apply the manifest
+        #    schema, so parquet column pruning skips them entirely). GLOBAL
+        #    merge stats are collected by an Observation on the write job
+        #    itself (CollectMetrics sits below the carry filter, so carries
+        #    ARE counted — exact in both modes, zero extra jobs); per-bucket
+        #    ledger stats are then a narrow read-back of ONLY the
+        #    just-written files — no second pass over the inputs, no cache,
+        #    and the ledger is derived from the durable output itself
+        #    (self-auditing).
+        out_cols = [*key, *payload, "seq", "deleted", "_action", "_cn", "_bucket"]
+        obs = Observation(f"merge-{stream_id}-{epoch_id}")
+        merged = merged.observe(
+            obs,
+            F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("ins"),
+            F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("upd"),
+            F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("del"),
+            # change-side distinct keys (carries included — the pre-filter
+            # node sees every merged row, fixing the MOR undercount)
+            F.sum(F.when(F.col("_cn") >= 1, 1).otherwise(0)).alias("dedup"),
+        )
+        if mode == "mor":
+            # Only the delta rows are written; 'carry' (target won / seq
+            # tie) rewrites nothing. Appended files join the fold at read
+            # time.
+            to_write = merged.where(F.col("_action") != "carry").select(*out_cols)
+            replaced_pids: set[int] = set()
+        else:
+            to_write = merged.select(*out_cols)
+            replaced_pids = table.pids_for_buckets(touched, parent)
+
+        if os.environ.get("MXETL_CAPTURE_PLAN"):
+            # test/triage hook: stash the write plan so plan-shape tests can
+            # assert exchange counts without re-deriving the fold
+            global LAST_WRITE_PLAN
+            LAST_WRITE_PLAN = to_write._jdf.queryExecution().executedPlan().toString()
+
+        tag = f"{stream_id}-e{epoch_id:08d}{tag_suffix}"
+        with _phase("merge_write"):
+            new_files = table.write_data_files(
+                to_write, tag, bucket_aligned=True, keep_bucket=True
+            )
+        # cow rewrites whole pid groups (base files); mor appends deltas,
+        # which incremental compact() finds via this flag
+        for f in new_files:
+            f["base"] = mode == "cow"
+
+        # Patch pass-through write: one PARTIAL generation per original
+        # patch event (per-column seqs preserved exactly — see the split
+        # above), exact redeliveries within the batch collapsed by (key,
+        # seq). Same bucket-aligned plain-file write as the main path,
+        # separate tag, one atomic commit for both.
+        patch_files: list[dict] = []
+        if patches is not None:
+            ap = aligned(patches, True)
+            # an all-NULL patch is a no-op: drop it (and with NO payload
+            # columns at all, every patch is one — F.lit(False), not a None
+            # condition)
+            some_payload = F.lit(False)
+            for p in payload:
+                some_payload = some_payload | F.col(p).isNotNull()
+            deduped = (
+                repartition_for_write(
+                    ap.where(some_payload), parent.num_buckets, key, parent.layout
+                )
+                .groupBy(*key, "seq", "_bucket")
+                .agg(F.max(F.struct(*payload)).alias("_pw"), F.count("*").alias("_cn"))
+                .select(
+                    *key,
+                    *[F.col(f"_pw.{p}").alias(p) for p in payload],
+                    "seq",
+                    F.lit(False).alias("deleted"),
+                    F.lit("patch").alias("_action"),
+                    F.col("_cn"),
+                    F.col("_bucket"),
+                )
+            )
+            with _phase("patch_write"):
+                patch_files = table.write_data_files(
+                    deduped.select(*out_cols), f"{tag}-p",
+                    bucket_aligned=True, keep_bucket=True,
+                )
+            for f in patch_files:
+                f["base"] = False
+            stats.rows_patched = sum(f["rows"] for f in patch_files)
 
     metrics = obs.get
     stats.rows_inserted = int(metrics["ins"] or 0)

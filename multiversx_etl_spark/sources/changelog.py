@@ -277,6 +277,65 @@ def write_log_parquet(log: DataFrame, path: str, files: int | None = None) -> No
     out.write.mode("overwrite").parquet(path)
 
 
+def write_log_bucketed(
+    log: DataFrame,
+    path: str,
+    num_buckets: int,
+    table_name: str = "mxetl_log",
+    key_columns: tuple[str, ...] = ("repo", "path"),
+) -> str:
+    """Materialize the log as a Spark catalog BUCKETED table (external at
+    ``path``): ``bucketBy(B, key)`` files named with Spark's ``_NNNNN``
+    bucket suffix. Scans of this table report ``HashPartitioning(key, B)``,
+    which is what lets the MERGE's ``fold='join'`` run with ZERO exchanges
+    into a ``layout='spark'`` LakeTable of the same B (operators/merge.py).
+    No shuffle at write time either — each writer task emits its own
+    per-bucket files (standard Spark bucketing). Returns the table name.
+
+    At 100 TB the analog is the upstream CDC topic/landing zone being
+    bucket-partitioned by key — standard Debezium/Kafka practice — so the
+    lake merge never has to re-shuffle the firehose it tails."""
+    spark = log.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    (
+        log.write.bucketBy(num_buckets, *key_columns)
+        .sortBy(*key_columns)
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    return table_name
+
+
+def register_log_bucketed(
+    spark: SparkSession,
+    path: str,
+    num_buckets: int,
+    table_name: str = "mxetl_log",
+    key_columns: tuple[str, ...] = ("repo", "path"),
+    schema=None,
+) -> DataFrame:
+    """(Re-)register an existing bucketed log directory in THIS session's
+    catalog (the in-memory catalog dies with the session; the files don't)
+    and return its DataFrame. Schema defaults to CHANGE_EVENTS — declared,
+    never inferred, the same stance as read_log_ndjson."""
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+
+    schema = schema if schema is not None else CHANGE_EVENTS
+    cols_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    key_ddl = ", ".join(f"`{k}`" for k in key_columns)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(
+        f"CREATE TABLE {table_name} ({cols_ddl}) USING parquet "
+        f"CLUSTERED BY ({key_ddl}) INTO {num_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return spark.table(table_name)
+
+
 def write_log_ndjson(log: DataFrame, path: str, files: int | None = None) -> None:
     """NDJSON form of the log — the reference's wire format (its extract
     stage writes newline-delimited JSON staging files,

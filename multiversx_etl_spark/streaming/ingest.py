@@ -40,7 +40,7 @@ from typing import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from multiversx_etl_spark.lake.table import LakeTable, bucket_expr
+from multiversx_etl_spark.lake.table import LakeTable
 from multiversx_etl_spark.operators.merge import MergeStats, _phase, merge_batch
 from multiversx_etl_spark.operators.normalize import normalize_change_events
 from multiversx_etl_spark.plans.planner import plan_offset_ranges
@@ -67,6 +67,7 @@ def ensure_table(
     num_buckets: int = 16,
     schema=None,
     key_columns: list[str] | None = None,
+    layout: str = "xxhash",
 ) -> LakeTable:
     """Open-or-create. ``schema``/``key_columns`` default to the ``repos``
     table; other declared tables pass theirs (schemas.TABLES)."""
@@ -78,6 +79,7 @@ def ensure_table(
         schema if schema is not None else REPOS,
         key_columns=key_columns or ["repo", "path"],
         num_buckets=num_buckets,
+        layout=layout,
     )
 
 
@@ -147,6 +149,8 @@ def apply_epoch(
     patch_count: int | None = None,
     conflict_retries: int = 2,
     normalizer: Callable[[DataFrame], DataFrame] | None = None,
+    fold: str = "union",
+    null_key_count: int | None = None,
 ) -> MergeStats:
     """Normalize → dedup → MERGE → lineage → atomic marker+data commit.
 
@@ -173,6 +177,7 @@ def apply_epoch(
             return merge_batch(
                 table, batch, stream_id, epoch_id, offset_lo, offset_hi,
                 mode=mode, in_counts=in_counts, patch_count=patch_count,
+                fold=fold, null_key_count=null_key_count,
                 pre_commit=write_ledger,
                 # each attempt writes its own tag dir: a retry must NEVER
                 # overwrite files a rival's committed manifest references
@@ -201,8 +206,15 @@ def replay(
     compact_every: int | None = None,
     compact_preserve_patches: bool = False,
     normalizer: Callable[[DataFrame], DataFrame] | None = None,
+    fold: str = "union",
 ) -> ReplaySummary:
     """Replay the log in offset-range epochs, skipping committed ones.
+
+    ``fold='join'`` selects the ZERO-EXCHANGE merge fold (requires a
+    ``layout='spark'`` table and a ``log`` DataFrame scanned from a Spark
+    catalog BUCKETED table — sources/changelog.py write_log_bucketed /
+    register_log_bucketed); epochs carrying partial-image or NULL-keyed
+    rows self-downgrade to the union fold (operators/merge.py).
 
     ``mode='mor'`` (default) appends delta files per epoch — O(batch) write
     cost; ``compact_every=K`` folds deltas into base files after every K run
@@ -236,6 +248,7 @@ def replay(
     m = table.snapshot()
     counts: dict[int, dict[int, int]] = {}
     patch_counts: dict[int, int] = {}
+    null_key_counts: dict[int, int] = {}
     precounted = bool(pending) and len(pending) * m.num_buckets <= 500_000
     if precounted:
         with _phase("precount"):
@@ -244,11 +257,17 @@ def replay(
             aggs = [F.count("*").alias("n")]
             if "op" in log.columns:  # partial-image rows (same pass)
                 aggs.append(F.count(F.when(F.col("op") == "patch", 1)).alias("p"))
+            # NULL-keyed rows per epoch (same pass): the join fold needs to
+            # know to downgrade (merge.py fold='join' docstring)
+            nk = F.lit(False)
+            for k in m.key_columns:
+                nk = nk | F.col(k).isNull()
+            aggs.append(F.count(F.when(nk, 1)).alias("nk"))
             rows = (
                 log.where((F.col("offset") >= lo) & (F.col("offset") < hi))
                 .groupBy(
                     F.floor(F.col("offset") / interval_size).cast("int").alias("_epoch"),
-                    bucket_expr(m.key_columns, m.num_buckets).alias("_bucket"),
+                    m.bucket_expr().alias("_bucket"),
                 )
                 .agg(*aggs)
                 .collect()
@@ -257,6 +276,7 @@ def replay(
                 counts.setdefault(r["_epoch"], {})[r["_bucket"]] = r["n"]
                 if "op" in log.columns:
                     patch_counts[r["_epoch"]] = patch_counts.get(r["_epoch"], 0) + r["p"]
+                null_key_counts[r["_epoch"]] = null_key_counts.get(r["_epoch"], 0) + r["nk"]
     summary = ReplaySummary()
     for plan in plans:
         if max_epochs is not None and summary.epochs_run >= max_epochs:
@@ -269,7 +289,8 @@ def replay(
             table, batch, stream_id, plan.epoch_id, plan.offset_lo, plan.offset_hi,
             mode=mode, in_counts=counts.get(plan.epoch_id, {}) if precounted else None,
             patch_count=patch_counts.get(plan.epoch_id, 0) if precounted else None,
-            normalizer=normalizer,
+            normalizer=normalizer, fold=fold,
+            null_key_count=null_key_counts.get(plan.epoch_id, 0) if precounted else None,
         )
         summary.epochs_run += 1
         if compact_every and summary.epochs_run % compact_every == 0:
@@ -334,7 +355,7 @@ def stream_ingest(
         if "op" in batch_df.columns:  # partial-image rows (same pass)
             aggs.append(F.count(F.when(F.col("op") == "patch", 1)).alias("p"))
         rows = (
-            batch_df.groupBy(bucket_expr(m.key_columns, m.num_buckets).alias("_bucket"))
+            batch_df.groupBy(m.bucket_expr().alias("_bucket"))
             .agg(*aggs)
             .collect()
         )
@@ -403,7 +424,7 @@ def bootstrap_snapshot(
             (F.col(p).cast(typ) if p in snapshot.columns else F.lit(None).cast(typ)).alias(p)
         )
     df = dedup_latest(snapshot.select(*cols), m.key_columns).withColumn(
-        "_bucket", bucket_expr(m.key_columns, m.num_buckets)
+        "_bucket", m.bucket_expr()
     )
     new_files = table.write_data_files(df, f"bootstrap-v{m.version:08d}")
     for f in new_files:

@@ -64,19 +64,28 @@ sys.path.insert(0, {repo!r})
 from multiversx_etl_spark.session import get_spark
 from multiversx_etl_spark.lake.table import LakeTable
 from multiversx_etl_spark.schemas import REPOS
+from multiversx_etl_spark.sources.changelog import register_log_bucketed
 from multiversx_etl_spark.streaming.ingest import replay
 
+fold = {fold!r}
 spark = get_spark("scaling-{label}", master={master!r},
                   shuffle_partitions={shuffle})
 spark.sparkContext.setLogLevel("ERROR")
-log = spark.read.parquet({log_path!r})
+if fold == "join":
+    # the catalog is per-session: re-declare the bucketed log so the scan
+    # reports HashPartitioning(key, B) and the merge fold is zero-exchange
+    log = register_log_bucketed(spark, {log_path!r}, {buckets})
+else:
+    log = spark.read.parquet({log_path!r})
 log.count()  # warm page cache before timing
 table = LakeTable.create(spark, {table_path!r}, REPOS,
-                         key_columns=["repo", "path"], num_buckets={buckets})
+                         key_columns=["repo", "path"], num_buckets={buckets},
+                         layout="spark" if fold == "join" else "xxhash")
 t0 = time.perf_counter()
-summary = replay(log, table, interval_size={interval}, total_offsets={total})
+summary = replay(log, table, interval_size={interval}, total_offsets={total},
+                 fold=fold)
 wall = time.perf_counter() - t0
-print(json.dumps({{"level": {label!r}, "master": {master!r},
+print(json.dumps({{"level": {label!r}, "master": {master!r}, "fold": fold,
                   "wall_sec": round(wall, 3),
                   "events": {total}, "events_per_sec": round({total} / wall, 1),
                   "epochs": summary.epochs_run,
@@ -86,10 +95,12 @@ spark.stop()
 
 
 def run_level(repo: str, label: str, master: str, shuffle: int, log_path: str,
-              table_path: str, buckets: int, interval: int, total: int) -> dict:
+              table_path: str, buckets: int, interval: int, total: int,
+              fold: str = "union") -> dict:
     code = _CHILD.format(repo=repo, label=label, master=master, shuffle=shuffle,
                          log_path=log_path, table_path=table_path,
-                         buckets=buckets, interval=interval, total=total)
+                         buckets=buckets, interval=interval, total=total,
+                         fold=fold)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
@@ -114,7 +125,16 @@ def main() -> None:
     ap.add_argument("--exec-mem", type=int, default=4096,
                     help="MiB per executor in --executors mode")
     ap.add_argument("--repeats", type=int, default=1,
-                    help="runs per level (interleaved); median throughput per level")
+                    help="runs per level per sweep (interleaved); median throughput per level")
+    ap.add_argument("--sweeps", type=int, default=1,
+                    help="independent interleaved sweep groups: per-sweep "
+                    "efficiencies AND the pooled (all-samples) efficiency are "
+                    "reported, so one invocation produces the honest "
+                    "multi-sweep table (VERDICT r03 #9)")
+    ap.add_argument("--fold", choices=["union", "join"], default="union",
+                    help="'join' = the ZERO-EXCHANGE merge fold: bucketed "
+                    "catalog log + layout='spark' table (VERDICT r03 #3); "
+                    "'union' = the historical one-shuffle fold")
     args = ap.parse_args()
     if args.executors:
         levels = [int(x) for x in args.executors.split(",")]
@@ -130,7 +150,11 @@ def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, repo)
     from multiversx_etl_spark.session import get_spark
-    from multiversx_etl_spark.sources.changelog import generate_change_log, write_log_parquet
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_bucketed,
+        write_log_parquet,
+    )
 
     workdir = tempfile.mkdtemp(prefix="mxetl-scaling-")
     log_path = os.path.join(workdir, "log")
@@ -143,53 +167,69 @@ def main() -> None:
             spark, args.events, num_repos=max(100, args.events // 2000),
             paths_per_repo=200, partitions=64,
         )
-        write_log_parquet(log, log_path, files=64)
+        if args.fold == "join":
+            write_log_bucketed(log, log_path, args.buckets)
+        else:
+            write_log_parquet(log, log_path, files=64)
         total = args.events + int(args.events * 0.01)
         spark.stop()
 
         interval = -(-total // args.epochs)
         samples: dict[int, list[float]] = {c: [] for c in levels}
-        for rep in range(args.repeats):
-            for n in levels:  # interleaved: a load spike hits all levels
-                r = run_level(
-                    repo, str(n), masters[n], shuffles[n], log_path,
-                    os.path.join(workdir, f"t{n}r{rep}"),
-                    args.buckets, interval, total,
-                )
-                samples[n].append(r["events_per_sec"])
-                print(json.dumps(r), flush=True)
+        by_sweep: list[dict[int, list[float]]] = []
+        for sweep in range(args.sweeps):
+            sw: dict[int, list[float]] = {c: [] for c in levels}
+            for rep in range(args.repeats):
+                for n in levels:  # interleaved: a load spike hits all levels
+                    r = run_level(
+                        repo, str(n), masters[n], shuffles[n], log_path,
+                        os.path.join(workdir, f"t{n}s{sweep}r{rep}"),
+                        args.buckets, interval, total, fold=args.fold,
+                    )
+                    samples[n].append(r["events_per_sec"])
+                    sw[n].append(r["events_per_sec"])
+                    print(json.dumps(r), flush=True)
+            by_sweep.append(sw)
 
         def median(xs: list[float]) -> float:
             s = sorted(xs)
             mid = len(s) // 2
             return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
-        med = {c: median(samples[c]) for c in levels}
-        pairs = []
-        for n in levels:
-            if 4 * n in med:
-                pairs.append(
-                    {
-                        "n": n,
-                        "4n": 4 * n,
-                        "n_events_per_sec": round(med[n], 1),
-                        "4n_events_per_sec": round(med[4 * n], 1),
-                        "efficiency": round(med[4 * n] / (4 * med[n]), 3),
-                    }
-                )
+        def pairs_of(med: dict[int, float]) -> list[dict]:
+            out = []
+            for n in levels:
+                if 4 * n in med:
+                    out.append(
+                        {
+                            "n": n,
+                            "4n": 4 * n,
+                            "n_events_per_sec": round(med[n], 1),
+                            "4n_events_per_sec": round(med[4 * n], 1),
+                            "efficiency": round(med[4 * n] / (4 * med[n]), 3),
+                        }
+                    )
+            return out
+
+        med = {c: median(samples[c]) for c in levels}  # pooled across sweeps
+        pairs = pairs_of(med)
+        sweep_pairs = [pairs_of({c: median(sw[c]) for c in levels}) for sw in by_sweep]
         out = {
             "metric": "scaling_efficiency",
             "value": max((p["efficiency"] for p in pairs), default=None),
             "unit": "ratio",
             "mode": "executors" if args.executors else "threads",
+            "fold": args.fold,
             "masters": {str(c): masters[c] for c in levels},
-            "pairs": pairs,
+            "pairs": pairs,  # pooled: per-level medians over ALL samples
+            "sweep_pairs": sweep_pairs,  # per-sweep medians (honest spread)
             "levels": {str(c): round(med[c], 1) for c in levels},
             "samples": {str(c): samples[c] for c in levels},
             "events": total,
             "epochs": args.epochs,
             "buckets": args.buckets,
             "repeats": args.repeats,
+            "sweeps": args.sweeps,
         }
         print(json.dumps(out))
     finally:

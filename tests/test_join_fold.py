@@ -1,0 +1,155 @@
+"""Zero-exchange MERGE fold (layout='spark' + catalog-bucketed log).
+
+The fold's value proposition is physical (no Exchange anywhere in the merge
+plan), so these tests pin BOTH faces: value-level equivalence with the
+default union fold (same final state, same ledger stats) and plan-level
+absence of shuffle exchanges. The file-purity invariant the spark layout
+rests on (pid == bucket in every written file) gets its own negative test.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from multiversx_etl_spark.lake.table import LakeTable
+from multiversx_etl_spark.operators import merge as merge_mod
+from multiversx_etl_spark.schemas import REPOS
+from multiversx_etl_spark.sources.changelog import (
+    generate_change_log,
+    write_log_bucketed,
+    write_log_parquet,
+)
+from multiversx_etl_spark.streaming.ingest import replay
+
+B = 8
+N = 40_000
+
+
+@pytest.fixture(scope="module")
+def bucketed_log(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("jflog")
+    log = generate_change_log(spark, N, num_repos=60, paths_per_repo=50, partitions=8)
+    name = write_log_bucketed(log, str(root / "blog"), B, table_name="mxetl_test_log")
+    write_log_parquet(log, str(root / "plog"), files=8)
+    yield spark.table(name), spark.read.parquet(str(root / "plog"))
+    spark.sql("DROP TABLE IF EXISTS mxetl_test_log")
+
+
+def _replay(spark, tmp_path, log, layout, fold, tag, epochs=3):
+    total = N + int(N * 0.01)
+    table = LakeTable.create(
+        spark, str(tmp_path / tag), REPOS,
+        key_columns=["repo", "path"], num_buckets=B, layout=layout,
+    )
+    summary = replay(
+        log, table, interval_size=-(-total // epochs), total_offsets=total, fold=fold
+    )
+    return table, summary
+
+
+def test_join_fold_matches_union_fold(spark, tmp_path, bucketed_log):
+    blog, plog = bucketed_log
+    jt, js = _replay(spark, tmp_path, blog, "spark", "join", "jt")
+    ut, us = _replay(spark, tmp_path, plog, "xxhash", "union", "ut")
+    # ledger-level equality: same classification on every epoch in total
+    assert (js.rows_inserted, js.rows_updated, js.rows_deleted) == (
+        us.rows_inserted, us.rows_updated, us.rows_deleted,
+    )
+    a, b = jt.read(), ut.read()
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_join_fold_plan_has_no_shuffle_exchange(spark, tmp_path, bucketed_log):
+    blog, _ = bucketed_log
+    os.environ["MXETL_CAPTURE_PLAN"] = "1"
+    try:
+        _replay(spark, tmp_path, blog, "spark", "join", "jp", epochs=2)
+    finally:
+        os.environ.pop("MXETL_CAPTURE_PLAN", None)
+    plan = merge_mod.LAST_WRITE_PLAN
+    assert plan is not None
+    # broadcast of the (narrow) target side is fine; a shuffle is the thing
+    # the fold exists to eliminate
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange RoundRobinPartitioning" not in plan, plan
+
+
+def test_join_fold_resumes_exactly_once(spark, tmp_path, bucketed_log):
+    blog, _ = bucketed_log
+    total = N + int(N * 0.01)
+    interval = -(-total // 3)
+    table = LakeTable.create(
+        spark, str(tmp_path / "jr"), REPOS,
+        key_columns=["repo", "path"], num_buckets=B, layout="spark",
+    )
+    replay(blog, table, interval_size=interval, total_offsets=total,
+           fold="join", max_epochs=1)
+    s2 = replay(blog, table, interval_size=interval, total_offsets=total, fold="join")
+    assert s2.epochs_skipped == 1 and s2.epochs_run == 2
+    s3 = replay(blog, table, interval_size=interval, total_offsets=total, fold="join")
+    assert s3.epochs_run == 0 and s3.epochs_skipped == 3
+
+
+def test_spark_layout_union_fold_and_patches(spark, tmp_path):
+    """Patch batches self-downgrade to the union fold and stay exact on a
+    spark-layout table (repartition_for_write keeps pid == bucket)."""
+    n = 20_000
+    log = generate_change_log(
+        spark, n, num_repos=40, paths_per_repo=40, partitions=8, patch_fraction=0.3
+    )
+    total = n + int(n * 0.01)
+    st = LakeTable.create(
+        spark, str(tmp_path / "sp"), REPOS,
+        key_columns=["repo", "path"], num_buckets=B, layout="spark",
+    )
+    xt = LakeTable.create(
+        spark, str(tmp_path / "xp"), REPOS,
+        key_columns=["repo", "path"], num_buckets=B,
+    )
+    for t in (st, xt):
+        replay(log, t, interval_size=-(-total // 2), total_offsets=total,
+               fold="join" if t is st else "union")
+    a, b = st.read(), xt.read()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # and compaction under the spark layout preserves pid == bucket
+    st.compact()
+    c = st.read()
+    assert c.exceptAll(b).count() == 0 and b.exceptAll(c).count() == 0
+
+
+def test_spark_layout_lookup_prunes_correctly(spark, tmp_path, bucketed_log):
+    blog, _ = bucketed_log
+    jt, _ = _replay(spark, tmp_path, blog, "spark", "join", "lk", epochs=1)
+    row = jt.read().limit(1).collect()[0]
+    hit = jt.lookup(repo=row["repo"], path=row["path"]).collect()
+    assert len(hit) == 1 and hit[0]["content"] == row["content"]
+
+
+def test_bucket_purity_guard_rejects_misaligned_write(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "pg"), REPOS,
+        key_columns=["repo", "path"], num_buckets=B, layout="spark",
+    )
+    m = t.snapshot()
+    df = (
+        spark.range(2_000)
+        .select(
+            F.format_string("r-%d", F.col("id") % 37).alias("repo"),
+            F.format_string("p-%d.py", F.col("id")).alias("path"),
+            F.col("id").alias("seq"),
+            F.lit(False).alias("deleted"),
+            F.lit(None).cast("string").alias("commit"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit("x").alias("content"),
+            F.lit(None).cast("timestamp").alias("event_ts"),
+        )
+        .withColumn("_bucket", m.bucket_expr())
+        .repartition(B)  # round-robin: files NOT bucket-pure
+    )
+    with pytest.raises(RuntimeError, match="bucket-impure"):
+        t.write_data_files(df, "bad", bucket_aligned=True, keep_bucket=True)
