@@ -115,11 +115,56 @@ def normalize_commit_events(df: DataFrame) -> DataFrame:
     return df
 
 
+def drop_nested_field_path(df: DataFrame, column: str, path: list[str]) -> DataFrame:
+    """Remove the field at ``path`` under ``column``, descending through
+    struct AND array<struct> levels with higher-order ``transform`` — the
+    arbitrary-depth generalization of drop_nested_struct_field (the
+    BlocksTransformer drops epochStartShardsData[].pendingMiniBlockHeaders
+    [].reserved, TWO repeated levels deep, transformers.py:42-52). Stays
+    whole-stage-codegen'd; no UDF."""
+    from pyspark.sql.types import DataType
+
+    def rebuild(expr, dt: DataType, path: list[str]):
+        if isinstance(dt, ArrayType):
+            elem = dt.elementType
+            return F.transform(expr, lambda x: rebuild(x, elem, path))
+        assert isinstance(dt, StructType), dt
+        head, *rest = path
+        parts = []
+        for f in dt.fields:
+            if f.name == head and not rest:
+                continue  # the doomed field
+            if f.name == head:
+                parts.append(rebuild(expr[f.name], f.dataType, rest).alias(f.name))
+            else:
+                parts.append(expr[f.name].alias(f.name))
+        return F.struct(*parts)
+
+    return df.withColumn(
+        column, rebuild(F.col(column), df.schema[column].dataType, path)
+    )
+
+
+def normalize_block_events(df: DataFrame) -> DataFrame:
+    """Normalization for the BQ-JSON-declared ``blocks`` table — the full
+    BlocksTransformer analog (transformers.py:42-52): drop the top-level
+    ``pubKeyBitmap`` and ``reserved`` columns, and strip ``reserved`` out of
+    every epochStartShardsData[].pendingMiniBlockHeaders[] struct (2-deep
+    REPEATED nesting). Pure column expressions."""
+    df = df.drop("pubKeyBitmap", "reserved")
+    if "epochStartShardsData" in df.columns:
+        df = drop_nested_field_path(
+            df, "epochStartShardsData", ["pendingMiniBlockHeaders", "reserved"]
+        )
+    return df
+
+
 #: table name → normalization fn (TransformersRegistry analog,
 #: transformers.py:6-17: per-index dispatch by name).
 REGISTRY: dict[str, Callable[[DataFrame], DataFrame]] = {
     "change_events": normalize_change_events,
     "commit_events": normalize_commit_events,
+    "block_events": normalize_block_events,
 }
 
 

@@ -138,6 +138,51 @@ COMMITS = StructType(
     ]
 )
 
+#: THIRD declared table (``blocks``): loaded from a BigQuery-JSON schema
+#: FILE at import time — the data-driven declaration path the reference
+#: actually uses (schema/*.json + bq_client.py:86 schema_from_json) rather
+#: than a hand-written StructType. The file carries the reference's
+#: structural hard parts: 2-deep RECORD REPEATED nesting
+#: (epochStartShardsData[].pendingMiniBlockHeaders[]) with ``reserved``
+#: subfields the BlocksTransformer strips (transformers.py:42-52),
+#: NUMERIC→decimal(38,9) leaves, and a REQUIRED ``_id`` key.
+import os as _os
+
+from multiversx_etl_spark.sources.bq_schema import (
+    drop_schema_field,
+    struct_type_from_bq_json,
+)
+
+BLOCK_PAYLOAD = struct_type_from_bq_json(
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "bq_schemas", "blocks.json")
+)
+
+#: The blocks change log: CDC bookkeeping + the BQ-declared payload.
+BLOCK_EVENTS = StructType(
+    [
+        StructField("offset", LongType(), False),
+        StructField("seq", LongType(), False),
+        StructField("op", StringType(), False),
+    ]
+    + list(BLOCK_PAYLOAD.fields)
+)
+
+#: The blocks lakehouse target = the declared payload minus what the
+#: normalizer strips (top-level pubKeyBitmap + reserved, and the 2-deep
+#: nested reserved), plus engine bookkeeping. Derived from the SAME file,
+#: so schema and transformer cannot drift apart.
+_BLOCKS_CLEAN = drop_schema_field(
+    drop_schema_field(drop_schema_field(BLOCK_PAYLOAD, ["pubKeyBitmap"]), ["reserved"]),
+    ["epochStartShardsData", "pendingMiniBlockHeaders", "reserved"],
+)
+BLOCKS = StructType(
+    list(_BLOCKS_CLEAN.fields)
+    + [
+        StructField("seq", LongType(), False),
+        StructField("deleted", BooleanType(), False),
+    ]
+)
+
 #: Declared-table registry (the analog of the reference's schema/*.json
 #: directory loaded by name at bq_client.py:86): table name → (log schema,
 #: target schema, upsert key). Every table the engine ingests resolves
@@ -145,6 +190,7 @@ COMMITS = StructType(
 TABLES: dict[str, tuple[StructType, StructType, list[str]]] = {
     "repos": (CHANGE_EVENTS, REPOS, ["repo", "path"]),
     "commits": (COMMIT_EVENTS, COMMITS, ["repo", "commit"]),
+    "blocks": (BLOCK_EVENTS, BLOCKS, ["_id"]),
 }
 
 #: Per-batch, per-bucket lineage ledger (FIXTURES.md §3).

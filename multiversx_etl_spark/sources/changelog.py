@@ -261,6 +261,78 @@ def generate_commit_log(
     )
 
 
+def generate_block_log(
+    spark: SparkSession,
+    num_events: int,
+    num_blocks: int = 200,
+    dup_fraction: float = 0.01,
+    base_ts: int = 1_596_117_600,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic change log for the THIRD declared table (``blocks``,
+    schemas.BLOCK_EVENTS — loaded from the BQ-JSON schema file): key
+    ``_id``, NUMERIC (decimal) leaves, and the 2-deep RECORD REPEATED
+    ``epochStartShardsData[].pendingMiniBlockHeaders[]`` nesting whose
+    ``reserved`` subfields the normalizer strips. Same construction
+    discipline as the other generators: every column a pure function of the
+    row id."""
+    n_dups = int(num_events * dup_fraction)
+    total = num_events + n_dups
+    rng = spark.range(0, total, 1, partitions) if partitions else spark.range(total)
+    eff = F.when(F.col("id") < num_events, F.col("id")).otherwise(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(53)), F.lit(num_events))
+    )
+    df = rng.select(F.col("id").alias("offset"), eff.alias("seq"))
+    bidx = F.pmod(F.xxhash64(F.col("seq"), F.lit(59)), F.lit(num_blocks))
+    op_draw = F.pmod(F.xxhash64(F.col("seq"), F.lit(61)), F.lit(100))
+    h = lambda salt, extra="": F.md5(  # noqa: E731
+        F.concat_ws("#", F.col("seq").cast("string"), F.lit(str(salt)), F.lit(extra))
+    )
+    mb = lambda i, j: F.struct(  # noqa: E731
+        h(100 + i * 10 + j).alias("hash"),
+        F.pmod(F.xxhash64(F.col("seq"), F.lit(71 + i)), F.lit(4)).alias("senderShard"),
+        F.pmod(F.xxhash64(F.col("seq"), F.lit(73 + j)), F.lit(4)).alias("receiverShard"),
+        F.when(F.pmod(F.xxhash64(F.col("seq"), F.lit(79 + j)), F.lit(2)) == 0,
+               F.lit("TxBlock")).otherwise(F.lit("SmartContractResultBlock")).alias("type"),
+        h(200 + i * 10 + j).alias("reserved"),  # normalizer strips this
+    )
+    shard = lambda i: F.struct(  # noqa: E731
+        F.lit(i).cast("long").alias("shardId"),
+        h(300 + i).alias("headerHash"),
+        h(400 + i).alias("rootHash"),
+        F.when(
+            F.pmod(F.xxhash64(F.col("seq"), F.lit(83 + i)), F.lit(2)) == 0,
+            F.array(mb(i, 0), mb(i, 1)),
+        ).otherwise(F.array(mb(i, 0))).alias("pendingMiniBlockHeaders"),
+    )
+    two_shards = F.pmod(F.xxhash64(F.col("seq"), F.lit(89)), F.lit(2)) == 0
+    return df.select(
+        "offset",
+        "seq",
+        F.when(op_draw < 10, F.lit("delete"))
+        .when(op_draw < 60, F.lit("update"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+        F.md5(F.concat_ws("|", F.lit("block"), bidx.cast("string"))).alias("_id"),
+        F.pmod(F.col("seq"), F.lit(50)).cast("decimal(38,9)").alias("epoch"),
+        F.col("seq").cast("decimal(38,9)").alias("round"),
+        F.pmod(F.xxhash64(F.col("seq"), F.lit(97)), F.lit(4)).alias("shardId"),
+        (F.pmod(F.col("seq"), F.lit(50)) == 0).alias("epochStartBlock"),
+        (F.pmod(F.xxhash64(F.col("seq"), F.lit(101)), F.lit(10_000)) / 100.0).alias(
+            "gasConsumed"
+        ),
+        F.format_string(
+            "validator-%03d", F.pmod(F.xxhash64(F.col("seq"), F.lit(103)), F.lit(64))
+        ).alias("proposer"),
+        h(1).alias("pubKeyBitmap"),  # volatile: normalizer drops
+        h(2).alias("reserved"),  # volatile: normalizer drops
+        F.timestamp_seconds(F.lit(base_ts) + F.col("seq") * 6).alias("timestamp"),
+        F.when(two_shards, F.array(shard(0), shard(1)))
+        .otherwise(F.array(shard(0)))
+        .alias("epochStartShardsData"),
+    )
+
+
 def read_offset_range(log: DataFrame, lo: int, hi: int) -> DataFrame:
     """Half-open arrival-range scan [lo, hi) — the A1 range-scan source.
 

@@ -11,7 +11,11 @@ from multiversx_etl_spark.sources.changelog import (
     write_log_ndjson,
     write_log_parquet,
 )
-from multiversx_etl_spark.streaming.stateful import stream_repo_progress
+from multiversx_etl_spark.streaming.stateful import (
+    create_progress_table,
+    stream_repo_progress,
+    stream_repo_progress_to_table,
+)
 
 
 @pytest.fixture(scope="module")
@@ -39,6 +43,26 @@ def test_repo_progress_matches_batch(spark, state_log, tmp_path):
     assert {g["repo"]: (g["n_events"], g["max_seq"], g["n_deletes"]) for g in got} == want
     # multiple micro-batches actually ran (state carried across batches)
     assert any(g["batch_events"] < g["n_events"] for g in got)
+
+
+def test_repo_progress_table_sink(spark, state_log, tmp_path):
+    """The durable sink (update rows MERGEd into a LakeTable, no driver
+    collect) lands the same final per-repo state as the test harness, and a
+    rerun over the same checkpoint is a no-op (epoch markers)."""
+    table = create_progress_table(spark, str(tmp_path / "pt"), num_buckets=4)
+    stream_repo_progress_to_table(spark, state_log, table, str(tmp_path / "c1"))
+    want = {
+        g["repo"]: (g["n_events"], g["max_seq"], g["n_deletes"])
+        for g in stream_repo_progress(spark, state_log, str(tmp_path / "c2"))
+    }
+    got = {
+        r["repo"]: (r["n_events"], r["max_seq"], r["n_deletes"])
+        for r in table.read().collect()
+    }
+    assert got == want
+    v = table.current_version()
+    stream_repo_progress_to_table(spark, state_log, table, str(tmp_path / "c1"))
+    assert table.current_version() == v  # drained checkpoint: nothing re-runs
 
 
 def test_ndjson_roundtrip(spark, state_log, tmp_path):
