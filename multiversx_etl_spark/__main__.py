@@ -60,10 +60,27 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--events", type=int, default=100_000)
     g.add_argument("--repos", type=int, default=100)
     g.add_argument("--files", type=int, default=16)
+    g.add_argument(
+        "--patch-fraction", type=float, default=0.0,
+        help="fraction of updates emitted as partial-image op='patch' "
+        "events (NULL payload = keep; column-level LWW downstream)",
+    )
+    g.add_argument(
+        "--bucketed", type=int, default=None, metavar="B",
+        help="write a CATALOG-BUCKETED log (bucketBy(B, key) files) instead "
+        "of offset-ranged plain parquet — the input shape the zero-exchange "
+        "replay (--fold join) consumes",
+    )
 
     i = sub.add_parser("init", help="create the lake table")
     i.add_argument("table")
     i.add_argument("--buckets", type=int, default=16)
+    i.add_argument(
+        "--layout", choices=["xxhash", "spark"], default="xxhash",
+        help="'spark' = Spark-native bucket hash (pid == bucket): the "
+        "table's files double as catalog bucket files, enabling the "
+        "zero-exchange merge fold (replay --fold join)",
+    )
 
     r = sub.add_parser("replay", help="exactly-once replay of a parquet log")
     r.add_argument("log")
@@ -73,6 +90,16 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--max-epochs", type=int, default=None)
     r.add_argument("--mode", choices=["mor", "cow"], default="mor")
     r.add_argument("--compact-every", type=int, default=None)
+    r.add_argument(
+        "--fold", choices=["union", "join"], default="union",
+        help="'join' = zero-exchange fold over a --bucketed log into a "
+        "--layout spark table (self-downgrades per batch on patches/NULL keys)",
+    )
+    r.add_argument(
+        "--layout", choices=["xxhash", "spark"], default=None,
+        help="layout when the table does not exist yet (default: spark "
+        "for --fold join, xxhash otherwise)",
+    )
 
     s = sub.add_parser("stream", help="Structured Streaming tail (availableNow)")
     s.add_argument("log_dir")
@@ -301,32 +328,54 @@ def _dispatch(spark, args) -> int:
     if args.cmd == "gen-log":
         from multiversx_etl_spark.sources.changelog import (
             generate_change_log,
+            write_log_bucketed,
             write_log_parquet,
         )
 
-        log = generate_change_log(spark, args.events, num_repos=args.repos)
-        write_log_parquet(log, args.path, files=args.files)
+        log = generate_change_log(
+            spark, args.events, num_repos=args.repos,
+            patch_fraction=args.patch_fraction,
+        )
+        if args.bucketed:
+            write_log_bucketed(log, args.path, args.bucketed)
+        else:
+            write_log_parquet(log, args.path, files=args.files)
         print(json.dumps({"written": spark.read.parquet(args.path).count()}))
         return 0
 
     if args.cmd == "init":
         LakeTable.create(
-            spark, args.table, REPOS, key_columns=["repo", "path"], num_buckets=args.buckets
+            spark, args.table, REPOS, key_columns=["repo", "path"],
+            num_buckets=args.buckets, layout=args.layout,
         )
-        print(json.dumps({"created": args.table, "buckets": args.buckets}))
+        print(json.dumps({"created": args.table, "buckets": args.buckets,
+                          "layout": args.layout}))
         return 0
 
     if args.cmd == "replay":
         from multiversx_etl_spark.streaming.ingest import ensure_table, replay
 
-        table = ensure_table(spark, args.table, num_buckets=args.buckets)
+        layout = args.layout or ("spark" if args.fold == "join" else "xxhash")
+        table = ensure_table(
+            spark, args.table, num_buckets=args.buckets, layout=layout
+        )
+        if args.fold == "join":
+            from multiversx_etl_spark.sources.changelog import register_log_bucketed
+
+            log = register_log_bucketed(
+                spark, args.log, table.snapshot().num_buckets,
+                table_name="mxetl_log_cli",
+            )
+        else:
+            log = spark.read.parquet(args.log)
         summary = replay(
-            spark.read.parquet(args.log),
+            log,
             table,
             interval_size=args.interval_size,
             max_epochs=args.max_epochs,
             mode=args.mode,
             compact_every=args.compact_every,
+            fold=args.fold,
         )
         print(
             json.dumps(

@@ -50,6 +50,7 @@ effect on the next invocation.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -75,6 +76,13 @@ class WorkerConfig:
     trigger_interval: str | None = None
     fail_on_counts_mismatch: bool = True
     counts_checks_errata: dict[str, int] = field(default_factory=dict)
+    #: bucket-hash layout for NEW tables: "xxhash" | "spark" (the latter
+    #: unlocks fold="join" — lake/table.py bucket_expr)
+    layout: str = "xxhash"
+    #: merge fold shape: "union" | "join" (zero-exchange; requires
+    #: layout="spark" and a bucketed log directory — the config loader
+    #: registers it as a catalog bucketed table at run time)
+    fold: str = "union"
 
     def erratum_for(self, table: str) -> int:
         """Accepted signed drift for a table (reference
@@ -100,7 +108,7 @@ _KNOWN = {
     "table_root", "log_path", "name", "schema", "normalizer", "stream_id",
     "interval_size", "num_buckets", "mode", "compact_every",
     "compact_preserve_patches", "max_files_per_trigger", "trigger_interval",
-    "fail_on_counts_mismatch", "counts_checks_errata",
+    "fail_on_counts_mismatch", "counts_checks_errata", "layout", "fold",
 }
 
 
@@ -133,6 +141,12 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
     cfg = WorkerConfig(**data)
     if cfg.mode not in ("mor", "cow"):
         raise ConfigError(f"mode must be 'mor' or 'cow', got {cfg.mode!r}")
+    if cfg.layout not in ("xxhash", "spark"):
+        raise ConfigError(f"layout must be 'xxhash' or 'spark', got {cfg.layout!r}")
+    if cfg.fold not in ("union", "join"):
+        raise ConfigError(f"fold must be 'union' or 'join', got {cfg.fold!r}")
+    if cfg.fold == "join" and (cfg.layout != "spark" or cfg.mode != "mor"):
+        raise ConfigError("fold='join' requires layout='spark' and mode='mor'")
     if not isinstance(cfg.interval_size, int) or cfg.interval_size <= 0:
         raise ConfigError("interval_size must be a positive integer")
     if not isinstance(cfg.num_buckets, int) or cfg.num_buckets <= 0:
@@ -198,7 +212,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
     normalizer = REGISTRY[cfg.normalizer]
     table = ensure_table(
         spark, cfg.table_root, num_buckets=cfg.num_buckets,
-        schema=target_schema, key_columns=key_columns,
+        schema=target_schema, key_columns=key_columns, layout=cfg.layout,
     )
     if streaming:
         if checkpoint_dir is None:
@@ -222,14 +236,28 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
             return {"streaming_query": q, "reconcile_skipped": True}
         summary: dict[str, Any] = {}
     else:
+        if cfg.fold == "join":
+            # zero-exchange path: the log directory must hold bucketed files
+            # (sources/changelog.py write_log_bucketed); declare it to THIS
+            # session's catalog so the scan reports its partitioning
+            from multiversx_etl_spark.sources.changelog import register_log_bucketed
+
+            log = register_log_bucketed(
+                spark, cfg.log_path, cfg.num_buckets,
+                table_name=f"mxetl_log_{cfg.name}",
+                key_columns=tuple(key_columns), schema=log_schema,
+            )
+        else:
+            log = spark.read.parquet(cfg.log_path)
         s = replay(
-            spark.read.parquet(cfg.log_path), table,
+            log, table,
             interval_size=cfg.interval_size,
             stream_id=cfg.stream_id,
             mode=cfg.mode,
             compact_every=cfg.compact_every,
             compact_preserve_patches=cfg.compact_preserve_patches,
             normalizer=normalizer,
+            fold=cfg.fold,
         )
         summary = {"epochs_run": s.epochs_run, "epochs_skipped": s.epochs_skipped,
                    "rows_in": s.rows_in}
@@ -248,3 +276,88 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
     summary["missing"] = report.missing
     summary["unexpected"] = report.unexpected
     return summary
+
+
+def stream_with_config_reload(
+    spark,
+    config_path: str,
+    checkpoint_dir: str,
+    poll_seconds: float = 0.5,
+    on_poll=None,
+) -> dict[str, Any]:
+    """Continuous ingest whose knobs FOLLOW THE CONFIG FILE — the analog of
+    the reference re-reading its worker config every loop iteration
+    (/root/reference/multiversxetl/app.py:82-86 recreates the controller
+    from the file each pass, so ops edit knobs live).
+
+    Structured Streaming cannot mutate source options (maxFilesPerTrigger,
+    trigger cadence) on a running query, so a reload is the standard
+    operator move: stop the query GRACEFULLY, re-read the file, restart
+    FROM THE SAME CHECKPOINT — progress is preserved by the checkpoint and
+    any replayed in-flight batch is a no-op under the epoch markers
+    (exactly-once holds across restarts by construction; that is the whole
+    point of committing the marker atomically with the data).
+
+    The supervisor polls the file's mtime between triggers. ``on_poll``
+    (optional) is called each poll with (table, applied_config) and may
+    return True to stop the loop — the supervision hook tests and callers
+    embed shutdown/mutation logic in without threads. Returns
+    ``{"reloads": N, "applied": [per-generation knob dicts]}``.
+
+    Single-table configs with a ``trigger_interval`` only: multi-table
+    continuous deployments run one supervisor per table (each owns its
+    checkpoint), exactly like the reference runs one worker per index
+    group."""
+    import time as _time
+
+    from multiversx_etl_spark.operators.normalize import REGISTRY
+    from multiversx_etl_spark.schemas import TABLES
+    from multiversx_etl_spark.streaming.ingest import ensure_table, stream_ingest
+
+    applied: list[dict[str, Any]] = []
+    mtime = os.path.getmtime(config_path)
+    stop = False
+    while not stop:
+        cfg = load_worker_config(config_path)
+        if isinstance(cfg, MultiWorkerConfig):
+            raise ConfigError("stream_with_config_reload takes a single-table config")
+        if cfg.trigger_interval is None:
+            raise ConfigError("stream_with_config_reload requires trigger_interval")
+        log_schema, target_schema, key_columns = TABLES[cfg.schema]
+        table = ensure_table(
+            spark, cfg.table_root, num_buckets=cfg.num_buckets,
+            schema=target_schema, key_columns=key_columns, layout=cfg.layout,
+        )
+        applied.append(
+            {
+                "max_files_per_trigger": cfg.max_files_per_trigger,
+                "trigger_interval": cfg.trigger_interval,
+                "compact_every": cfg.compact_every,
+                "erratum": cfg.erratum_for(cfg.name),
+            }
+        )
+        q = stream_ingest(
+            spark, cfg.log_path, table, checkpoint_dir,
+            stream_id=cfg.stream_id,
+            max_files_per_trigger=cfg.max_files_per_trigger,
+            mode=cfg.mode,
+            compact_every=cfg.compact_every,
+            compact_preserve_patches=cfg.compact_preserve_patches,
+            trigger_interval=cfg.trigger_interval,
+            normalizer=REGISTRY[cfg.normalizer],
+            log_schema=log_schema,
+        )
+        try:
+            while True:
+                if on_poll is not None and on_poll(table, cfg):
+                    stop = True
+                    break
+                new_mtime = os.path.getmtime(config_path)
+                if new_mtime != mtime:
+                    mtime = new_mtime
+                    break  # graceful restart with the new knobs
+                _time.sleep(poll_seconds)
+        finally:
+            q.stop()
+            q.awaitTermination()
+    return {"reloads": len(applied) - 1, "applied": applied}
