@@ -314,7 +314,10 @@ def _package(out: str) -> int:
             if "__pycache__" in dirpath:
                 continue
             for fname in sorted(filenames):
-                if fname.endswith(".py"):
+                # .json: the BQ-declared schema files (bq_schemas/) are part
+                # of the package — schemas.py loads them at import time
+                # through importlib.resources, which reads from the zip
+                if fname.endswith((".py", ".json")):
                     full = os.path.join(dirpath, fname)
                     zf.write(full, os.path.relpath(full, parent))
     print(json.dumps({"written": out, "entries": len(zipfile.ZipFile(out).namelist())}))

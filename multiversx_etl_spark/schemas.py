@@ -146,15 +146,23 @@ COMMITS = StructType(
 #: (epochStartShardsData[].pendingMiniBlockHeaders[]) with ``reserved``
 #: subfields the BlocksTransformer strips (transformers.py:42-52),
 #: NUMERIC→decimal(38,9) leaves, and a REQUIRED ``_id`` key.
-import os as _os
+import json as _json
+from importlib import resources as _resources
 
 from multiversx_etl_spark.sources.bq_schema import (
     drop_schema_field,
     struct_type_from_bq_json,
 )
 
+# importlib.resources, NOT a filesystem path: on a cluster the package is
+# imported from the spark-submit --py-files ZIP, where __file__-relative
+# open() does not resolve (the submit e2e test runs exactly that path).
 BLOCK_PAYLOAD = struct_type_from_bq_json(
-    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "bq_schemas", "blocks.json")
+    _json.loads(
+        _resources.files("multiversx_etl_spark")
+        .joinpath("bq_schemas/blocks.json")
+        .read_text()
+    )
 )
 
 #: The blocks change log: CDC bookkeeping + the BQ-declared payload.
