@@ -92,6 +92,7 @@ def run_cdc_replay(
     n_events: int = 0,
     patch_fraction: float = 0.0,
     tag: str = "",
+    fold: str = "union",
 ) -> dict[str, float]:
     """Headline: materialize a synthetic change log to parquet, then replay
     it through the exactly-once MERGE pipeline in NUM_EPOCHS micro-batches.
@@ -104,11 +105,17 @@ def run_cdc_replay(
     (VERDICT r02 item #5). All samples are reported alongside.
 
     ``patch_fraction``/``n_events``/``tag`` parameterize the PARTIAL-IMAGE
-    face over the same measurement protocol (one protocol, one function —
-    a one-sided edit to the warm/repeat/best logic must be impossible)."""
+    face, ``fold='join'`` the ZERO-EXCHANGE face (bucketed catalog log +
+    layout='spark' table) — all over the same measurement protocol (one
+    protocol, one function — a one-sided edit to the warm/repeat/best
+    logic must be impossible)."""
     from multiversx_etl_spark.lake.table import LakeTable
     from multiversx_etl_spark.schemas import REPOS
-    from multiversx_etl_spark.sources.changelog import generate_change_log, write_log_parquet
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_bucketed,
+        write_log_parquet,
+    )
     from multiversx_etl_spark.streaming.ingest import replay
 
     n_events = n_events or NUM_EVENTS
@@ -121,12 +128,16 @@ def run_cdc_replay(
         partitions=max(CPUS * 2, 8), patch_fraction=patch_fraction,
     )
     t0 = time.perf_counter()
-    write_log_parquet(log, log_path, files=max(CPUS * 2, 8))
+    if fold == "join":
+        log_table = write_log_bucketed(log, log_path, NUM_BUCKETS,
+                                       table_name=f"mxetl_bench_log{tag}")
+    else:
+        write_log_parquet(log, log_path, files=max(CPUS * 2, 8))
     gen_sec = time.perf_counter() - t0
 
     import pyspark.sql.functions as F
 
-    log_df = spark.read.parquet(log_path)
+    log_df = spark.table(log_table) if fold == "join" else spark.read.parquet(log_path)
     # Warm the page cache by touching actual data pages (a bare count() reads
     # only parquet footers): the metric is SUSTAINED replay throughput.
     log_df.agg(F.sum(F.length("content")), F.sum("seq")).collect()
@@ -138,9 +149,12 @@ def run_cdc_replay(
         table = LakeTable.create(
             spark, os.path.join(workdir, f"table{tag}-r{rep}"), REPOS,
             key_columns=["repo", "path"], num_buckets=NUM_BUCKETS,
+            layout="spark" if fold == "join" else "xxhash",
         )
         t0 = time.perf_counter()
-        summary = replay(log_df, table, interval_size=interval, total_offsets=total)
+        summary = replay(
+            log_df, table, interval_size=interval, total_offsets=total, fold=fold
+        )
         replay_sec = time.perf_counter() - t0
         samples.append(round(replay_sec, 3))
         if best is None or replay_sec < best[0]:
@@ -231,6 +245,10 @@ def main() -> None:
             spark, workdir, n_events=NUM_EVENTS // 2, patch_fraction=0.3, tag="p"
         )
         timings["cdc_patch_replay"] = patch["replay_sec"]
+        # zero-exchange face: bucketed catalog log into a layout='spark'
+        # table, fold='join' — same protocol, full headline event count
+        join = run_cdc_replay(spark, workdir, tag="j", fold="join")
+        timings["cdc_join_replay"] = join["replay_sec"]
         harness = round(time.perf_counter() - t_total, 3)
         # headline value = sum of the recorded per-query timings (each the
         # fastest pass), NOT the harness wall — the harness runs the suite
@@ -268,6 +286,11 @@ def main() -> None:
             "cdc_patch_replay_samples": patch["replay_samples"],
             "cdc_patch_rows_patched": patch["rows_patched"],
             "cdc_patch_final_rows": patch["final_rows"],
+            "cdc_join_events": join["events"],
+            "cdc_join_events_per_sec": join["events_per_sec"],
+            "cdc_join_replay_sec": join["replay_sec"],
+            "cdc_join_replay_samples": join["replay_samples"],
+            "cdc_join_final_rows": join["final_rows"],
         }
         line = json.dumps(out)
         # Sidecar copy survives even if something else pollutes stdout; the

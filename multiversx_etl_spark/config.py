@@ -315,10 +315,12 @@ def stream_with_config_reload(
     from multiversx_etl_spark.streaming.ingest import ensure_table, stream_ingest
 
     applied: list[dict[str, Any]] = []
+    # load FIRST, then stat: the reverse order would read a newer edit but
+    # record the older mtime and spuriously restart once
+    cfg = load_worker_config(config_path)
     mtime = os.path.getmtime(config_path)
     stop = False
     while not stop:
-        cfg = load_worker_config(config_path)
         if isinstance(cfg, MultiWorkerConfig):
             raise ConfigError("stream_with_config_reload takes a single-table config")
         if cfg.trigger_interval is None:
@@ -349,12 +351,28 @@ def stream_with_config_reload(
         )
         try:
             while True:
+                if not q.isActive:
+                    # the query died (bad batch, sink failure): rethrow its
+                    # exception instead of supervising a corpse forever
+                    q.awaitTermination()
+                    raise RuntimeError(
+                        "streaming query terminated unexpectedly with no exception"
+                    )
                 if on_poll is not None and on_poll(table, cfg):
                     stop = True
                     break
                 new_mtime = os.path.getmtime(config_path)
                 if new_mtime != mtime:
+                    # parse the NEW config BEFORE stopping the query: ops
+                    # file edits are not atomic, so a torn/invalid read must
+                    # leave the running generation untouched (re-poll picks
+                    # up the completed write on a later mtime change)
                     mtime = new_mtime
+                    try:
+                        cfg = load_worker_config(config_path)
+                    except (ConfigError, ValueError, OSError):
+                        _time.sleep(poll_seconds)
+                        continue
                     break  # graceful restart with the new knobs
                 _time.sleep(poll_seconds)
         finally:

@@ -711,7 +711,7 @@ class LakeTable:
         for rg in range(md.num_row_groups):
             stats = md.row_group(rg).column(idx).statistics
             if stats is None or not stats.has_min_max:
-                return  # stats unavailable: nothing to assert against
+                continue  # this row group offers no stats; check the rest
             if stats.min != pid or stats.max != pid:
                 raise RuntimeError(
                     f"bucket-impure data file {path}: pid {pid} holds "

@@ -52,7 +52,14 @@ def drop_nested_struct_field(df: DataFrame, array_column: str, field_name: str) 
     kept = [f.name for f in schema.elementType.fields if f.name != field_name]
     return df.withColumn(
         array_column,
-        F.transform(F.col(array_column), lambda s: F.struct(*[s[k].alias(k) for k in kept])),
+        F.transform(
+            F.col(array_column),
+            # NULL elements stay NULL: a bare F.struct(nulls...) would turn
+            # them into non-null structs-of-nulls — mutation beyond the drop
+            lambda s: F.when(
+                s.isNotNull(), F.struct(*[s[k].alias(k) for k in kept])
+            ),
+        ),
     )
 
 
@@ -138,7 +145,10 @@ def drop_nested_field_path(df: DataFrame, column: str, path: list[str]) -> DataF
                 parts.append(rebuild(expr[f.name], f.dataType, rest).alias(f.name))
             else:
                 parts.append(expr[f.name].alias(f.name))
-        return F.struct(*parts)
+        # NULL structs/elements stay NULL: a bare F.struct(nulls...) would
+        # rebuild them as non-null structs-of-nulls — data mutation beyond
+        # the intended field drop
+        return F.when(expr.isNotNull(), F.struct(*parts))
 
     return df.withColumn(
         column, rebuild(F.col(column), df.schema[column].dataType, path)

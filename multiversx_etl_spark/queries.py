@@ -2198,11 +2198,29 @@ from multiversx_etl_spark.operators.ann import (  # noqa: E402
 )
 
 
-#: memoized IVF quantizers: (corpus path, n, k) -> trained centroid list.
+#: memoized IVF quantizers: (corpus signature, k) -> trained centroid list.
 #: Deterministic (seed sample + Lloyd are pure functions of the corpus), so
 #: reuse changes nothing the oracle can see — it only removes the training
-#: passes from repeat queries.
+#: passes from repeat queries. The signature covers every file's (name,
+#: size, mtime), so a corpus modified IN PLACE — even with the row count
+#: unchanged — retrains instead of serving stale centroids.
 _IVF_QUANTIZER_CACHE: dict[tuple, list] = {}
+
+
+def _corpus_signature(path: str) -> tuple:
+    import glob
+    import os
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    sig = []
+    for p in files:
+        st = os.stat(p)
+        sig.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
+    return (os.path.abspath(path), tuple(sig))
 
 
 def _parquet_rows(path: str) -> int:
@@ -2235,8 +2253,10 @@ def _ivf_parts(spark, sf_dir) -> dict[str, DataFrame]:
         empty = spark.createDataFrame([], "vec_id long, cell int, q array<bigint>")
         return {"members": empty, "idx": empty, "candidates": empty.limit(0)}
     k = max(1, math.ceil(math.sqrt(n)))
+    from multiversx_etl_spark.operators.ann import q6_expr
+
     e = load(spark, sf_dir, "embeddings")
-    q6 = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"))
+    q6 = q6_expr("embedding")  # ONE fixed-point definition (operators/ann.py)
     # No repartition even when the input is one small file: the numpy
     # kernel does the n×K distance math in milliseconds on one core, so a
     # repartition exchange would cost more than it buys; at scale the scan
@@ -2250,9 +2270,7 @@ def _ivf_parts(spark, sf_dir) -> dict[str, DataFrame]:
     # Keyed by (path, n, k): a changed corpus retrains. The durable
     # engine-side form of the same artifact — a centroid LakeTable
     # refreshed from the change feed — is streaming/ann_index.py.
-    import os as _os
-
-    cache_key = (_os.path.abspath(sf_dir), n, k)
+    cache_key = (_corpus_signature(f"{sf_dir}/embeddings.parquet"), k)
     cent1 = _IVF_QUANTIZER_CACHE.get(cache_key)
     if cent1 is None:
         # K seed centroids: deterministic md5-ordered sample (the md5 is a
@@ -2375,7 +2393,9 @@ def q_embedding_pq_codes(spark, sf_dir):
     code), then a map-side-combined min-struct argmin. Output is flat
     integers (code + reconstruction error) so the oracle compares exactly."""
     e = load(spark, sf_dir, "embeddings")
-    q6 = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"))
+    from multiversx_etl_spark.operators.ann import q6_expr
+
+    q6 = q6_expr("embedding")  # shared fixed-point definition
     ex = e.select("label", F.posexplode(q6).alias("pos", "q"))
     cent = ex.groupBy("label", "pos").agg(
         F.floor(F.sum("q").cast("double") / F.count("*")).cast("long").alias("cq")

@@ -40,6 +40,22 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
+#: Speculative execution: re-launch suspiciously slow tasks on another
+#: executor — the standard mitigation for stragglers (slow node, vCPU
+#: steal, GC pause). Measured on this VM's 4-executor replays: ~1/3 of
+#: runs land in a 1.7×-slower mode whose wall is one straggling task wave;
+#: speculation collapses the bimodality. Off in local[] mode by default
+#: (same-JVM re-runs buy nothing); SPARK_GRAFT_SPECULATION=0/1 overrides.
+_spec = os.environ.get("SPARK_GRAFT_SPECULATION")
+if _spec == "1":
+    DEFAULT_CONF.update(
+        {
+            "spark.speculation": "true",
+            "spark.speculation.multiplier": "1.5",
+            "spark.speculation.quantile": "0.5",
+        }
+    )
+
 
 def get_spark(
     app_name: str = "multiversx-etl-spark",

@@ -367,6 +367,9 @@ def write_log_bucketed(
     At 100 TB the analog is the upstream CDC topic/landing zone being
     bucket-partitioned by key — standard Debezium/Kafka practice — so the
     lake merge never has to re-shuffle the firehose it tails."""
+    import json
+    import os
+
     spark = log.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     (
@@ -377,6 +380,13 @@ def write_log_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+    # sidecar bucket spec: registration in ANOTHER session validates against
+    # this — a mismatched declared B is SILENT data loss (Spark's bucketed
+    # scan builds exactly B file groups and drops files with higher bucket
+    # ids) or silently wrong joins (files grouped under the wrong modulus),
+    # never an error
+    with open(os.path.join(path, "_bucket_spec.json"), "w") as fh:
+        json.dump({"num_buckets": num_buckets, "key_columns": list(key_columns)}, fh)
     return table_name
 
 
@@ -391,8 +401,48 @@ def register_log_bucketed(
     """(Re-)register an existing bucketed log directory in THIS session's
     catalog (the in-memory catalog dies with the session; the files don't)
     and return its DataFrame. Schema defaults to CHANGE_EVENTS — declared,
-    never inferred, the same stance as read_log_ndjson."""
+    never inferred, the same stance as read_log_ndjson.
+
+    The declared bucket spec is VALIDATED against the directory before
+    registration: a wrong ``num_buckets`` is not an error in Spark — the
+    bucketed scan builds exactly B file groups, silently DROPS files whose
+    name carries a higher bucket id, and groups the rest under the wrong
+    modulus — so this is a silent-data-loss/wrong-results class mistake
+    that must fail loudly here instead. The ``_bucket_spec.json`` sidecar
+    (written by write_log_bucketed) is authoritative when present; without
+    it, any data file whose bucket id >= the declared count still raises."""
+    import json
+    import os
+    import re
+
     from multiversx_etl_spark.schemas import CHANGE_EVENTS
+
+    spec_path = os.path.join(path, "_bucket_spec.json")
+    if os.path.exists(spec_path):
+        with open(spec_path) as fh:
+            spec = json.load(fh)
+        if spec.get("num_buckets") != num_buckets or spec.get("key_columns") != list(
+            key_columns
+        ):
+            raise ValueError(
+                f"bucketed log at {path} was written with "
+                f"(num_buckets={spec.get('num_buckets')}, "
+                f"key={spec.get('key_columns')}), registration requested "
+                f"({num_buckets}, {list(key_columns)}): a mismatch makes the "
+                "bucketed scan silently drop or misgroup files"
+            )
+    else:
+        bucket_id = re.compile(r".*_(\d+)(?:\..*)?$")
+        for fname in os.listdir(path):
+            if not fname.endswith(".parquet"):
+                continue
+            m = bucket_id.match(fname)
+            if m and int(m.group(1)) >= num_buckets:
+                raise ValueError(
+                    f"bucketed log file {fname!r} carries bucket id "
+                    f"{int(m.group(1))} >= declared num_buckets {num_buckets}: "
+                    "the bucketed scan would silently drop it"
+                )
 
     schema = schema if schema is not None else CHANGE_EVENTS
     cols_ddl = ", ".join(

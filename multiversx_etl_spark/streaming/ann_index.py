@@ -209,7 +209,10 @@ def refresh_ivf_index(
     nz = F.col("n") != 0
     for i in range(dims):
         nz = nz | (F.col(f"s{i}") != 0)
-    delta = delta.where(nz)
+    # materialize once (≤ K rows): the emptiness probe and the merge would
+    # otherwise each run the whole feed-scan → time-travel → assignment
+    # pipeline — doubling the O(changed keys) refresh cost
+    delta = delta.where(nz).localCheckpoint(eager=True)
     if not delta.limit(1).count():
         empty = index.read().limit(0).drop("deleted").withColumn("op", F.lit("update"))
         return merge_batch(

@@ -83,6 +83,39 @@ def test_blocks_registry_schema_consistency():
     assert "reserved" not in inner and "hash" in inner
 
 
+def test_nested_drop_preserves_null_elements(spark):
+    """The HOF rebuild must not resurrect NULL array elements / NULL nested
+    structs as non-null structs-of-nulls — the drop touches ONLY the doomed
+    field (review finding, round 4)."""
+    from multiversx_etl_spark.operators.normalize import (
+        drop_nested_field_path,
+        drop_nested_struct_field,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [{"a": 1, "reserved": "x", "inner": [{"h": "k", "reserved": "y"}]}]),
+            (2, [None]),
+            (3, [{"a": 2, "reserved": "z", "inner": [None]}]),
+            (4, None),
+        ],
+        "id int, arr array<struct<a int, reserved string, "
+        "inner array<struct<h string, reserved string>>>>",
+    )
+    out = drop_nested_field_path(df, "arr", ["inner", "reserved"])
+    rows = {r["id"]: r["arr"] for r in out.collect()}
+    assert rows[2] == [None]            # NULL element stays NULL
+    assert rows[4] is None              # NULL column stays NULL
+    assert rows[3][0]["inner"] == [None]  # NULL nested element stays NULL
+    assert rows[1][0]["inner"][0].asDict() == {"h": "k"}
+    assert "reserved" in rows[1][0].asDict()  # only the pathed field dropped
+
+    out2 = drop_nested_struct_field(df, "arr", "reserved")
+    rows2 = {r["id"]: r["arr"] for r in out2.collect()}
+    assert rows2[2] == [None] and rows2[4] is None
+    assert "reserved" not in rows2[1][0].asDict()
+
+
 def test_blocks_merge_matches_duckdb_fold(spark, tmp_path):
     """Independent oracle for the BQ-JSON-declared table: DuckDB applies the
     same normalization + LWW fold over the block log and must agree with the

@@ -130,6 +130,37 @@ def test_spark_layout_lookup_prunes_correctly(spark, tmp_path, bucketed_log):
     assert len(hit) == 1 and hit[0]["content"] == row["content"]
 
 
+def test_register_rejects_bucket_spec_mismatch(spark, tmp_path):
+    """A wrong declared bucket count is SILENT data loss in Spark (the scan
+    drops files with higher bucket ids / misgroups the rest) — registration
+    must fail loudly instead, via the _bucket_spec.json sidecar."""
+    from multiversx_etl_spark.sources.changelog import (
+        register_log_bucketed,
+        write_log_bucketed,
+    )
+
+    log = generate_change_log(spark, 2_000, num_repos=10, paths_per_repo=10)
+    path = str(tmp_path / "bl")
+    write_log_bucketed(log, path, 8, table_name="mxetl_spec_t")
+    spark.sql("DROP TABLE IF EXISTS mxetl_spec_t")
+    with pytest.raises(ValueError, match="num_buckets=8"):
+        register_log_bucketed(spark, path, 4, table_name="mxetl_spec_t")
+    with pytest.raises(ValueError, match="num_buckets=8"):
+        register_log_bucketed(spark, path, 16, table_name="mxetl_spec_t")
+    with pytest.raises(ValueError, match="key"):
+        register_log_bucketed(
+            spark, path, 8, table_name="mxetl_spec_t", key_columns=("repo",)
+        )
+    # matching spec registers fine; without the sidecar, filename bucket
+    # ids >= the declared count still refuse
+    df = register_log_bucketed(spark, path, 8, table_name="mxetl_spec_t")
+    assert df.count() == 2_020
+    spark.sql("DROP TABLE IF EXISTS mxetl_spec_t")
+    os.remove(str(tmp_path / "bl" / "_bucket_spec.json"))
+    with pytest.raises(ValueError, match="bucket id"):
+        register_log_bucketed(spark, path, 4, table_name="mxetl_spec_t")
+
+
 def test_bucket_purity_guard_rejects_misaligned_write(spark, tmp_path):
     t = LakeTable.create(
         spark, str(tmp_path / "pg"), REPOS,
