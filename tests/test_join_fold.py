@@ -79,6 +79,28 @@ def test_join_fold_plan_has_no_shuffle_exchange(spark, tmp_path, bucketed_log):
     assert "Exchange RoundRobinPartitioning" not in plan, plan
 
 
+def test_join_fold_plan_epoch1_empty_target(spark, tmp_path, bucketed_log):
+    """The FIRST epoch into a fresh table (the scaling workload's exact
+    shape) must also be exchange-free: an empty staged target still reports
+    bucketed partitioning, so the left-outer join needs no shuffle."""
+    blog, _ = bucketed_log
+    os.environ["MXETL_CAPTURE_PLAN"] = "1"
+    try:
+        table = LakeTable.create(
+            spark, str(tmp_path / "e1"), REPOS,
+            key_columns=["repo", "path"], num_buckets=B, layout="spark",
+        )
+        total = N + int(N * 0.01)
+        replay(blog, table, interval_size=total, total_offsets=total,
+               fold="join", max_epochs=1)
+    finally:
+        os.environ.pop("MXETL_CAPTURE_PLAN", None)
+    plan = merge_mod.LAST_WRITE_PLAN
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange RoundRobinPartitioning" not in plan, plan
+
+
 def test_join_fold_resumes_exactly_once(spark, tmp_path, bucketed_log):
     blog, _ = bucketed_log
     total = N + int(N * 0.01)
