@@ -716,7 +716,11 @@ class LakeTable:
                 raise RuntimeError(
                     f"bucket-impure data file {path}: pid {pid} holds "
                     f"_bucket range [{stats.min}, {stats.max}] — the write "
-                    "plan's partitioning does not match the spark layout"
+                    "plan's partitioning does not match the spark layout "
+                    "(common cause: a fold='join' replay whose bucketed log "
+                    "was written under a DIFFERENT bucket count than the "
+                    "table — e.g. after rebucket(); re-bucket the log or "
+                    "use fold='union')"
                 )
 
     def commit(

@@ -183,6 +183,35 @@ def test_register_rejects_bucket_spec_mismatch(spark, tmp_path):
         register_log_bucketed(spark, path, 4, table_name="mxetl_spec_t")
 
 
+def test_join_fold_after_rebucket_fails_loudly_not_silently(spark, tmp_path, bucketed_log):
+    """rebucket() changes the table's B; a join-fold replay fed the OLD-B
+    bucketed log can no longer write pid==bucket files. The purity guard
+    must turn that into a loud error — silent pid corruption would poison
+    every later bucket-pruned read."""
+    blog, _ = bucketed_log
+    total = N + int(N * 0.01)
+    interval = -(-total // 2)
+    table = LakeTable.create(
+        spark, str(tmp_path / "rbj"), REPOS,
+        key_columns=["repo", "path"], num_buckets=B, layout="spark",
+    )
+    # ingest the first half, evolve the layout, then bring FRESH data (the
+    # second half) through the stale-B log — the impure write must abort
+    # BEFORE commit (an all-carry epoch writes nothing and proves nothing)
+    replay(blog, table, interval_size=interval, total_offsets=total,
+           fold="join", max_epochs=1)
+    table.rebucket(B * 2)
+    v = table.current_version()
+    with pytest.raises(RuntimeError, match="bucket-impure"):
+        replay(blog, table, interval_size=interval, total_offsets=total,
+               fold="join")
+    assert table.current_version() == v  # aborted pre-commit: state intact
+    # the union fold finishes the replay under the new layout
+    s = replay(blog, table, interval_size=interval, total_offsets=total,
+               fold="union")
+    assert s.epochs_run == 1 and s.epochs_skipped == 1
+
+
 def test_bucket_purity_guard_rejects_misaligned_write(spark, tmp_path):
     t = LakeTable.create(
         spark, str(tmp_path / "pg"), REPOS,
