@@ -361,18 +361,33 @@ def stream_with_config_reload(
                 if on_poll is not None and on_poll(table, cfg):
                     stop = True
                     break
-                new_mtime = os.path.getmtime(config_path)
+                try:
+                    new_mtime = os.path.getmtime(config_path)
+                except OSError:
+                    # delete-then-recreate save (vim, configmap updaters):
+                    # the gap between unlink and recreate must not kill the
+                    # healthy query — re-poll
+                    _time.sleep(poll_seconds)
+                    continue
                 if new_mtime != mtime:
                     # parse the NEW config BEFORE stopping the query: ops
                     # file edits are not atomic, so a torn/invalid read must
-                    # leave the running generation untouched (re-poll picks
-                    # up the completed write on a later mtime change)
-                    mtime = new_mtime
+                    # leave the running generation untouched. mtime advances
+                    # only on a SUCCESSFUL load — a torn read whose
+                    # completing write lands in the same coarse mtime tick
+                    # is retried next poll, never silently dropped.
                     try:
                         cfg = load_worker_config(config_path)
-                    except (ConfigError, ValueError, OSError):
+                    except (ConfigError, ValueError, OSError) as e:
+                        import sys as _sys
+
+                        print(
+                            f"[config-reload] ignoring unreadable edit: {e}",
+                            file=_sys.stderr,
+                        )
                         _time.sleep(poll_seconds)
                         continue
+                    mtime = new_mtime
                     break  # graceful restart with the new knobs
                 _time.sleep(poll_seconds)
         finally:

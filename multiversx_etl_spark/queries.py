@@ -2198,43 +2198,44 @@ from multiversx_etl_spark.operators.ann import (  # noqa: E402
 )
 
 
-#: memoized IVF quantizers: (corpus signature, k) -> trained centroid list.
+#: memoized IVF quantizers: corpus path -> (signature, trained centroids).
 #: Deterministic (seed sample + Lloyd are pure functions of the corpus), so
 #: reuse changes nothing the oracle can see — it only removes the training
 #: passes from repeat queries. The signature covers every file's (name,
 #: size, mtime), so a corpus modified IN PLACE — even with the row count
-#: unchanged — retrains instead of serving stale centroids.
-_IVF_QUANTIZER_CACHE: dict[tuple, list] = {}
+#: unchanged — retrains instead of serving stale centroids; keying the
+#: dict by path (one live entry per corpus) keeps a long-lived process
+#: from accumulating dead centroid lists as the corpus churns.
+_IVF_QUANTIZER_CACHE: dict[str, tuple] = {}
 
 
-def _corpus_signature(path: str) -> tuple:
+def _corpus_files(path: str) -> list[str]:
+    """dir-vs-file parquet path resolution — ONE definition shared by the
+    row counter and the cache signature (a one-sided layout change would
+    otherwise silently desynchronize them)."""
     import glob
     import os
 
-    files = (
-        sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if os.path.isdir(path)
-        else [path]
-    )
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
+def _corpus_signature(path: str) -> tuple:
+    import os
+
     sig = []
-    for p in files:
+    for p in _corpus_files(path):
         st = os.stat(p)
         sig.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
-    return (os.path.abspath(path), tuple(sig))
+    return tuple(sig)
 
 
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footers (driver-side, no Spark job)."""
-    import glob
-    import os
-
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
-        files = glob.glob(os.path.join(path, "*.parquet"))
-    else:
-        files = [path]
-    return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in _corpus_files(path))
 
 
 def _ivf_parts(spark, sf_dir) -> dict[str, DataFrame]:
@@ -2270,8 +2271,12 @@ def _ivf_parts(spark, sf_dir) -> dict[str, DataFrame]:
     # Keyed by (path, n, k): a changed corpus retrains. The durable
     # engine-side form of the same artifact — a centroid LakeTable
     # refreshed from the change feed — is streaming/ann_index.py.
-    cache_key = (_corpus_signature(f"{sf_dir}/embeddings.parquet"), k)
-    cent1 = _IVF_QUANTIZER_CACHE.get(cache_key)
+    import os as _os
+
+    corpus = _os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    sig = (_corpus_signature(corpus), k)
+    cached = _IVF_QUANTIZER_CACHE.get(corpus)
+    cent1 = cached[1] if cached is not None and cached[0] == sig else None
     if cent1 is None:
         # K seed centroids: deterministic md5-ordered sample (the md5 is a
         # uniform shuffle both engines compute identically — same role as
@@ -2294,7 +2299,7 @@ def _ivf_parts(spark, sf_dir) -> dict[str, DataFrame]:
             (r["cell"], [math.floor(float(r[f"s{i}"]) / float(r["nn"])) for i in range(dims)])
             for r in sums.collect()
         ]
-        _IVF_QUANTIZER_CACHE[cache_key] = cent1
+        _IVF_QUANTIZER_CACHE[corpus] = (sig, cent1)  # replaces stale entries
     members = _ivf_assign(spark, vecs, cent1)
 
     # searchable index: the _IVF_CAP members closest to their centroid

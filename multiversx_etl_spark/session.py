@@ -44,8 +44,11 @@ DEFAULT_CONF: dict[str, str] = {
 #: executor — the standard mitigation for stragglers (slow node, vCPU
 #: steal, GC pause). Measured on this VM's 4-executor replays: ~1/3 of
 #: runs land in a 1.7×-slower mode whose wall is one straggling task wave;
-#: speculation collapses the bimodality. Off in local[] mode by default
-#: (same-JVM re-runs buy nothing); SPARK_GRAFT_SPECULATION=0/1 overrides.
+#: speculation collapses the bimodality (BENCH/BASELINE.md round 4).
+#: STRICTLY OPT-IN: enabled only when SPARK_GRAFT_SPECULATION=1 (any other
+#: value, including unset or 0, leaves it off). Default off because in
+#: local[] mode same-JVM re-runs buy nothing; a real multi-node deployment
+#: should usually set it.
 _spec = os.environ.get("SPARK_GRAFT_SPECULATION")
 if _spec == "1":
     DEFAULT_CONF.update(

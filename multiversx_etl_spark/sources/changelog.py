@@ -409,40 +409,38 @@ def register_log_bucketed(
     name carries a higher bucket id, and groups the rest under the wrong
     modulus — so this is a silent-data-loss/wrong-results class mistake
     that must fail loudly here instead. The ``_bucket_spec.json`` sidecar
-    (written by write_log_bucketed) is authoritative when present; without
-    it, any data file whose bucket id >= the declared count still raises."""
+    (written by write_log_bucketed) is REQUIRED and authoritative: filename
+    bucket ids alone cannot catch an over-declared count or wrong key
+    columns (files 0..7 'fit' under any B >= 8 while the rows were hashed
+    modulo 8 — silently wrong joins). A foreign landing zone registers by
+    dropping a one-line sidecar next to its files:
+    ``{"num_buckets": B, "key_columns": [...]}``."""
     import json
     import os
-    import re
 
     from multiversx_etl_spark.schemas import CHANGE_EVENTS
 
     spec_path = os.path.join(path, "_bucket_spec.json")
-    if os.path.exists(spec_path):
-        with open(spec_path) as fh:
-            spec = json.load(fh)
-        if spec.get("num_buckets") != num_buckets or spec.get("key_columns") != list(
-            key_columns
-        ):
-            raise ValueError(
-                f"bucketed log at {path} was written with "
-                f"(num_buckets={spec.get('num_buckets')}, "
-                f"key={spec.get('key_columns')}), registration requested "
-                f"({num_buckets}, {list(key_columns)}): a mismatch makes the "
-                "bucketed scan silently drop or misgroup files"
-            )
-    else:
-        bucket_id = re.compile(r".*_(\d+)(?:\..*)?$")
-        for fname in os.listdir(path):
-            if not fname.endswith(".parquet"):
-                continue
-            m = bucket_id.match(fname)
-            if m and int(m.group(1)) >= num_buckets:
-                raise ValueError(
-                    f"bucketed log file {fname!r} carries bucket id "
-                    f"{int(m.group(1))} >= declared num_buckets {num_buckets}: "
-                    "the bucketed scan would silently drop it"
-                )
+    if not os.path.exists(spec_path):
+        raise ValueError(
+            f"bucketed log at {path} has no _bucket_spec.json sidecar: "
+            "cannot verify the files' true bucket layout (a mismatched "
+            "declaration is silent data loss / wrong joins, never an "
+            "error in Spark). Write the log with write_log_bucketed, or "
+            'drop a sidecar: {"num_buckets": B, "key_columns": [...]}'
+        )
+    with open(spec_path) as fh:
+        spec = json.load(fh)
+    if spec.get("num_buckets") != num_buckets or spec.get("key_columns") != list(
+        key_columns
+    ):
+        raise ValueError(
+            f"bucketed log at {path} was written with "
+            f"(num_buckets={spec.get('num_buckets')}, "
+            f"key={spec.get('key_columns')}), registration requested "
+            f"({num_buckets}, {list(key_columns)}): a mismatch makes the "
+            "bucketed scan silently drop or misgroup files"
+        )
 
     schema = schema if schema is not None else CHANGE_EVENTS
     cols_ddl = ", ".join(

@@ -211,40 +211,50 @@ def refresh_ivf_index(
         nz = nz | (F.col(f"s{i}") != 0)
     # materialize once (≤ K rows): the emptiness probe and the merge would
     # otherwise each run the whole feed-scan → time-travel → assignment
-    # pipeline — doubling the O(changed keys) refresh cost
-    delta = delta.where(nz).localCheckpoint(eager=True)
-    if not delta.limit(1).count():
-        empty = index.read().limit(0).drop("deleted").withColumn("op", F.lit("update"))
+    # pipeline — doubling the O(changed keys) refresh cost. persist (NOT
+    # localCheckpoint): checkpointed blocks truncate lineage, so an
+    # executor loss mid-refresh on a real cluster would fail the job
+    # instead of recomputing; persist keeps lineage AND materializes once.
+    from pyspark import StorageLevel
+
+    delta = delta.where(nz).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if not delta.limit(1).count():
+            empty = index.read().limit(0).drop("deleted").withColumn(
+                "op", F.lit("update")
+            )
+            return merge_batch(
+                index, empty.withColumn("seq", F.lit(cur)), _STREAM, epoch_id=cur,
+                offset_lo=start, offset_hi=cur, marker_mode="latest_only",
+            )
+
+        cur_rows = index.read().alias("v")
+        d = delta.alias("d")
+        batch = (
+            cur_rows.join(d, on="cell", how="left")
+            .select(
+                "cell",
+                "centroid",
+                (F.col("v.n") + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+                F.array(
+                    *[
+                        (
+                            F.element_at("v.sums", i + 1)
+                            + F.coalesce(F.col(f"d.s{i}"), F.lit(0))
+                        ).cast("long")
+                        for i in range(dims)
+                    ]
+                ).alias("sums"),
+            )
+            .withColumn("op", F.lit("update"))
+            .withColumn("seq", F.lit(cur))
+        )
         return merge_batch(
-            index, empty.withColumn("seq", F.lit(cur)), _STREAM, epoch_id=cur,
+            index, batch, _STREAM, epoch_id=cur,
             offset_lo=start, offset_hi=cur, marker_mode="latest_only",
         )
-
-    cur_rows = index.read().alias("v")
-    d = delta.alias("d")
-    batch = (
-        cur_rows.join(d, on="cell", how="left")
-        .select(
-            "cell",
-            "centroid",
-            (F.col("v.n") + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
-            F.array(
-                *[
-                    (
-                        F.element_at("v.sums", i + 1)
-                        + F.coalesce(F.col(f"d.s{i}"), F.lit(0))
-                    ).cast("long")
-                    for i in range(dims)
-                ]
-            ).alias("sums"),
-        )
-        .withColumn("op", F.lit("update"))
-        .withColumn("seq", F.lit(cur))
-    )
-    return merge_batch(
-        index, batch, _STREAM, epoch_id=cur,
-        offset_lo=start, offset_hi=cur, marker_mode="latest_only",
-    )
+    finally:
+        delta.unpersist()
 
 
 def assign_with_index(index: LakeTable, vecs: DataFrame) -> DataFrame:

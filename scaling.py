@@ -46,6 +46,13 @@ Usage: python scaling.py [--events 8000000] [--epochs 1] [--buckets 32]
            # local-cluster[N,cores,mem]: separate executor JVMs with real
            # inter-executor shuffle serialization — the strongest
            # N->4N-EXECUTOR evidence a single box can produce
+       python scaling.py --executors 1,4 --exec-cores 1 --sweeps 3 \
+                         --repeats 2 --fold join
+           # round-4 one-command evidence: ZERO-EXCHANGE fold (bucketed
+           # catalog log + layout='spark' table), 3 interleaved sweeps,
+           # per-sweep AND pooled efficiencies in one JSON.
+           # SPARK_GRAFT_SPECULATION=1 additionally suppresses the
+           # straggler mode (BENCH/BASELINE.md round 4).
 """
 
 from __future__ import annotations

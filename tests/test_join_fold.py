@@ -173,14 +173,14 @@ def test_register_rejects_bucket_spec_mismatch(spark, tmp_path):
         register_log_bucketed(
             spark, path, 8, table_name="mxetl_spec_t", key_columns=("repo",)
         )
-    # matching spec registers fine; without the sidecar, filename bucket
-    # ids >= the declared count still refuse
+    # matching spec registers fine; a MISSING sidecar refuses outright
+    # (filename ids can't catch an over-declared count or wrong keys)
     df = register_log_bucketed(spark, path, 8, table_name="mxetl_spec_t")
     assert df.count() == 2_020
     spark.sql("DROP TABLE IF EXISTS mxetl_spec_t")
     os.remove(str(tmp_path / "bl" / "_bucket_spec.json"))
-    with pytest.raises(ValueError, match="bucket id"):
-        register_log_bucketed(spark, path, 4, table_name="mxetl_spec_t")
+    with pytest.raises(ValueError, match="sidecar"):
+        register_log_bucketed(spark, path, 8, table_name="mxetl_spec_t")
 
 
 def test_join_fold_after_rebucket_fails_loudly_not_silently(spark, tmp_path, bucketed_log):
