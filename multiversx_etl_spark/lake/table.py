@@ -704,10 +704,23 @@ class LakeTable:
 
     @staticmethod
     def _assert_bucket_purity(pf, path: str, pid: int) -> None:
-        idx = {name: i for i, name in enumerate(pf.schema_arrow.names)}.get("_bucket")
+        md = pf.metadata
+        if md.num_row_groups == 0:
+            return
+        # resolve the LEAF column index from the metadata's own paths:
+        # parquet row-group metadata flattens nested columns (tags.list.
+        # element, shards.list.element.shard, ...), so a top-level arrow
+        # schema index points at the wrong leaf the moment the table has
+        # any nested column — and the guard would then read a foreign
+        # column's stats and reject perfectly pure files
+        rg0 = md.row_group(0)
+        idx = None
+        for i in range(rg0.num_columns):
+            if rg0.column(i).path_in_schema == "_bucket":
+                idx = i
+                break
         if idx is None:
             return
-        md = pf.metadata
         for rg in range(md.num_row_groups):
             stats = md.row_group(rg).column(idx).statistics
             if stats is None or not stats.has_min_max:

@@ -183,6 +183,45 @@ def test_register_rejects_bucket_spec_mismatch(spark, tmp_path):
         register_log_bucketed(spark, path, 8, table_name="mxetl_spec_t")
 
 
+def test_join_fold_generalizes_to_other_keys(spark, tmp_path):
+    """The fold is key-generic: the commits table (key (repo, commit),
+    nested array<struct> payload) replays zero-exchange-style through a
+    log bucketed on ITS key and matches the union-fold result."""
+    from multiversx_etl_spark.operators.normalize import normalize_commit_events
+    from multiversx_etl_spark.schemas import TABLES
+    from multiversx_etl_spark.sources.changelog import (
+        generate_commit_log,
+        register_log_bucketed,
+        write_log_bucketed,
+    )
+
+    n = 5_000
+    log = generate_commit_log(spark, n, num_repos=8, commits_per_repo=40)
+    _, target_schema, key = TABLES["commits"]
+    path = str(tmp_path / "cl")
+    write_log_bucketed(log, path, 4, table_name="mxetl_cjf_gen", key_columns=tuple(key))
+    spark.sql("DROP TABLE IF EXISTS mxetl_cjf_gen")
+    blog = register_log_bucketed(
+        spark, path, 4, table_name="mxetl_cjf",
+        key_columns=tuple(key), schema=log.schema,
+    )
+    total = n + int(n * 0.01)
+    jt = LakeTable.create(
+        spark, str(tmp_path / "cj"), target_schema, key_columns=key,
+        num_buckets=4, layout="spark",
+    )
+    ut = LakeTable.create(
+        spark, str(tmp_path / "cu"), target_schema, key_columns=key, num_buckets=4,
+    )
+    for t, fold, src in ((jt, "join", blog), (ut, "union", log)):
+        replay(src, t, interval_size=-(-total // 2), total_offsets=total,
+               fold=fold, normalizer=normalize_commit_events)
+    a, b = jt.read(), ut.read()
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    spark.sql("DROP TABLE IF EXISTS mxetl_cjf")
+
+
 def test_join_fold_after_rebucket_fails_loudly_not_silently(spark, tmp_path, bucketed_log):
     """rebucket() changes the table's B; a join-fold replay fed the OLD-B
     bucketed log can no longer write pid==bucket files. The purity guard
