@@ -289,6 +289,14 @@ def main(argv: list[str] | None = None) -> int:
     rcfg.add_argument("config")
     rcfg.add_argument("--streaming", action="store_true")
     rcfg.add_argument("--checkpoint", default=None)
+    rcfg.add_argument(
+        "--watch", action="store_true",
+        help="CONTINUOUS mode with hot config reload: re-read the config "
+        "file between triggers and apply changed knobs by restarting from "
+        "the same checkpoint (the reference's per-iteration reload, "
+        "app.py:82-86); requires trigger_interval in the config and "
+        "--checkpoint; Ctrl-C stops gracefully",
+    )
 
     args = p.parse_args(argv)
     if args.cmd == "package":  # no Spark session needed
@@ -721,6 +729,35 @@ def _dispatch(spark, args) -> int:
 
     if args.cmd == "run-config":
         from multiversx_etl_spark.config import load_worker_config, run_from_config
+
+        if args.watch:
+            import signal
+
+            from multiversx_etl_spark.config import stream_with_config_reload
+
+            if not args.checkpoint:
+                raise SystemExit("--watch requires --checkpoint")
+            # graceful shutdown via a FLAG the supervisor polls, not a
+            # raised KeyboardInterrupt: SIGINT hits the whole process group
+            # (the Spark JVM included), so exception-based handling races
+            # the JVM's own death — the flag path stops the query while the
+            # JVM is still healthy, and a late JVM-side error after the
+            # flag is set still reports a clean stop
+            interrupted = {"hit": False}
+            signal.signal(signal.SIGINT, lambda *_: interrupted.update(hit=True))
+            try:
+                out = stream_with_config_reload(
+                    spark, args.config, args.checkpoint,
+                    on_poll=lambda _t, _c: interrupted["hit"],
+                )
+                if interrupted["hit"]:
+                    out["stopped"] = True
+            except BaseException:
+                if not interrupted["hit"]:
+                    raise
+                out = {"stopped": True}
+            print(json.dumps(out), flush=True)
+            return 0
 
         cfg = load_worker_config(args.config)
         summary = run_from_config(

@@ -102,3 +102,69 @@ def test_maintain_cli(spark, tmp_path):
     m = t.snapshot()
     assert int(m.properties["mor_appends"]) == 0
     assert t.read().count() == 4
+
+
+def test_run_config_watch_sigint(spark, tmp_path):
+    """`run-config --watch` is the ops entrypoint for the hot-reload
+    supervisor (the reference's continuous loop, app.py:82-86): a fresh
+    process tails the log under a config file, and Ctrl-C stops it
+    GRACEFULLY — clean exit code, a final JSON line with ``stopped``, and
+    the table state exact (the checkpoint owns progress, so an interrupt
+    mid-trigger loses nothing)."""
+    import signal
+    import time
+
+    from multiversx_etl_spark.oracle import expected_state
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_parquet,
+    )
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_change_log(spark, 200, num_repos=4, paths_per_repo=8),
+        log_path, files=4,
+    )
+    want = expected_state(spark.read.parquet(log_path)).count()
+    table_root = str(tmp_path / "t")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "table_root": table_root,
+        "log_path": log_path,
+        "interval_size": 100,
+        "num_buckets": 4,
+        "trigger_interval": "1 seconds",
+    }))
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "multiversx_etl_spark", "--master", "local[2]",
+         "run-config", str(cfg_path), "--watch",
+         "--checkpoint", str(tmp_path / "ckpt")],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env={**os.environ, "PYTHONPATH": REPO},
+        cwd=REPO,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            assert proc.poll() is None, proc.communicate()[1][-3000:]
+            try:
+                if LakeTable(spark, table_root).read().count() == want:
+                    break
+            except Exception:
+                pass  # table not created yet
+            time.sleep(2)
+        else:
+            raise AssertionError("stream never drained the log")
+        proc.send_signal(signal.SIGINT)
+        out, err = proc.communicate(timeout=180)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, err[-3000:]
+    payload = json.loads(out.strip().splitlines()[-1])
+    assert payload["stopped"] is True
+    assert LakeTable(spark, table_root).read().count() == want
