@@ -91,14 +91,16 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--mode", choices=["mor", "cow"], default="mor")
     r.add_argument("--compact-every", type=int, default=None)
     r.add_argument(
-        "--fold", choices=["union", "join"], default="union",
+        "--fold", choices=["auto", "union", "join"], default="auto",
         help="'join' = zero-exchange fold over a --bucketed log into a "
-        "--layout spark table (self-downgrades per batch on patches/NULL keys)",
+        "--layout spark table (self-downgrades per batch on patches/NULL "
+        "keys); 'auto' (default) picks join whenever the log's "
+        "_bucket_spec.json sidecar matches the table, union otherwise",
     )
     r.add_argument(
         "--layout", choices=["xxhash", "spark"], default=None,
         help="layout when the table does not exist yet (default: spark "
-        "for --fold join, xxhash otherwise)",
+        "for --fold join or an auto-detected bucketed log, xxhash otherwise)",
     )
 
     s = sub.add_parser("stream", help="Structured Streaming tail (availableNow)")
@@ -364,18 +366,38 @@ def _dispatch(spark, args) -> int:
         return 0
 
     if args.cmd == "replay":
+        from multiversx_etl_spark.sources.changelog import (
+            read_bucket_spec,
+            resolve_fold_auto,
+        )
         from multiversx_etl_spark.streaming.ingest import ensure_table, replay
 
-        layout = args.layout or ("spark" if args.fold == "join" else "xxhash")
+        # a NEW table defaults to the layout the fold wants: spark when the
+        # join fold is requested or the log is detectably bucketed
+        wants_join = args.fold == "join" or (
+            args.fold == "auto" and read_bucket_spec(args.log) is not None
+        )
+        layout = args.layout or ("spark" if wants_join else "xxhash")
         table = ensure_table(
             spark, args.table, num_buckets=args.buckets, layout=layout
         )
-        if args.fold == "join":
+        m = table.snapshot()
+        fold = args.fold
+        if fold == "auto":
+            fold, downgraded = resolve_fold_auto(
+                args.log, layout=m.layout, mode=args.mode,
+                num_buckets=m.num_buckets, key_columns=m.key_columns,
+            )
+            if downgraded:
+                print(
+                    f"note: bucketed log but union fold: {downgraded}",
+                    file=sys.stderr,
+                )
+        if fold == "join":
             from multiversx_etl_spark.sources.changelog import register_log_bucketed
 
             log = register_log_bucketed(
-                spark, args.log, table.snapshot().num_buckets,
-                table_name="mxetl_log_cli",
+                spark, args.log, m.num_buckets, table_name="mxetl_log_cli",
             )
         else:
             log = spark.read.parquet(args.log)
@@ -386,7 +408,7 @@ def _dispatch(spark, args) -> int:
             max_epochs=args.max_epochs,
             mode=args.mode,
             compact_every=args.compact_every,
-            fold=args.fold,
+            fold=fold,
         )
         print(
             json.dumps(
@@ -398,6 +420,7 @@ def _dispatch(spark, args) -> int:
                     "updated": summary.rows_updated,
                     "deleted": summary.rows_deleted,
                     "final_rows": table.read().count(),
+                    "fold": fold,
                 }
             )
         )

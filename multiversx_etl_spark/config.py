@@ -79,10 +79,12 @@ class WorkerConfig:
     #: bucket-hash layout for NEW tables: "xxhash" | "spark" (the latter
     #: unlocks fold="join" — lake/table.py bucket_expr)
     layout: str = "xxhash"
-    #: merge fold shape: "union" | "join" (zero-exchange; requires
-    #: layout="spark" and a bucketed log directory — the config loader
-    #: registers it as a catalog bucketed table at run time)
-    fold: str = "union"
+    #: merge fold shape: "auto" | "union" | "join". "join" is the
+    #: zero-exchange fold (requires layout="spark" and a bucketed log
+    #: directory — the config loader registers it as a catalog bucketed
+    #: table at run time); "auto" (default) picks "join" whenever the log's
+    #: _bucket_spec.json sidecar matches the table and "union" otherwise
+    fold: str = "auto"
 
     def erratum_for(self, table: str) -> int:
         """Accepted signed drift for a table (reference
@@ -143,8 +145,10 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
         raise ConfigError(f"mode must be 'mor' or 'cow', got {cfg.mode!r}")
     if cfg.layout not in ("xxhash", "spark"):
         raise ConfigError(f"layout must be 'xxhash' or 'spark', got {cfg.layout!r}")
-    if cfg.fold not in ("union", "join"):
-        raise ConfigError(f"fold must be 'union' or 'join', got {cfg.fold!r}")
+    if cfg.fold not in ("auto", "union", "join"):
+        raise ConfigError(
+            f"fold must be 'auto', 'union' or 'join', got {cfg.fold!r}"
+        )
     if cfg.fold == "join" and (cfg.layout != "spark" or cfg.mode != "mor"):
         raise ConfigError("fold='join' requires layout='spark' and mode='mor'")
     if not isinstance(cfg.interval_size, int) or cfg.interval_size <= 0:
@@ -236,14 +240,33 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
             return {"streaming_query": q, "reconcile_skipped": True}
         summary: dict[str, Any] = {}
     else:
-        if cfg.fold == "join":
+        fold = cfg.fold
+        if fold == "auto":
+            # join fold becomes the default the moment the engine can PROVE
+            # it applies (sidecar matches this table); union otherwise
+            from multiversx_etl_spark.sources.changelog import resolve_fold_auto
+
+            m = table.snapshot()
+            fold, downgraded = resolve_fold_auto(
+                cfg.log_path, layout=m.layout, mode=cfg.mode,
+                num_buckets=m.num_buckets, key_columns=m.key_columns,
+            )
+            if downgraded:
+                import sys
+
+                print(
+                    f"note: table {cfg.name!r}: bucketed log but union "
+                    f"fold: {downgraded}",
+                    file=sys.stderr,
+                )
+        if fold == "join":
             # zero-exchange path: the log directory must hold bucketed files
             # (sources/changelog.py write_log_bucketed); declare it to THIS
             # session's catalog so the scan reports its partitioning
             from multiversx_etl_spark.sources.changelog import register_log_bucketed
 
             log = register_log_bucketed(
-                spark, cfg.log_path, cfg.num_buckets,
+                spark, cfg.log_path, table.snapshot().num_buckets,
                 table_name=f"mxetl_log_{cfg.name}",
                 key_columns=tuple(key_columns), schema=log_schema,
             )
@@ -257,10 +280,10 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
             compact_every=cfg.compact_every,
             compact_preserve_patches=cfg.compact_preserve_patches,
             normalizer=normalizer,
-            fold=cfg.fold,
+            fold=fold,
         )
         summary = {"epochs_run": s.epochs_run, "epochs_skipped": s.epochs_skipped,
-                   "rows_in": s.rows_in}
+                   "rows_in": s.rows_in, "fold": fold}
     # expected side runs through the SAME per-table transformer before the
     # LWW fold — the invariant compares normalized rows on both sides
     report = reconcile(

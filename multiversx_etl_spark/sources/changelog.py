@@ -390,6 +390,68 @@ def write_log_bucketed(
     return table_name
 
 
+def read_bucket_spec(path: str) -> dict | None:
+    """Read a log directory's ``_bucket_spec.json`` sidecar (written by
+    write_log_bucketed; a foreign landing zone drops its own). Returns the
+    spec dict, or None when the directory is a plain (non-bucketed) log —
+    the signal the ``fold='auto'`` surfaces use to decide whether the
+    zero-exchange join fold is even on the table. A present-but-unreadable
+    sidecar raises: that is a corrupt declaration, not a plain log."""
+    import json
+    import os
+
+    spec_path = os.path.join(path, "_bucket_spec.json")
+    if not os.path.exists(spec_path):
+        return None
+    with open(spec_path) as fh:
+        spec = json.load(fh)
+    if not isinstance(spec, dict):
+        raise ValueError(f"{spec_path} must hold a JSON object, got {spec!r}")
+    return spec
+
+
+def resolve_fold_auto(
+    path: str,
+    *,
+    layout: str,
+    mode: str,
+    num_buckets: int,
+    key_columns,
+) -> tuple[str, str | None]:
+    """Resolve ``fold='auto'`` for a log directory against a target table:
+    the zero-exchange join fold becomes the DEFAULT whenever the engine can
+    PROVE it applies — the log carries a ``_bucket_spec.json`` sidecar that
+    matches the table's (layout='spark', mode='mor', num_buckets, key) —
+    and quietly stays on the always-correct union fold otherwise.
+
+    Returns ``(fold, downgrade_reason)``. ``downgrade_reason`` is non-None
+    only when the log IS bucketed but the join fold still can't be used —
+    that is a performance foot-gun worth surfacing (the operator paid for
+    a bucketed log and isn't getting the zero-exchange merge), while a
+    plain log downgrades silently (nothing was promised)."""
+    spec = read_bucket_spec(path)
+    if spec is None:
+        return "union", None
+    problems = []
+    if layout != "spark":
+        problems.append(f"table layout={layout!r} (join fold needs 'spark')")
+    if mode != "mor":
+        problems.append(f"mode={mode!r} (join fold needs 'mor')")
+    if spec.get("num_buckets") != num_buckets:
+        problems.append(
+            f"log bucketed into {spec.get('num_buckets')} buckets, "
+            f"table has {num_buckets}"
+        )
+    if spec.get("key_columns") != list(key_columns):
+        problems.append(
+            f"log bucketed by {spec.get('key_columns')}, "
+            f"table key is {list(key_columns)}"
+        )
+    if problems:
+        return "union", "; ".join(problems)
+    return "join", None
+
+
 def register_log_bucketed(
     spark: SparkSession,
     path: str,

@@ -168,3 +168,22 @@ def test_run_config_watch_sigint(spark, tmp_path):
     payload = json.loads(out.strip().splitlines()[-1])
     assert payload["stopped"] is True
     assert LakeTable(spark, table_root).read().count() == want
+
+
+def test_replay_cli_auto_join_fold(spark, tmp_path):
+    """The zero-exchange fold is now the CLI DEFAULT: `gen-log --bucketed`
+    then a bare `replay` (no --fold) detects the sidecar, creates a
+    spark-layout table, and reports fold='join' — with the final state
+    matching the log's LWW fold."""
+    from multiversx_etl_spark.oracle import expected_state
+
+    out = _cli("gen-log", str(tmp_path / "log"), "--events", "600",
+               "--repos", "6", "--bucketed", "4")
+    assert out["written"] >= 600
+    out = _cli("replay", str(tmp_path / "log"), str(tmp_path / "t"),
+               "--interval-size", "200", "--buckets", "4")
+    assert out["fold"] == "join"
+    want = expected_state(spark.read.parquet(str(tmp_path / "log"))).count()
+    assert out["final_rows"] == want
+    t = LakeTable(spark, str(tmp_path / "t"))
+    assert t.snapshot().layout == "spark"

@@ -329,3 +329,63 @@ def test_malformed_config_shapes_raise_config_error():
     ):
         with pytest.raises(ConfigError):
             worker_config_from_dict(bad)
+
+
+def test_resolve_fold_auto_unit(tmp_path):
+    """fold='auto' resolution is pure sidecar-vs-table arithmetic: join only
+    when the engine can PROVE the zero-exchange plan applies; a bucketed log
+    that can't be used reports WHY (surfaced as a note by the callers)."""
+    from multiversx_etl_spark.sources.changelog import resolve_fold_auto
+
+    kw = dict(layout="spark", mode="mor", num_buckets=4,
+              key_columns=["repo", "path"])
+    # plain log (no sidecar): silent union
+    assert resolve_fold_auto(str(tmp_path), **kw) == ("union", None)
+    (tmp_path / "_bucket_spec.json").write_text(
+        json.dumps({"num_buckets": 4, "key_columns": ["repo", "path"]})
+    )
+    assert resolve_fold_auto(str(tmp_path), **kw) == ("join", None)
+    for bad, frag in (
+        (dict(kw, layout="xxhash"), "layout"),
+        (dict(kw, mode="cow"), "mode"),
+        (dict(kw, num_buckets=8), "buckets"),
+        (dict(kw, key_columns=["id"]), "key"),
+    ):
+        fold, why = resolve_fold_auto(str(tmp_path), **bad)
+        assert fold == "union" and frag in why
+
+
+def test_auto_fold_through_config(spark, tmp_path):
+    """fold is now 'auto' by default: a spark-layout table over a bucketed
+    log gets the zero-exchange join fold WITHOUT being asked; a plain log
+    (or a layout that can't consume the buckets) falls back to union — both
+    reconcile green."""
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_bucketed,
+        write_log_parquet,
+    )
+
+    log = generate_change_log(spark, 400, num_repos=6, paths_per_repo=12)
+    bl = str(tmp_path / "bl")
+    write_log_bucketed(log, bl, 4, table_name="mxetl_auto_gen")
+    spark.sql("DROP TABLE IF EXISTS mxetl_auto_gen")
+    pl = str(tmp_path / "pl")
+    write_log_parquet(log, pl, files=4)
+
+    base = {"interval_size": 200, "num_buckets": 4}
+    s = run_from_config(spark, worker_config_from_dict({
+        **base, "table_root": str(tmp_path / "tj"), "log_path": bl,
+        "layout": "spark",
+    }))
+    assert s["fold"] == "join" and s["reconcile_ok"]
+    s = run_from_config(spark, worker_config_from_dict({
+        **base, "table_root": str(tmp_path / "tu"), "log_path": pl,
+    }))
+    assert s["fold"] == "union" and s["reconcile_ok"]
+    # bucketed log into an xxhash-layout table: auto downgrades (correct,
+    # merely shuffled) instead of erroring like an explicit fold='join'
+    s = run_from_config(spark, worker_config_from_dict({
+        **base, "table_root": str(tmp_path / "tx"), "log_path": bl,
+    }))
+    assert s["fold"] == "union" and s["reconcile_ok"]
