@@ -86,7 +86,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("log")
     r.add_argument("table")
     r.add_argument("--interval-size", type=int, default=100_000)
-    r.add_argument("--buckets", type=int, default=16)
+    r.add_argument(
+        "--buckets", type=int, default=None,
+        help="bucket count when the table does not exist yet (default: the "
+        "log's _bucket_spec.json count if bucketed, else 16 — so a bare "
+        "replay over a bucketed log gets a join-fold-capable table)",
+    )
     r.add_argument("--max-epochs", type=int, default=None)
     r.add_argument("--mode", choices=["mor", "cow"], default="mor")
     r.add_argument("--compact-every", type=int, default=None)
@@ -307,7 +312,14 @@ def main(argv: list[str] | None = None) -> int:
     try:
         return _dispatch(spark, args)
     finally:
-        spark.stop()
+        # a terminal Ctrl-C delivers SIGINT to the whole process group, so
+        # by the time a graceful stop reaches here the JVM may already be
+        # dead — a teardown error must not turn a clean exit into a
+        # traceback (there is nothing left to tear down)
+        try:
+            spark.stop()
+        except BaseException:
+            pass
 
 
 def _package(out: str) -> int:
@@ -372,14 +384,18 @@ def _dispatch(spark, args) -> int:
         )
         from multiversx_etl_spark.streaming.ingest import ensure_table, replay
 
-        # a NEW table defaults to the layout the fold wants: spark when the
-        # join fold is requested or the log is detectably bucketed
-        wants_join = args.fold == "join" or (
-            args.fold == "auto" and read_bucket_spec(args.log) is not None
-        )
+        # a NEW table defaults to what the fold wants: spark layout (and the
+        # sidecar's bucket count) when the join fold is requested or the log
+        # is detectably bucketed — a bare `replay` over a bucketed log must
+        # not bake in a mismatched count that locks the join fold out forever
+        spec = read_bucket_spec(args.log)
+        wants_join = args.fold == "join" or (args.fold == "auto" and spec)
         layout = args.layout or ("spark" if wants_join else "xxhash")
+        buckets = args.buckets or (
+            spec.get("num_buckets") if wants_join and spec else None
+        ) or 16
         table = ensure_table(
-            spark, args.table, num_buckets=args.buckets, layout=layout
+            spark, args.table, num_buckets=buckets, layout=layout
         )
         m = table.snapshot()
         fold = args.fold
@@ -387,6 +403,7 @@ def _dispatch(spark, args) -> int:
             fold, downgraded = resolve_fold_auto(
                 args.log, layout=m.layout, mode=args.mode,
                 num_buckets=m.num_buckets, key_columns=m.key_columns,
+                spec=spec,
             )
             if downgraded:
                 print(
@@ -767,7 +784,18 @@ def _dispatch(spark, args) -> int:
             # JVM is still healthy, and a late JVM-side error after the
             # flag is set still reports a clean stop
             interrupted = {"hit": False}
-            signal.signal(signal.SIGINT, lambda *_: interrupted.update(hit=True))
+
+            def _on_sigint(signum, frame):
+                if interrupted["hit"]:
+                    # second Ctrl-C = stop waiting: raise out of whatever
+                    # the graceful path is blocked on (a wedged q.stop()/
+                    # awaitTermination) and hand further Ctrl-Cs back to
+                    # the default handler so the operator is never trapped
+                    signal.signal(signal.SIGINT, signal.default_int_handler)
+                    raise KeyboardInterrupt
+                interrupted["hit"] = True
+
+            signal.signal(signal.SIGINT, _on_sigint)
             try:
                 out = stream_with_config_reload(
                     spark, args.config, args.checkpoint,
@@ -775,9 +803,17 @@ def _dispatch(spark, args) -> int:
                 )
                 if interrupted["hit"]:
                     out["stopped"] = True
-            except BaseException:
+            except BaseException as e:
                 if not interrupted["hit"]:
                     raise
+                # a late error while stopping is still a stop, but never a
+                # SILENT one: the last in-flight batch may have died for
+                # its own reason (disk full, corrupt reload) and ops must
+                # see that, not a clean-looking shutdown
+                print(
+                    f"warning: error during stop: {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
                 out = {"stopped": True}
             print(json.dumps(out), flush=True)
             return 0

@@ -76,9 +76,12 @@ class WorkerConfig:
     trigger_interval: str | None = None
     fail_on_counts_mismatch: bool = True
     counts_checks_errata: dict[str, int] = field(default_factory=dict)
-    #: bucket-hash layout for NEW tables: "xxhash" | "spark" (the latter
-    #: unlocks fold="join" — lake/table.py bucket_expr)
-    layout: str = "xxhash"
+    #: bucket-hash layout for NEW tables: "auto" | "xxhash" | "spark"
+    #: ("spark" unlocks fold="join" — lake/table.py bucket_expr; "auto",
+    #: the default, picks "spark" when the log's _bucket_spec.json sidecar
+    #: matches this config so a default config over a bucketed log creates
+    #: a join-fold-capable table, "xxhash" otherwise)
+    layout: str = "auto"
     #: merge fold shape: "auto" | "union" | "join". "join" is the
     #: zero-exchange fold (requires layout="spark" and a bucketed log
     #: directory — the config loader registers it as a catalog bucketed
@@ -143,13 +146,15 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
     cfg = WorkerConfig(**data)
     if cfg.mode not in ("mor", "cow"):
         raise ConfigError(f"mode must be 'mor' or 'cow', got {cfg.mode!r}")
-    if cfg.layout not in ("xxhash", "spark"):
-        raise ConfigError(f"layout must be 'xxhash' or 'spark', got {cfg.layout!r}")
+    if cfg.layout not in ("auto", "xxhash", "spark"):
+        raise ConfigError(
+            f"layout must be 'auto', 'xxhash' or 'spark', got {cfg.layout!r}"
+        )
     if cfg.fold not in ("auto", "union", "join"):
         raise ConfigError(
             f"fold must be 'auto', 'union' or 'join', got {cfg.fold!r}"
         )
-    if cfg.fold == "join" and (cfg.layout != "spark" or cfg.mode != "mor"):
+    if cfg.fold == "join" and (cfg.layout == "xxhash" or cfg.mode != "mor"):
         raise ConfigError("fold='join' requires layout='spark' and mode='mor'")
     if not isinstance(cfg.interval_size, int) or cfg.interval_size <= 0:
         raise ConfigError("interval_size must be a positive integer")
@@ -176,6 +181,24 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
 def load_worker_config(path: str) -> WorkerConfig | MultiWorkerConfig:
     with open(path) as fh:
         return worker_config_from_dict(json.load(fh))
+
+
+def _resolved_layout(cfg: WorkerConfig, key_columns) -> str:
+    """``layout='auto'`` → 'spark' when the log's bucket sidecar matches
+    this config (a NEW table over a provably-bucketed log must be
+    join-fold-capable; baking in xxhash would lock the zero-exchange fold
+    out forever), 'xxhash' otherwise. Explicit layouts pass through;
+    EXISTING tables keep their layout regardless (ensure_table opens them
+    as-is)."""
+    if cfg.layout != "auto":
+        return cfg.layout
+    from multiversx_etl_spark.sources.changelog import resolve_fold_auto
+
+    want, _ = resolve_fold_auto(
+        cfg.log_path, layout="spark", mode=cfg.mode,
+        num_buckets=cfg.num_buckets, key_columns=key_columns,
+    )
+    return "spark" if want == "join" else "xxhash"
 
 
 def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
@@ -216,7 +239,8 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
     normalizer = REGISTRY[cfg.normalizer]
     table = ensure_table(
         spark, cfg.table_root, num_buckets=cfg.num_buckets,
-        schema=target_schema, key_columns=key_columns, layout=cfg.layout,
+        schema=target_schema, key_columns=key_columns,
+        layout=_resolved_layout(cfg, key_columns),
     )
     if streaming:
         if checkpoint_dir is None:
@@ -241,12 +265,12 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
         summary: dict[str, Any] = {}
     else:
         fold = cfg.fold
+        m = table.snapshot()
         if fold == "auto":
             # join fold becomes the default the moment the engine can PROVE
             # it applies (sidecar matches this table); union otherwise
             from multiversx_etl_spark.sources.changelog import resolve_fold_auto
 
-            m = table.snapshot()
             fold, downgraded = resolve_fold_auto(
                 cfg.log_path, layout=m.layout, mode=cfg.mode,
                 num_buckets=m.num_buckets, key_columns=m.key_columns,
@@ -266,7 +290,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
             from multiversx_etl_spark.sources.changelog import register_log_bucketed
 
             log = register_log_bucketed(
-                spark, cfg.log_path, table.snapshot().num_buckets,
+                spark, cfg.log_path, m.num_buckets,
                 table_name=f"mxetl_log_{cfg.name}",
                 key_columns=tuple(key_columns), schema=log_schema,
             )
@@ -351,7 +375,8 @@ def stream_with_config_reload(
         log_schema, target_schema, key_columns = TABLES[cfg.schema]
         table = ensure_table(
             spark, cfg.table_root, num_buckets=cfg.num_buckets,
-            schema=target_schema, key_columns=key_columns, layout=cfg.layout,
+            schema=target_schema, key_columns=key_columns,
+            layout=_resolved_layout(cfg, key_columns),
         )
         applied.append(
             {

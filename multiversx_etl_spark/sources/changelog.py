@@ -410,6 +410,24 @@ def read_bucket_spec(path: str) -> dict | None:
     return spec
 
 
+def _spec_mismatch(spec: dict, num_buckets: int, key_columns) -> list[str]:
+    """The one comparison between a sidecar spec and a requested bucket
+    layout (shared by loud registration and quiet auto-resolution).
+    Returns human-readable mismatch descriptions, empty on a match."""
+    problems = []
+    if spec.get("num_buckets") != num_buckets:
+        problems.append(
+            f"log bucketed into {spec.get('num_buckets')} buckets, "
+            f"table has {num_buckets}"
+        )
+    if spec.get("key_columns") != list(key_columns):
+        problems.append(
+            f"log bucketed by {spec.get('key_columns')}, "
+            f"table key is {list(key_columns)}"
+        )
+    return problems
+
+
 def resolve_fold_auto(
     path: str,
     *,
@@ -417,6 +435,7 @@ def resolve_fold_auto(
     mode: str,
     num_buckets: int,
     key_columns,
+    spec: dict | None = None,
 ) -> tuple[str, str | None]:
     """Resolve ``fold='auto'`` for a log directory against a target table:
     the zero-exchange join fold becomes the DEFAULT whenever the engine can
@@ -428,8 +447,12 @@ def resolve_fold_auto(
     only when the log IS bucketed but the join fold still can't be used —
     that is a performance foot-gun worth surfacing (the operator paid for
     a bucketed log and isn't getting the zero-exchange merge), while a
-    plain log downgrades silently (nothing was promised)."""
-    spec = read_bucket_spec(path)
+    plain log downgrades silently (nothing was promised).
+
+    ``spec`` lets a caller that already read the sidecar pass it in (one
+    read per decision, not one per helper)."""
+    if spec is None:
+        spec = read_bucket_spec(path)
     if spec is None:
         return "union", None
     problems = []
@@ -437,16 +460,7 @@ def resolve_fold_auto(
         problems.append(f"table layout={layout!r} (join fold needs 'spark')")
     if mode != "mor":
         problems.append(f"mode={mode!r} (join fold needs 'mor')")
-    if spec.get("num_buckets") != num_buckets:
-        problems.append(
-            f"log bucketed into {spec.get('num_buckets')} buckets, "
-            f"table has {num_buckets}"
-        )
-    if spec.get("key_columns") != list(key_columns):
-        problems.append(
-            f"log bucketed by {spec.get('key_columns')}, "
-            f"table key is {list(key_columns)}"
-        )
+    problems.extend(_spec_mismatch(spec, num_buckets, key_columns))
     if problems:
         return "union", "; ".join(problems)
     return "join", None
@@ -477,13 +491,10 @@ def register_log_bucketed(
     modulo 8 — silently wrong joins). A foreign landing zone registers by
     dropping a one-line sidecar next to its files:
     ``{"num_buckets": B, "key_columns": [...]}``."""
-    import json
-    import os
-
     from multiversx_etl_spark.schemas import CHANGE_EVENTS
 
-    spec_path = os.path.join(path, "_bucket_spec.json")
-    if not os.path.exists(spec_path):
+    spec = read_bucket_spec(path)
+    if spec is None:
         raise ValueError(
             f"bucketed log at {path} has no _bucket_spec.json sidecar: "
             "cannot verify the files' true bucket layout (a mismatched "
@@ -491,11 +502,8 @@ def register_log_bucketed(
             "error in Spark). Write the log with write_log_bucketed, or "
             'drop a sidecar: {"num_buckets": B, "key_columns": [...]}'
         )
-    with open(spec_path) as fh:
-        spec = json.load(fh)
-    if spec.get("num_buckets") != num_buckets or spec.get("key_columns") != list(
-        key_columns
-    ):
+    mismatch = _spec_mismatch(spec, num_buckets, key_columns)
+    if mismatch:
         raise ValueError(
             f"bucketed log at {path} was written with "
             f"(num_buckets={spec.get('num_buckets')}, "

@@ -180,10 +180,12 @@ def test_replay_cli_auto_join_fold(spark, tmp_path):
     out = _cli("gen-log", str(tmp_path / "log"), "--events", "600",
                "--repos", "6", "--bucketed", "4")
     assert out["written"] >= 600
+    # no --buckets either: the new table's count comes from the sidecar (a
+    # default of 16 would bake in a mismatch that locks the join fold out)
     out = _cli("replay", str(tmp_path / "log"), str(tmp_path / "t"),
-               "--interval-size", "200", "--buckets", "4")
+               "--interval-size", "200")
     assert out["fold"] == "join"
     want = expected_state(spark.read.parquet(str(tmp_path / "log"))).count()
     assert out["final_rows"] == want
-    t = LakeTable(spark, str(tmp_path / "t"))
-    assert t.snapshot().layout == "spark"
+    m = LakeTable(spark, str(tmp_path / "t")).snapshot()
+    assert m.layout == "spark" and m.num_buckets == 4

@@ -255,9 +255,13 @@ def test_join_fold_through_config(spark, tmp_path):
     assert s1["reconcile_ok"] and s1["epochs_run"] >= 2
     s2 = run_from_config(spark, cfg)
     assert s2["epochs_run"] == 0 and s2["reconcile_ok"]
+    # explicit xxhash can never serve the join fold; layout='auto' (the
+    # default) is legal with fold='join' — it resolves at run time and the
+    # bucketed-log registration stays loud if the sidecar can't prove it
     with pytest.raises(ConfigError, match="fold='join' requires"):
         worker_config_from_dict(
-            {"table_root": "/t", "log_path": "/l", "fold": "join"}
+            {"table_root": "/t", "log_path": "/l", "fold": "join",
+             "layout": "xxhash"}
         )
 
 
@@ -373,19 +377,26 @@ def test_auto_fold_through_config(spark, tmp_path):
     pl = str(tmp_path / "pl")
     write_log_parquet(log, pl, files=4)
 
+    from multiversx_etl_spark.lake.table import LakeTable
+
     base = {"interval_size": 200, "num_buckets": 4}
+    # an entirely-default config over a bucketed log: layout='auto' creates
+    # a spark-layout table and fold='auto' picks the join fold — the
+    # zero-exchange path with zero knobs
     s = run_from_config(spark, worker_config_from_dict({
         **base, "table_root": str(tmp_path / "tj"), "log_path": bl,
-        "layout": "spark",
     }))
     assert s["fold"] == "join" and s["reconcile_ok"]
+    assert LakeTable(spark, str(tmp_path / "tj")).snapshot().layout == "spark"
     s = run_from_config(spark, worker_config_from_dict({
         **base, "table_root": str(tmp_path / "tu"), "log_path": pl,
     }))
     assert s["fold"] == "union" and s["reconcile_ok"]
-    # bucketed log into an xxhash-layout table: auto downgrades (correct,
-    # merely shuffled) instead of erroring like an explicit fold='join'
+    assert LakeTable(spark, str(tmp_path / "tu")).snapshot().layout == "xxhash"
+    # bucketed log into an EXPLICIT xxhash-layout table: auto downgrades
+    # (correct, merely shuffled) instead of erroring like fold='join'
     s = run_from_config(spark, worker_config_from_dict({
         **base, "table_root": str(tmp_path / "tx"), "log_path": bl,
+        "layout": "xxhash",
     }))
     assert s["fold"] == "union" and s["reconcile_ok"]
