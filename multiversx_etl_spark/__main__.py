@@ -28,6 +28,10 @@ Subcommands:
               walk snapshots newest->oldest, reconcile each against the log
               fold, roll back to the newest consistent one (the reference's
               find-latest-good-checkpoint walk, app.py:115-143)
+  run-config  one configured iteration (batch replay or streaming tail +
+              reconcile) from a worker-config JSON; --watch supervises a
+              continuous stream with hot config reload (the reference's
+              per-iteration re-read, app.py:82-86) until Ctrl-C
 """
 
 from __future__ import annotations
