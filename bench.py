@@ -129,8 +129,12 @@ def run_cdc_replay(
     )
     t0 = time.perf_counter()
     if fold == "join":
+        # compact_files: one file per bucket — the per-window landing-zone
+        # shape, and what keeps the STREAMING join face (which schedules
+        # whole files per micro-batch) at the same batch count as union's
         log_table = write_log_bucketed(log, log_path, NUM_BUCKETS,
-                                       table_name=f"mxetl_bench_log{tag}")
+                                       table_name=f"mxetl_bench_log{tag}",
+                                       compact_files=True)
     else:
         write_log_parquet(log, log_path, files=max(CPUS * 2, 8))
     gen_sec = time.perf_counter() - t0
@@ -176,27 +180,34 @@ def run_cdc_replay(
     }
 
 
-def run_cdc_stream(spark, workdir: str) -> dict[str, float]:
+def run_cdc_stream(spark, workdir: str, tag: str = "", fold: str = "union") -> dict[str, float]:
     """The Structured Streaming face of the same ingest (readStream →
     foreachBatch MERGE, availableNow drain) over the log run_cdc_replay
     already wrote — the north star's primary surface, measured separately
     because the checkpoint/trigger machinery adds per-batch overhead the
     batch replay doesn't pay. Same repeat-and-take-best protocol as the
-    replay (fresh table + checkpoint dirs per run)."""
+    replay (fresh table + checkpoint dirs per run).
+
+    ``fold='join'`` streams over the BUCKETED log dir the join replay face
+    wrote: each micro-batch re-stages its own whole files as a catalog
+    bucketed table and merges with zero exchanges (streaming/ingest.py)."""
     from multiversx_etl_spark.streaming.ingest import ensure_table, stream_ingest
 
-    log_path = os.path.join(workdir, "log")
+    log_path = os.path.join(workdir, f"log{tag}")
     n = spark.read.parquet(log_path).count()
     samples = []
     best = None
     for rep in range(NUM_REPEATS):
         table = ensure_table(
-            spark, os.path.join(workdir, f"stream_table-r{rep}"), num_buckets=NUM_BUCKETS
+            spark, os.path.join(workdir, f"stream_table{tag}-r{rep}"),
+            num_buckets=NUM_BUCKETS,
+            layout="spark" if fold == "join" else "xxhash",
         )
         t0 = time.perf_counter()
         stream_ingest(
-            spark, log_path, table, os.path.join(workdir, f"ckpt-r{rep}"),
+            spark, log_path, table, os.path.join(workdir, f"ckpt{tag}-r{rep}"),
             max_files_per_trigger=max(CPUS, 8) * 2 // NUM_EPOCHS or 1,
+            fold=fold,
         )
         wall = time.perf_counter() - t0
         samples.append(round(wall, 3))
@@ -249,6 +260,11 @@ def main() -> None:
         # table, fold='join' — same protocol, full headline event count
         join = run_cdc_replay(spark, workdir, tag="j", fold="join")
         timings["cdc_join_replay"] = join["replay_sec"]
+        # zero-exchange STREAMING face: same bucketed log, each micro-batch
+        # re-staged as a catalog bucketed table (whole-file scheduling) —
+        # the join fold's streaming twin
+        jstream = run_cdc_stream(spark, workdir, tag="j", fold="join")
+        timings["cdc_join_stream"] = jstream["stream_sec"]
         harness = round(time.perf_counter() - t_total, 3)
         # headline value = sum of the recorded per-query timings (each the
         # fastest pass), NOT the harness wall — the harness runs the suite
@@ -291,6 +307,10 @@ def main() -> None:
             "cdc_join_replay_sec": join["replay_sec"],
             "cdc_join_replay_samples": join["replay_samples"],
             "cdc_join_final_rows": join["final_rows"],
+            "cdc_join_stream_events_per_sec": jstream["events_per_sec"],
+            "cdc_join_stream_sec": jstream["stream_sec"],
+            "cdc_join_stream_samples": jstream["stream_samples"],
+            "cdc_join_stream_final_rows": jstream["final_rows"],
         }
         line = json.dumps(out)
         # Sidecar copy survives even if something else pollutes stdout; the

@@ -116,13 +116,29 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("log_dir")
     s.add_argument("table")
     s.add_argument("checkpoint")
-    s.add_argument("--buckets", type=int, default=16)
+    s.add_argument(
+        "--buckets", type=int, default=None,
+        help="bucket count when the table does not exist yet (default: the "
+        "log's _bucket_spec.json count if bucketed, else 16)",
+    )
     s.add_argument("--max-files-per-trigger", type=int, default=4)
     s.add_argument("--mode", choices=["mor", "cow"], default="mor")
     s.add_argument(
         "--trigger-interval", default=None, metavar="DURATION",
         help="run CONTINUOUSLY with a processingTime trigger (e.g. '3600 seconds', "
         "the reference's loop cadence) until interrupted; default drains once",
+    )
+    s.add_argument(
+        "--fold", choices=["auto", "union", "join"], default="auto",
+        help="'join' = zero-exchange fold per micro-batch (each batch's "
+        "whole files re-staged as a catalog bucketed table); 'auto' "
+        "(default) engages it when the log's _bucket_spec.json sidecar "
+        "matches the table",
+    )
+    s.add_argument(
+        "--layout", choices=["xxhash", "spark"], default=None,
+        help="layout when the table does not exist yet (default: spark "
+        "for --fold join or an auto-detected bucketed log, xxhash otherwise)",
     )
 
     c = sub.add_parser("compact", help="fold merge-on-read deltas into base files")
@@ -494,9 +510,35 @@ def _dispatch(spark, args) -> int:
         return 0
 
     if args.cmd == "stream":
+        from multiversx_etl_spark.sources.changelog import read_bucket_spec
         from multiversx_etl_spark.streaming.ingest import ensure_table, stream_ingest
 
-        table = ensure_table(spark, args.table, num_buckets=args.buckets)
+        # same new-table defaults as `replay`: a detectably-bucketed log
+        # seeds a join-fold-capable table (spark layout, sidecar's count)
+        spec = read_bucket_spec(args.log_dir)
+        wants_join = args.fold == "join" or (args.fold == "auto" and spec)
+        layout = args.layout or ("spark" if wants_join else "xxhash")
+        buckets = args.buckets or (
+            spec.get("num_buckets") if wants_join and spec else None
+        ) or 16
+        table = ensure_table(
+            spark, args.table, num_buckets=buckets, layout=layout
+        )
+        fold = args.fold
+        if fold == "auto":
+            from multiversx_etl_spark.sources.changelog import resolve_fold_auto
+
+            m = table.snapshot()
+            fold, downgraded = resolve_fold_auto(
+                args.log_dir, layout=m.layout, mode=args.mode,
+                num_buckets=m.num_buckets, key_columns=m.key_columns,
+                spec=spec,
+            )
+            if downgraded:
+                print(
+                    f"note: bucketed log but union fold: {downgraded}",
+                    file=sys.stderr,
+                )
         q = stream_ingest(
             spark,
             args.log_dir,
@@ -505,13 +547,15 @@ def _dispatch(spark, args) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             mode=args.mode,
             trigger_interval=args.trigger_interval,
+            fold=fold,
         )
         if q is not None:  # continuous: block until Ctrl-C / external stop
             try:
                 q.awaitTermination()
             except KeyboardInterrupt:
                 q.stop()
-        print(json.dumps({"version": table.current_version(), "rows": table.read().count()}))
+        print(json.dumps({"version": table.current_version(),
+                          "rows": table.read().count(), "fold": fold}))
         return 0
 
     if args.cmd == "compact":

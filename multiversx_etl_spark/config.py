@@ -255,6 +255,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
             trigger_interval=cfg.trigger_interval,
             normalizer=normalizer,
             log_schema=log_schema,
+            fold=cfg.fold,
         )
         if q is not None:
             # continuous mode: the query runs indefinitely, so the
@@ -396,6 +397,7 @@ def stream_with_config_reload(
             trigger_interval=cfg.trigger_interval,
             normalizer=REGISTRY[cfg.normalizer],
             log_schema=log_schema,
+            fold=cfg.fold,
         )
         try:
             while True:

@@ -15,6 +15,8 @@ from ``rand()``, whose output depends on partition layout).
 
 from __future__ import annotations
 
+import contextlib
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -355,6 +357,7 @@ def write_log_bucketed(
     num_buckets: int,
     table_name: str = "mxetl_log",
     key_columns: tuple[str, ...] = ("repo", "path"),
+    compact_files: bool = False,
 ) -> str:
     """Materialize the log as a Spark catalog BUCKETED table (external at
     ``path``): ``bucketBy(B, key)`` files named with Spark's ``_NNNNN``
@@ -366,11 +369,21 @@ def write_log_bucketed(
 
     At 100 TB the analog is the upstream CDC topic/landing zone being
     bucket-partitioned by key — standard Debezium/Kafka practice — so the
-    lake merge never has to re-shuffle the firehose it tails."""
+    lake merge never has to re-shuffle the firehose it tails.
+
+    Default is Spark's shuffle-free bucketed write: each writer task emits
+    its own per-bucket files, so file count scales with tasks × buckets —
+    right for batch scans (the catalog groups them per bucket regardless).
+    ``compact_files=True`` key-repartitions first (ONE shuffle at write
+    time) so exactly one file lands per bucket — the shape a per-window
+    Kafka landing zone produces, and the right input for the STREAMING
+    join fold, whose micro-batches are file-granular."""
     import json
     import os
 
     spark = log.sparkSession
+    if compact_files:
+        log = log.repartition(num_buckets, *[F.col(k) for k in key_columns])
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     (
         log.write.bucketBy(num_buckets, *key_columns)
@@ -408,6 +421,81 @@ def read_bucket_spec(path: str) -> dict | None:
     if not isinstance(spec, dict):
         raise ValueError(f"{spec_path} must hold a JSON object, got {spec!r}")
     return spec
+
+
+def bucket_id_from_name(file_name: str) -> int | None:
+    """Parse the Spark bucket id out of a bucketed data file's NAME
+    (``part-...-<uuid>_00003.c000.snappy.parquet`` → 3) — the same
+    convention Spark's own BucketingUtils applies when a catalog bucketed
+    table groups its files. Returns None for a non-bucketed name, the
+    signal to downgrade rather than stage."""
+    import re
+
+    m = re.match(r".*_(\d+)(?:\..*)?$", file_name)
+    return int(m.group(1)) if m else None
+
+
+@contextlib.contextmanager
+def staged_bucketed_files(
+    spark: SparkSession,
+    files: list[str],
+    num_buckets: int,
+    key_columns,
+    schema,
+    stage_root: str,
+):
+    """Register an EXPLICIT list of bucketed parquet files (e.g. one
+    streaming micro-batch, via ``batch_df.inputFiles()``) as a TEMPORARY
+    Spark catalog bucketed table and yield its DataFrame — the change-side
+    twin of ``LakeTable.staged_bucketed_target``. A hardlink farm
+    (O(files) metadata ops, no bytes copied; symlink fallback across
+    devices) re-homes the files under one location whose scan reports
+    ``HashPartitioning(key, B)``, which is what lets a streaming MERGE run
+    the zero-exchange join fold per micro-batch.
+
+    Every file name must carry a parseable Spark bucket id < B (the
+    ``_NNNNN`` suffix ``write_log_bucketed`` produces) — callers check
+    with ``bucket_id_from_name`` and downgrade to the union fold instead
+    of calling this when any file doesn't."""
+    import os
+    import shutil
+    import uuid
+
+    name = f"mxetl_batch_{uuid.uuid4().hex[:12]}"
+    stage = os.path.join(stage_root, name)
+    os.makedirs(stage)
+    try:
+        for i, f in enumerate(files):
+            if f.startswith("file:"):
+                from urllib.parse import urlparse
+
+                src = urlparse(f).path
+            else:
+                src = f
+            b = bucket_id_from_name(os.path.basename(src))
+            if b is None or b >= num_buckets:
+                raise ValueError(
+                    f"{src} has no bucket id < {num_buckets} in its name"
+                )
+            dst = os.path.join(stage, f"b{i:05d}_{b:05d}.parquet")
+            try:
+                os.link(src, dst)
+            except OSError:
+                os.symlink(os.path.abspath(src), dst)
+        cols_ddl = ", ".join(
+            f"`{fld.name}` {fld.dataType.simpleString()}" for fld in schema.fields
+        )
+        key_ddl = ", ".join(f"`{k}`" for k in key_columns)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} ({cols_ddl}) USING parquet "
+            f"CLUSTERED BY ({key_ddl}) INTO {num_buckets} BUCKETS "
+            f"LOCATION '{stage}'"
+        )
+        yield spark.table(name)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def _spec_mismatch(spec: dict, num_buckets: int, key_columns) -> list[str]:

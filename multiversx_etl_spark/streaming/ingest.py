@@ -319,6 +319,7 @@ def stream_ingest(
     trigger_interval: str | None = None,
     normalizer: Callable[[DataFrame], DataFrame] | None = None,
     log_schema=None,
+    fold: str = "union",
 ):
     """Structured Streaming tail of a parquet log directory.
 
@@ -334,41 +335,106 @@ def stream_ingest(
 
     ``maxFilesPerTrigger`` is the micro-batch knob — the analog of the
     reference's interval_size × num_intervals_in_bulk planner parameters
-    (worker_config_mainnet.json:21-22)."""
+    (worker_config_mainnet.json:21-22).
+
+    ``fold='join'`` brings the ZERO-EXCHANGE merge fold to streaming: the
+    file source schedules WHOLE files per micro-batch, so when the log
+    directory holds catalog-bucketed files (write_log_bucketed), the
+    batch's own files — recovered from the ``_metadata.file_path`` hidden
+    column, which resolves at the file scan and so survives into the
+    foreachBatch DataFrame (a LogicalRDD whose ``inputFiles()`` is empty) —
+    are re-staged as a temporary catalog bucketed table (hardlink farm, no
+    bytes copied; sources/changelog.py staged_bucketed_files) whose scan
+    reports HashPartitioning(key, B), and the MERGE plans no exchange,
+    exactly like the batch replay's join fold. A batch whose files carry
+    no parseable bucket id, or whose staged row count disagrees with the
+    delivered batch, downgrades to (or refuses over) the union fold —
+    correctness never depends on staging being possible. ``fold='auto'``
+    resolves per the log's ``_bucket_spec.json`` sidecar against the
+    table, like the batch surfaces."""
+    if fold == "auto":
+        from multiversx_etl_spark.sources.changelog import resolve_fold_auto
+
+        m0 = table.snapshot()
+        fold, _ = resolve_fold_auto(
+            log_dir, layout=m0.layout, mode=mode,
+            num_buckets=m0.num_buckets, key_columns=m0.key_columns,
+        )
+    if fold == "join" and (table.snapshot().layout != "spark" or mode != "mor"):
+        raise ValueError("fold='join' requires layout='spark' and mode='mor'")
+    declared = log_schema if log_schema is not None else CHANGE_EVENTS
     src = (
-        spark.readStream.schema(log_schema if log_schema is not None else CHANGE_EVENTS)
+        spark.readStream.schema(declared)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(log_dir)
     )
+    if fold == "join":
+        # the file lineage must be captured AT THE SCAN: foreachBatch hands
+        # over a LogicalRDD whose inputFiles() is empty
+        src = src.withColumn("_src_file", F.col("_metadata").getField("file_path"))
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if table.is_epoch_committed(stream_id, epoch_id):
             return  # at-least-once redelivery of a committed epoch → no-op
-        # one aggregation supplies offset bounds AND per-bucket rows_in —
-        # the batch is scanned once here, once by the merge itself
         m = table.snapshot()
-        aggs = [
-            F.count("*").alias("n"),
-            F.min("offset").alias("lo"),
-            F.max("offset").alias("hi"),
-        ]
-        if "op" in batch_df.columns:  # partial-image rows (same pass)
-            aggs.append(F.count(F.when(F.col("op") == "patch", 1)).alias("p"))
-        rows = (
-            batch_df.groupBy(m.bucket_expr().alias("_bucket"))
-            .agg(*aggs)
-            .collect()
-        )
-        in_counts = {r["_bucket"]: r["n"] for r in rows}
-        lo = min((r["lo"] for r in rows), default=0)
-        hi = max((r["hi"] + 1 for r in rows), default=0)
-        patch_count = (
-            sum(r["p"] for r in rows) if "op" in batch_df.columns else 0
-        )
-        apply_epoch(
-            table, batch_df, stream_id, epoch_id, lo, hi, mode=mode,
-            in_counts=in_counts, patch_count=patch_count, normalizer=normalizer,
-        )
+        batch, batch_fold, staged = batch_df, "union", None
+        if fold == "join":
+            from multiversx_etl_spark.sources.changelog import (
+                bucket_id_from_name,
+                staged_bucketed_files,
+            )
+
+            files = [
+                r["_src_file"]
+                for r in batch_df.select("_src_file").distinct().collect()
+            ]
+            batch = batch_df = batch_df.drop("_src_file")
+            ids = [
+                bucket_id_from_name(os.path.basename(f)) for f in files
+            ]
+            if files and all(b is not None and b < m.num_buckets for b in ids):
+                staged = staged_bucketed_files(
+                    spark, files, m.num_buckets, m.key_columns,
+                    declared, os.path.join(table.root, "_stage"),
+                )
+                batch = staged.__enter__()
+                batch_fold = "join"
+        try:
+            # one aggregation supplies offset bounds AND per-bucket rows_in —
+            # the batch is scanned once here, once by the merge itself
+            aggs = [
+                F.count("*").alias("n"),
+                F.min("offset").alias("lo"),
+                F.max("offset").alias("hi"),
+            ]
+            if "op" in batch.columns:  # partial-image rows (same pass)
+                aggs.append(F.count(F.when(F.col("op") == "patch", 1)).alias("p"))
+            rows = (
+                batch.groupBy(m.bucket_expr().alias("_bucket"))
+                .agg(*aggs)
+                .collect()
+            )
+            in_counts = {r["_bucket"]: r["n"] for r in rows}
+            if batch_fold == "join" and sum(in_counts.values()) != batch_df.count():
+                # the staged files do not reproduce the delivered batch —
+                # a violated file-source assumption is a refusal, not a
+                # quiet downgrade (the ledger would book the wrong rows)
+                raise RuntimeError(
+                    "staged bucketed batch row count != delivered batch"
+                )
+            lo = min((r["lo"] for r in rows), default=0)
+            hi = max((r["hi"] + 1 for r in rows), default=0)
+            patch_count = (
+                sum(r["p"] for r in rows) if "op" in batch.columns else 0
+            )
+            apply_epoch(
+                table, batch, stream_id, epoch_id, lo, hi, mode=mode,
+                in_counts=in_counts, patch_count=patch_count,
+                normalizer=normalizer, fold=batch_fold,
+            )
+        finally:
+            if staged is not None:
+                staged.__exit__(None, None, None)
         if compact_every and (epoch_id + 1) % compact_every == 0:
             table.compact(preserve_patches=compact_preserve_patches)
 

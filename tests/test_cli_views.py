@@ -189,3 +189,20 @@ def test_replay_cli_auto_join_fold(spark, tmp_path):
     assert out["final_rows"] == want
     m = LakeTable(spark, str(tmp_path / "t")).snapshot()
     assert m.layout == "spark" and m.num_buckets == 4
+
+
+def test_stream_cli_auto_join_fold(spark, tmp_path):
+    """The streaming CLI defaults match replay's: a bare `stream` over a
+    bucketed log seeds a join-capable table, resolves the zero-exchange
+    fold, and drains exactly."""
+    from multiversx_etl_spark.oracle import expected_state
+
+    _cli("gen-log", str(tmp_path / "log"), "--events", "500",
+         "--repos", "5", "--bucketed", "4")
+    out = _cli("stream", str(tmp_path / "log"), str(tmp_path / "t"),
+               str(tmp_path / "ckpt"), "--max-files-per-trigger", "3")
+    assert out["fold"] == "join"
+    want = expected_state(spark.read.parquet(str(tmp_path / "log"))).count()
+    assert out["rows"] == want
+    m = LakeTable(spark, str(tmp_path / "t")).snapshot()
+    assert m.layout == "spark" and m.num_buckets == 4

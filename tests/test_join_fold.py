@@ -274,3 +274,102 @@ def test_bucket_purity_guard_rejects_misaligned_write(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="bucket-impure"):
         t.write_data_files(df, "bad", bucket_aligned=True, keep_bucket=True)
+
+
+def test_stream_join_fold_exact_zero_exchange_and_resume(spark, tmp_path):
+    """The streaming twin of the zero-exchange fold: the file source
+    schedules WHOLE files per micro-batch, so each batch's own files are
+    re-staged (hardlinks) as a catalog bucketed table and the MERGE plans
+    no exchange — asserted on the captured write plan — while the final
+    state equals a union-fold stream over the same events and a rerun on
+    the same checkpoint commits nothing."""
+    from multiversx_etl_spark.streaming.ingest import stream_ingest
+
+    log = generate_change_log(spark, 3000, num_repos=10, paths_per_repo=30,
+                              partitions=2)
+    blog = str(tmp_path / "blog")
+    write_log_bucketed(log, blog, 4, table_name="mxetl_sjf_gen")
+    spark.sql("DROP TABLE IF EXISTS mxetl_sjf_gen")
+    plog = str(tmp_path / "plog")
+    write_log_parquet(log, plog, files=4)
+
+    jt = LakeTable.create(
+        spark, str(tmp_path / "jt"), REPOS,
+        key_columns=["repo", "path"], num_buckets=4, layout="spark",
+    )
+    os.environ["MXETL_CAPTURE_PLAN"] = "1"
+    try:
+        stream_ingest(spark, blog, jt, str(tmp_path / "jckpt"),
+                      max_files_per_trigger=3, fold="auto")
+    finally:
+        os.environ.pop("MXETL_CAPTURE_PLAN", None)
+    plan = merge_mod.LAST_WRITE_PLAN
+    assert plan is not None
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange RoundRobinPartitioning" not in plan, plan
+
+    ut = LakeTable.create(
+        spark, str(tmp_path / "ut"), REPOS,
+        key_columns=["repo", "path"], num_buckets=4,
+    )
+    stream_ingest(spark, plog, ut, str(tmp_path / "uckpt"),
+                  max_files_per_trigger=3)
+    a, b = jt.read(), ut.read()
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    v = jt.current_version()
+    stream_ingest(spark, blog, jt, str(tmp_path / "jckpt"),
+                  max_files_per_trigger=3, fold="auto")
+    assert jt.current_version() == v
+
+
+def test_stream_join_fold_patch_batches_downgrade(spark, tmp_path):
+    """Patch-bearing micro-batches self-downgrade to the union fold inside
+    the merge (per-column LWW needs the union machinery) while clean
+    batches keep the join shape — the streamed final state must equal a
+    batch union replay of the same patch-mix log."""
+    from multiversx_etl_spark.streaming.ingest import stream_ingest
+
+    log = generate_change_log(spark, 3000, num_repos=10, paths_per_repo=30,
+                              partitions=2, patch_fraction=0.3)
+    blog = str(tmp_path / "blog")
+    write_log_bucketed(log, blog, 4, table_name="mxetl_sjp_gen")
+    spark.sql("DROP TABLE IF EXISTS mxetl_sjp_gen")
+    plog = str(tmp_path / "plog")
+    write_log_parquet(log, plog, files=4)
+
+    jt = LakeTable.create(
+        spark, str(tmp_path / "jt"), REPOS,
+        key_columns=["repo", "path"], num_buckets=4, layout="spark",
+    )
+    stream_ingest(spark, blog, jt, str(tmp_path / "jckpt"),
+                  max_files_per_trigger=2, fold="auto")
+    ut = LakeTable.create(
+        spark, str(tmp_path / "ut"), REPOS,
+        key_columns=["repo", "path"], num_buckets=4,
+    )
+    replay(spark.read.parquet(plog), ut, interval_size=1000,
+           total_offsets=3000 + int(3000 * 0.01))
+    a, b = jt.read(), ut.read()
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stream_fold_auto_downgrades_on_plain_log(spark, tmp_path):
+    """A plain (non-bucketed) log directory under fold='auto' resolves to
+    the union fold and stays exact — auto never requires the fast path."""
+    from multiversx_etl_spark.oracle import expected_state
+    from multiversx_etl_spark.streaming.ingest import stream_ingest
+
+    log = generate_change_log(spark, 1000, num_repos=8, paths_per_repo=20)
+    plog = str(tmp_path / "plog")
+    write_log_parquet(log, plog, files=3)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), REPOS,
+        key_columns=["repo", "path"], num_buckets=4, layout="spark",
+    )
+    stream_ingest(spark, plog, t, str(tmp_path / "ckpt"),
+                  max_files_per_trigger=2, fold="auto")
+    assert t.read().count() == expected_state(spark.read.parquet(plog)).count()
