@@ -400,3 +400,63 @@ def test_auto_fold_through_config(spark, tmp_path):
         "layout": "xxhash",
     }))
     assert s["fold"] == "union" and s["reconcile_ok"]
+
+
+def test_continuous_join_fold_through_reload_supervisor(spark, tmp_path):
+    """The full default stack at once: a zero-knob config (layout and fold
+    both 'auto') over a bucketed log, driven by the hot-reload supervisor
+    on a continuous trigger — the table comes up spark-layout, every
+    micro-batch merges with the ZERO-EXCHANGE join fold (captured plan has
+    no exchange), and the drained state is exact."""
+    import json as _json
+    import os as _os
+
+    from multiversx_etl_spark.config import stream_with_config_reload
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.operators import merge as merge_mod
+    from multiversx_etl_spark.oracle import expected_state
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_bucketed,
+    )
+
+    log_path = str(tmp_path / "blog")
+    write_log_bucketed(
+        generate_change_log(spark, 400, num_repos=5, paths_per_repo=10,
+                            partitions=2),
+        log_path, 4, table_name="mxetl_cjf_gen", compact_files=True,
+    )
+    spark.sql("DROP TABLE IF EXISTS mxetl_cjf_gen")
+    want = expected_state(spark.read.parquet(log_path)).count()
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps({
+        "table_root": str(tmp_path / "t"),
+        "log_path": log_path,
+        "interval_size": 200,
+        "num_buckets": 4,
+        "max_files_per_trigger": 2,
+        "trigger_interval": "1 seconds",
+    }))
+
+    def on_poll(table, cfg) -> bool:
+        try:
+            return table.read().count() == want
+        except Exception:
+            return False
+
+    _os.environ["MXETL_CAPTURE_PLAN"] = "1"
+    try:
+        stream_with_config_reload(
+            spark, str(cfg_path), str(tmp_path / "ckpt"),
+            poll_seconds=0.3, on_poll=on_poll,
+        )
+    finally:
+        _os.environ.pop("MXETL_CAPTURE_PLAN", None)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    assert t.snapshot().layout == "spark"
+    assert t.read().count() == want
+    plan = merge_mod.LAST_WRITE_PLAN
+    assert plan is not None
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange RoundRobinPartitioning" not in plan, plan
