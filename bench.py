@@ -130,8 +130,8 @@ def run_cdc_replay(
     t0 = time.perf_counter()
     if fold == "join":
         # compact_files: one file per bucket — the per-window landing-zone
-        # shape, and what keeps the STREAMING join face (which schedules
-        # whole files per micro-batch) at the same batch count as union's
+        # shape; the stream face derives maxFilesPerTrigger from the file
+        # count so the batch count stays equal across faces regardless
         log_table = write_log_bucketed(log, log_path, NUM_BUCKETS,
                                        table_name=f"mxetl_bench_log{tag}",
                                        compact_files=True)
@@ -195,6 +195,16 @@ def run_cdc_stream(spark, workdir: str, tag: str = "", fold: str = "union") -> d
 
     log_path = os.path.join(workdir, f"log{tag}")
     n = spark.read.parquet(log_path).count()
+    # both faces must pay the SAME number of trigger/commit cycles: derive
+    # maxFilesPerTrigger from the log's ACTUAL file count so every face
+    # runs exactly NUM_EPOCHS micro-batches (the bucketed join log has
+    # fewer, larger files — a fixed mFPT would hand it fewer batches and
+    # the face comparison would partly measure batch count, not the fold)
+    n_files = len(
+        [f for f in os.listdir(log_path)
+         if not f.startswith("_") and not f.startswith(".")]
+    )
+    mfpt = -(-n_files // NUM_EPOCHS) or 1
     samples = []
     best = None
     for rep in range(NUM_REPEATS):
@@ -206,7 +216,7 @@ def run_cdc_stream(spark, workdir: str, tag: str = "", fold: str = "union") -> d
         t0 = time.perf_counter()
         stream_ingest(
             spark, log_path, table, os.path.join(workdir, f"ckpt{tag}-r{rep}"),
-            max_files_per_trigger=max(CPUS, 8) * 2 // NUM_EPOCHS or 1,
+            max_files_per_trigger=mfpt,
             fold=fold,
         )
         wall = time.perf_counter() - t0

@@ -486,18 +486,15 @@ class LakeTable:
                     os.link(src, dst)
                 except OSError:
                     os.symlink(os.path.abspath(src), dst)
-            cols_ddl = ", ".join(
-                f"`{fld.name}` {fld.dataType.simpleString()}"
-                for fld in m.schema.fields
-                if fld.name in columns
+            from multiversx_etl_spark.sources.changelog import (
+                create_bucketed_external_table,
             )
-            key_ddl = ", ".join(f"`{k}`" for k in m.key_columns)
-            self.spark.sql(
-                f"CREATE TABLE {name} ({cols_ddl}) USING parquet "
-                f"CLUSTERED BY ({key_ddl}) INTO {m.num_buckets} BUCKETS "
-                f"LOCATION '{stage}'"
+
+            yield create_bucketed_external_table(
+                self.spark, name,
+                [f for f in m.schema.fields if f.name in columns],
+                m.key_columns, m.num_buckets, stage,
             )
-            yield self.spark.table(name)
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {name}")
             shutil.rmtree(stage, ignore_errors=True)
@@ -1154,7 +1151,28 @@ class LakeTable:
                 if dirpath != data_root and not dirnames and not filenames:
                     with contextlib.suppress(OSError):
                         os.rmdir(dirpath)
-            return {"scanned": scanned, "deleted": deleted}
+            # stage-dir leftovers: bucketed-staging link farms (per-epoch
+            # merge targets, per-micro-batch change stages) from a writer
+            # that died inside the staging context — links only, no data
+            # bytes, but they accumulate forever on a crash-looping
+            # continuous ingest. Same age contract as data orphans: a
+            # LIVE writer's stage is younger than the window.
+            import shutil
+
+            stage_dirs_deleted = 0
+            stage_root = os.path.join(self.root, "_stage")
+            if os.path.isdir(stage_root):
+                for name in os.listdir(stage_root):
+                    full = os.path.join(stage_root, name)
+                    with contextlib.suppress(FileNotFoundError):
+                        if os.path.getmtime(full) < cutoff:
+                            shutil.rmtree(full, ignore_errors=True)
+                            stage_dirs_deleted += 1
+            return {
+                "scanned": scanned,
+                "deleted": deleted,
+                "stage_dirs_deleted": stage_dirs_deleted,
+            }
         finally:
             fcntl.flock(lock_fd, fcntl.LOCK_UN)
             os.close(lock_fd)

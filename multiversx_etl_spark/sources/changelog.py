@@ -435,6 +435,31 @@ def bucket_id_from_name(file_name: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
+def create_bucketed_external_table(
+    spark: SparkSession,
+    name: str,
+    fields,
+    key_columns,
+    num_buckets: int,
+    location: str,
+) -> DataFrame:
+    """The ONE ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` incantation
+    every bucketed-staging path shares (registered log, per-batch staged
+    files, staged merge target) — a DDL fix must land once, not thrice.
+    Drops any same-named leftover first; returns the table's DataFrame."""
+    cols_ddl = ", ".join(
+        f"`{fld.name}` {fld.dataType.simpleString()}" for fld in fields
+    )
+    key_ddl = ", ".join(f"`{k}`" for k in key_columns)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({cols_ddl}) USING parquet "
+        f"CLUSTERED BY ({key_ddl}) INTO {num_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+    return spark.table(name)
+
+
 @contextlib.contextmanager
 def staged_bucketed_files(
     spark: SparkSession,
@@ -482,17 +507,9 @@ def staged_bucketed_files(
                 os.link(src, dst)
             except OSError:
                 os.symlink(os.path.abspath(src), dst)
-        cols_ddl = ", ".join(
-            f"`{fld.name}` {fld.dataType.simpleString()}" for fld in schema.fields
+        yield create_bucketed_external_table(
+            spark, name, schema.fields, key_columns, num_buckets, stage
         )
-        key_ddl = ", ".join(f"`{k}`" for k in key_columns)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        spark.sql(
-            f"CREATE TABLE {name} ({cols_ddl}) USING parquet "
-            f"CLUSTERED BY ({key_ddl}) INTO {num_buckets} BUCKETS "
-            f"LOCATION '{stage}'"
-        )
-        yield spark.table(name)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(stage, ignore_errors=True)
@@ -601,17 +618,9 @@ def register_log_bucketed(
         )
 
     schema = schema if schema is not None else CHANGE_EVENTS
-    cols_ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    return create_bucketed_external_table(
+        spark, table_name, schema.fields, key_columns, num_buckets, path
     )
-    key_ddl = ", ".join(f"`{k}`" for k in key_columns)
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    spark.sql(
-        f"CREATE TABLE {table_name} ({cols_ddl}) USING parquet "
-        f"CLUSTERED BY ({key_ddl}) INTO {num_buckets} BUCKETS "
-        f"LOCATION '{path}'"
-    )
-    return spark.table(table_name)
 
 
 def write_log_ndjson(log: DataFrame, path: str, files: int | None = None) -> None:

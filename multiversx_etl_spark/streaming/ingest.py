@@ -352,16 +352,49 @@ def stream_ingest(
     correctness never depends on staging being possible. ``fold='auto'``
     resolves per the log's ``_bucket_spec.json`` sidecar against the
     table, like the batch surfaces."""
+    m0 = table.snapshot()
     if fold == "auto":
         from multiversx_etl_spark.sources.changelog import resolve_fold_auto
 
-        m0 = table.snapshot()
-        fold, _ = resolve_fold_auto(
+        fold, downgraded = resolve_fold_auto(
             log_dir, layout=m0.layout, mode=mode,
             num_buckets=m0.num_buckets, key_columns=m0.key_columns,
         )
-    if fold == "join" and (table.snapshot().layout != "spark" or mode != "mor"):
-        raise ValueError("fold='join' requires layout='spark' and mode='mor'")
+        if downgraded:
+            # a bucketed log the stream can't exploit is a perf foot-gun
+            # worth surfacing (same note every batch surface prints)
+            import sys
+
+            print(
+                f"note: bucketed log but union fold: {downgraded}",
+                file=sys.stderr,
+            )
+    elif fold == "join":
+        # explicit join: validate the sidecar UPFRONT, exactly like the
+        # batch path's register_log_bucketed — without this, a mismatched
+        # bucket count sails past the per-batch id<B guard (files 0..7
+        # 'fit' under any B >= 8) and dies mid-stream in the purity check
+        # instead of refusing before the query starts
+        from multiversx_etl_spark.sources.changelog import (
+            _spec_mismatch,
+            read_bucket_spec,
+        )
+
+        if m0.layout != "spark" or mode != "mor":
+            raise ValueError("fold='join' requires layout='spark' and mode='mor'")
+        spec = read_bucket_spec(log_dir)
+        if spec is None:
+            raise ValueError(
+                f"bucketed log at {log_dir} has no _bucket_spec.json "
+                "sidecar: cannot verify the files' true bucket layout "
+                "(write with write_log_bucketed, or drop a sidecar)"
+            )
+        mismatch = _spec_mismatch(spec, m0.num_buckets, m0.key_columns)
+        if mismatch:
+            raise ValueError(
+                f"bucketed log at {log_dir} cannot serve the join fold: "
+                + "; ".join(mismatch)
+            )
     declared = log_schema if log_schema is not None else CHANGE_EVENTS
     src = (
         spark.readStream.schema(declared)
@@ -378,16 +411,18 @@ def stream_ingest(
             return  # at-least-once redelivery of a committed epoch → no-op
         m = table.snapshot()
         batch, batch_fold, staged = batch_df, "union", None
+        delivered = None
         if fold == "join":
             from multiversx_etl_spark.sources.changelog import (
                 bucket_id_from_name,
                 staged_bucketed_files,
             )
 
-            files = [
-                r["_src_file"]
-                for r in batch_df.select("_src_file").distinct().collect()
-            ]
+            # ONE metadata-only pass yields the batch's file ledger AND its
+            # delivered row count (the projection prunes every data column)
+            frows = batch_df.groupBy("_src_file").count().collect()
+            files = [r["_src_file"] for r in frows]
+            delivered = sum(r["count"] for r in frows)
             batch = batch_df = batch_df.drop("_src_file")
             ids = [
                 bucket_id_from_name(os.path.basename(f)) for f in files
@@ -401,7 +436,8 @@ def stream_ingest(
                 batch_fold = "join"
         try:
             # one aggregation supplies offset bounds AND per-bucket rows_in —
-            # the batch is scanned once here, once by the merge itself
+            # the (possibly re-staged) batch is scanned once here, once by
+            # the merge itself
             aggs = [
                 F.count("*").alias("n"),
                 F.min("offset").alias("lo"),
@@ -415,7 +451,7 @@ def stream_ingest(
                 .collect()
             )
             in_counts = {r["_bucket"]: r["n"] for r in rows}
-            if batch_fold == "join" and sum(in_counts.values()) != batch_df.count():
+            if batch_fold == "join" and sum(in_counts.values()) != delivered:
                 # the staged files do not reproduce the delivered batch —
                 # a violated file-source assumption is a refusal, not a
                 # quiet downgrade (the ledger would book the wrong rows)

@@ -373,3 +373,27 @@ def test_stream_fold_auto_downgrades_on_plain_log(spark, tmp_path):
     stream_ingest(spark, plog, t, str(tmp_path / "ckpt"),
                   max_files_per_trigger=2, fold="auto")
     assert t.read().count() == expected_state(spark.read.parquet(plog)).count()
+
+
+def test_stream_explicit_join_validates_sidecar_upfront(spark, tmp_path):
+    """Explicit fold='join' streaming must refuse BEFORE the query starts
+    when the sidecar mismatches the table (files 0..7 'fit' under any
+    B >= 8, so the per-batch id<B guard alone would let a wrong-modulus
+    merge run until the purity check killed it mid-stream)."""
+    from multiversx_etl_spark.streaming.ingest import stream_ingest
+
+    log = generate_change_log(spark, 500, num_repos=5, paths_per_repo=10,
+                              partitions=2)
+    blog = str(tmp_path / "blog")
+    write_log_bucketed(log, blog, 4, table_name="mxetl_sjv_gen")
+    spark.sql("DROP TABLE IF EXISTS mxetl_sjv_gen")
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), REPOS,
+        key_columns=["repo", "path"], num_buckets=8, layout="spark",
+    )
+    with pytest.raises(ValueError, match="cannot serve the join fold"):
+        stream_ingest(spark, blog, t, str(tmp_path / "ckpt"), fold="join")
+    plain = str(tmp_path / "plain")
+    write_log_parquet(log, plain, files=2)
+    with pytest.raises(ValueError, match="no _bucket_spec.json"):
+        stream_ingest(spark, plain, t, str(tmp_path / "ckpt2"), fold="join")
