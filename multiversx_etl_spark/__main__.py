@@ -75,6 +75,17 @@ def main(argv: list[str] | None = None) -> int:
         "of offset-ranged plain parquet — the input shape the zero-exchange "
         "replay (--fold join) consumes",
     )
+    g.add_argument(
+        "--table", default=None, metavar="INDEX",
+        help="generate for a DEPLOYMENT-CATALOG table (catalog.py — any of "
+        "the reference's 17 indices, e.g. accounts/tokens/events) from its "
+        "declared log schema instead of the default repos fixture; replay "
+        "it with run-config (schema/normalizer = the same name)",
+    )
+    g.add_argument(
+        "--keys", type=int, default=None,
+        help="distinct _id count for --table logs (default 1/10 of events)",
+    )
 
     i = sub.add_parser("init", help="create the lake table")
     i.add_argument("table")
@@ -372,17 +383,31 @@ def _dispatch(spark, args) -> int:
 
     if args.cmd == "gen-log":
         from multiversx_etl_spark.sources.changelog import (
+            generate_catalog_log,
             generate_change_log,
             write_log_bucketed,
             write_log_parquet,
         )
 
-        log = generate_change_log(
-            spark, args.events, num_repos=args.repos,
-            patch_fraction=args.patch_fraction,
-        )
+        if args.table:
+            if args.patch_fraction:
+                print("error: --patch-fraction applies to the repos fixture only",
+                      file=sys.stderr)
+                return 2
+            log = generate_catalog_log(
+                spark, args.events, args.table,
+                num_keys=args.keys or max(1, args.events // 10),
+            )
+            key_columns: tuple[str, ...] = ("_id",)
+        else:
+            log = generate_change_log(
+                spark, args.events, num_repos=args.repos,
+                patch_fraction=args.patch_fraction,
+            )
+            key_columns = ("repo", "path")
         if args.bucketed:
-            write_log_bucketed(log, args.path, args.bucketed)
+            write_log_bucketed(log, args.path, args.bucketed,
+                               key_columns=key_columns)
         else:
             write_log_parquet(log, args.path, files=args.files)
         print(json.dumps({"written": spark.read.parquet(args.path).count()}))

@@ -88,6 +88,13 @@ class WorkerConfig:
     #: table at run time); "auto" (default) picks "join" whenever the log's
     #: _bucket_spec.json sidecar matches the table and "union" otherwise
     fold: str = "auto"
+    #: the reference's two index-processing modes
+    #: (app_controller.py:55-102): "append_only" (default) replays the log
+    #: incrementally with exactly-once epochs; "mutable" TRUNCATES and
+    #: reloads the table from scratch each iteration (process_mutable_indices
+    #: :55-71 — truncate_tables then a full re-consume) via a single
+    #: bootstrap-snapshot commit of the log's folded live state
+    processing: str = "append_only"
 
     def erratum_for(self, table: str) -> int:
         """Accepted signed drift for a table (reference
@@ -114,6 +121,7 @@ _KNOWN = {
     "interval_size", "num_buckets", "mode", "compact_every",
     "compact_preserve_patches", "max_files_per_trigger", "trigger_interval",
     "fail_on_counts_mismatch", "counts_checks_errata", "layout", "fold",
+    "processing",
 }
 
 
@@ -156,6 +164,10 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
         )
     if cfg.fold == "join" and (cfg.layout == "xxhash" or cfg.mode != "mor"):
         raise ConfigError("fold='join' requires layout='spark' and mode='mor'")
+    if cfg.processing not in ("append_only", "mutable"):
+        raise ConfigError(
+            f"processing must be 'append_only' or 'mutable', got {cfg.processing!r}"
+        )
     if not isinstance(cfg.interval_size, int) or cfg.interval_size <= 0:
         raise ConfigError("interval_size must be a positive integer")
     if not isinstance(cfg.num_buckets, int) or cfg.num_buckets <= 0:
@@ -242,6 +254,44 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
         schema=target_schema, key_columns=key_columns,
         layout=_resolved_layout(cfg, key_columns),
     )
+    if cfg.processing == "mutable":
+        # the reference's mutable-index iteration: TRUNCATE + full reload
+        # (app_controller.py:55-71). One bootstrap-snapshot commit replaces
+        # the entire table with the log's folded live state — atomic, so
+        # readers never observe the truncated-but-unloaded window the
+        # reference's two-step flow has.
+        if streaming:
+            raise ConfigError("processing='mutable' is a batch reload, not a stream")
+        import pyspark.sql.functions as F
+
+        from multiversx_etl_spark.operators.dedup import dedup_latest
+        from multiversx_etl_spark.streaming.ingest import bootstrap_snapshot
+
+        norm = normalizer(spark.read.parquet(cfg.log_path))
+        if norm.where(F.col("op") == "patch").limit(1).count() > 0:
+            # whole-row fold below would coarsen column-level patch LWW
+            raise ConfigError(
+                "processing='mutable' does not support op='patch' logs; "
+                "use the incremental append_only path"
+            )
+        live = (
+            dedup_latest(norm, key_columns)
+            .where(F.col("op") != "delete")
+            .drop("op", "offset")
+        )
+        rows = bootstrap_snapshot(table, live)
+        summary = {"processing": "mutable", "rows_loaded": rows}
+        report = reconcile(
+            table,
+            expected_state(norm, key_columns=key_columns),
+            key_columns=key_columns,
+            erratum=cfg.erratum_for(cfg.name),
+            raise_on_mismatch=cfg.fail_on_counts_mismatch,
+        )
+        summary["reconcile_ok"] = report.ok
+        summary["missing"] = report.missing
+        summary["unexpected"] = report.unexpected
+        return summary
     if streaming:
         if checkpoint_dir is None:
             raise ConfigError("streaming=True requires checkpoint_dir")

@@ -169,6 +169,36 @@ def normalize_block_events(df: DataFrame) -> DataFrame:
     return df
 
 
+def normalizer_from_spec(spec) -> Callable[[DataFrame], DataFrame]:
+    """Build the runtime normalizer from a declarative ``catalog.
+    TransformSpec`` — the SAME spec the catalog derives the target schema
+    from, so transformer and declared lake schema cannot drift. All pure
+    JVM column expressions (prefix drops, exact drops, nested HOF drops,
+    NULL-array scrubs); schema-evolution tolerant (absent columns skip)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        if spec.drop_prefixes:
+            df = drop_volatile_columns(df, spec.drop_prefixes)
+        doomed = [c for c in spec.drop_fields if c in df.columns]
+        if doomed:
+            df = df.drop(*doomed)
+        for path in spec.nested_drops:
+            if path[0] in df.columns:
+                df = drop_nested_field_path(df, path[0], list(path[1:]))
+        if spec.scrub_null_arrays:
+            arr = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, ArrayType)
+                and isinstance(f.dataType.elementType, StringType)
+            ]
+            if arr:
+                df = scrub_null_array_elements(df, arr)
+        return df
+
+    return fn
+
+
 #: table name → normalization fn (TransformersRegistry analog,
 #: transformers.py:6-17: per-index dispatch by name).
 REGISTRY: dict[str, Callable[[DataFrame], DataFrame]] = {
@@ -176,6 +206,21 @@ REGISTRY: dict[str, Callable[[DataFrame], DataFrame]] = {
     "commit_events": normalize_commit_events,
     "block_events": normalize_block_events,
 }
+
+# Every catalog table dispatches by its own name (the reference's
+# get_transformer(index_name), transformers.py:16-17): the four declared
+# specs get their spec-built normalizer, the rest the identity spec —
+# exactly the trivial_transformer fallback.
+from multiversx_etl_spark.catalog import (  # noqa: E402  (registry wiring)
+    DEFAULT_SPEC as _DEFAULT_SPEC,
+    SPECS as _SPECS,
+    catalog_table_names as _catalog_table_names,
+)
+
+for _name in _catalog_table_names():
+    REGISTRY.setdefault(
+        _name, normalizer_from_spec(_SPECS.get(_name, _DEFAULT_SPEC))
+    )
 
 
 def get_normalizer(table: str) -> Callable[[DataFrame], DataFrame]:

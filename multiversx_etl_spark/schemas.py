@@ -138,67 +138,36 @@ COMMITS = StructType(
     ]
 )
 
-#: THIRD declared table (``blocks``): loaded from a BigQuery-JSON schema
-#: FILE at import time — the data-driven declaration path the reference
-#: actually uses (schema/*.json + bq_client.py:86 schema_from_json) rather
-#: than a hand-written StructType. The file carries the reference's
-#: structural hard parts: 2-deep RECORD REPEATED nesting
-#: (epochStartShardsData[].pendingMiniBlockHeaders[]) with ``reserved``
-#: subfields the BlocksTransformer strips (transformers.py:42-52),
-#: NUMERIC→decimal(38,9) leaves, and a REQUIRED ``_id`` key.
-import json as _json
-from importlib import resources as _resources
+#: The remaining declared tables come from the DEPLOYMENT CATALOG
+#: (catalog.py): every ``bq_schemas/*.json`` file — the full set of the
+#: reference's 17 indices — loads into (log schema, target schema, key)
+#: with its TransformSpec driving the target derivation, exactly the
+#: data-driven path the reference uses (schema/*.json + bq_client.py:86
+#: schema_from_json, resolved by index name).
+from multiversx_etl_spark.catalog import catalog_tables as _catalog_tables
 
-from multiversx_etl_spark.sources.bq_schema import (
-    drop_schema_field,
-    struct_type_from_bq_json,
-)
+_CATALOG = _catalog_tables()
 
-# importlib.resources, NOT a filesystem path: on a cluster the package is
-# imported from the spark-submit --py-files ZIP, where __file__-relative
-# open() does not resolve (the submit e2e test runs exactly that path).
-BLOCK_PAYLOAD = struct_type_from_bq_json(
-    _json.loads(
-        _resources.files("multiversx_etl_spark")
-        .joinpath("bq_schemas/blocks.json")
-        .read_text()
-    )
-)
-
-#: The blocks change log: CDC bookkeeping + the BQ-declared payload.
-BLOCK_EVENTS = StructType(
-    [
-        StructField("offset", LongType(), False),
-        StructField("seq", LongType(), False),
-        StructField("op", StringType(), False),
-    ]
-    + list(BLOCK_PAYLOAD.fields)
-)
-
-#: The blocks lakehouse target = the declared payload minus what the
-#: normalizer strips (top-level pubKeyBitmap + reserved, and the 2-deep
-#: nested reserved), plus engine bookkeeping. Derived from the SAME file,
-#: so schema and transformer cannot drift apart.
-_BLOCKS_CLEAN = drop_schema_field(
-    drop_schema_field(drop_schema_field(BLOCK_PAYLOAD, ["pubKeyBitmap"]), ["reserved"]),
-    ["epochStartShardsData", "pendingMiniBlockHeaders", "reserved"],
-)
-BLOCKS = StructType(
-    list(_BLOCKS_CLEAN.fields)
-    + [
-        StructField("seq", LongType(), False),
-        StructField("deleted", BooleanType(), False),
-    ]
-)
+#: ``blocks`` aliases (the shipped loader example — 2-deep RECORD REPEATED
+#: nesting with ``reserved`` subfields the BlocksTransformer strips,
+#: transformers.py:42-52; NUMERIC→decimal(38,9) leaves; REQUIRED ``_id``).
+BLOCK_PAYLOAD = _CATALOG["blocks"].payload
+BLOCK_EVENTS = _CATALOG["blocks"].log_schema
+BLOCKS = _CATALOG["blocks"].target_schema
 
 #: Declared-table registry (the analog of the reference's schema/*.json
 #: directory loaded by name at bq_client.py:86): table name → (log schema,
 #: target schema, upsert key). Every table the engine ingests resolves
-#: through here — schemas are declared, never inferred.
+#: through here — schemas are declared, never inferred. ``repos`` and
+#: ``commits`` are the engine's own fixtures; the rest is the reference's
+#: index catalog.
 TABLES: dict[str, tuple[StructType, StructType, list[str]]] = {
     "repos": (CHANGE_EVENTS, REPOS, ["repo", "path"]),
     "commits": (COMMIT_EVENTS, COMMITS, ["repo", "commit"]),
-    "blocks": (BLOCK_EVENTS, BLOCKS, ["_id"]),
+    **{
+        name: (t.log_schema, t.target_schema, list(t.key_columns))
+        for name, t in _CATALOG.items()
+    },
 }
 
 #: Per-batch, per-bucket lineage ledger (FIXTURES.md §3).

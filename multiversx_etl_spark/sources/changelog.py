@@ -335,6 +335,118 @@ def generate_block_log(
     )
 
 
+def generate_catalog_log(
+    spark: SparkSession,
+    num_events: int,
+    table: str,
+    num_keys: int = 50,
+    dup_fraction: float = 0.01,
+    null_element_fraction: float = 0.2,
+    base_ts: int = 1_596_117_600,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic change log for ANY catalog table (catalog.py — the
+    reference's 17 indices), synthesized from the table's DECLARED log
+    schema: every leaf is a pure function of (seq, field path), recursing
+    through struct and array levels, so any two runs produce byte-identical
+    logs and an independent oracle can re-derive the expected state. String
+    ARRAY elements go NULL at ``null_element_fraction`` (the EventsTransformer
+    scrub needs work to do, transformers.py:67-77); volatile ``api_*``/
+    ``nft_*`` log-only fields are generated like any other and stripped by
+    the normalizer. Same offset/seq/op discipline as the other generators."""
+    import zlib
+
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        BooleanType,
+        DataType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    from multiversx_etl_spark.catalog import catalog_tables
+
+    cat = catalog_tables()[table]
+    n_dups = int(num_events * dup_fraction)
+    total = num_events + n_dups
+    rng = spark.range(0, total, 1, partitions) if partitions else spark.range(total)
+    eff = F.when(F.col("id") < num_events, F.col("id")).otherwise(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(107)), F.lit(num_events))
+    )
+    df = rng.select(F.col("id").alias("offset"), eff.alias("seq"))
+    seq = F.col("seq")
+
+    def salt(path: str) -> int:
+        return zlib.crc32(f"{table}/{path}".encode()) & 0x7FFFFFFF
+
+    def synth(dt: DataType, path: str, in_array: bool = False):
+        s = salt(path)
+        if isinstance(dt, StructType):
+            return F.struct(
+                *[synth(f.dataType, f"{path}.{f.name}").alias(f.name) for f in dt.fields]
+            )
+        if isinstance(dt, ArrayType):
+            one = synth(dt.elementType, f"{path}[0]", in_array=True)
+            two = synth(dt.elementType, f"{path}[1]", in_array=True)
+            return F.when(
+                F.pmod(F.xxhash64(seq, F.lit(s)), F.lit(2)) == 0, F.array(one, two)
+            ).otherwise(F.array(one))
+        if isinstance(dt, StringType):
+            v = F.md5(F.concat_ws("#", seq.cast("string"), F.lit(path)))
+            if in_array and null_element_fraction > 0:
+                # NULL elements only INSIDE arrays (BQ REPEATED's problem case)
+                return F.when(
+                    F.pmod(F.xxhash64(seq, F.lit(s + 1)), F.lit(100))
+                    < int(null_element_fraction * 100),
+                    F.lit(None).cast("string"),
+                ).otherwise(v)
+            return v
+        if isinstance(dt, LongType):
+            return F.pmod(F.xxhash64(seq, F.lit(s)), F.lit(100_000))
+        if isinstance(dt, DoubleType):
+            return (F.pmod(F.xxhash64(seq, F.lit(s)), F.lit(1_000_000)) / 100.0)
+        if isinstance(dt, DecimalType):
+            return F.pmod(F.xxhash64(seq, F.lit(s)), F.lit(100_000)).cast(dt)
+        if isinstance(dt, BooleanType):
+            return F.pmod(F.xxhash64(seq, F.lit(s)), F.lit(2)) == 0
+        if isinstance(dt, TimestampType):
+            return F.timestamp_seconds(F.lit(base_ts) + seq)
+        if isinstance(dt, TimestampNTZType):
+            return F.timestamp_seconds(F.lit(base_ts) + seq).cast(dt)
+        if isinstance(dt, DateType):
+            return F.date_add(F.lit("2020-07-30"), F.pmod(seq, F.lit(365)).cast("int"))
+        if isinstance(dt, BinaryType):
+            return F.to_binary(
+                F.md5(F.concat_ws("#", seq.cast("string"), F.lit(path))), F.lit("hex")
+            )
+        raise ValueError(f"no synthesizer for {dt.simpleString()} at {path}")
+
+    op_draw = F.pmod(F.xxhash64(seq, F.lit(109)), F.lit(100))
+    cols = [
+        F.col("offset"),
+        seq,
+        F.when(op_draw < 10, F.lit("delete"))
+        .when(op_draw < 60, F.lit("update"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+    ]
+    for f in cat.log_schema.fields[3:]:  # skip offset/seq/op bookkeeping
+        if f.name == "_id":
+            kidx = F.pmod(F.xxhash64(seq, F.lit(113)), F.lit(num_keys))
+            expr = F.md5(F.concat_ws("|", F.lit(table), kidx.cast("string")))
+        else:
+            expr = synth(f.dataType, f.name)
+        cols.append(expr.cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
 def read_offset_range(log: DataFrame, lo: int, hi: int) -> DataFrame:
     """Half-open arrival-range scan [lo, hi) — the A1 range-scan source.
 
