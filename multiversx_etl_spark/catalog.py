@@ -184,6 +184,25 @@ def catalog_tables() -> dict[str, CatalogTable]:
     return out
 
 
+def load_table_from_folder(folder: str, name: str) -> CatalogTable:
+    """Resolve a declared table from an EXTERNAL schema folder — the
+    reference's ``schema_folder`` worker-config key (its configs carry
+    ``"schema_folder": "./schema"`` and bq_client.py:84-87 loads
+    ``{folder}/{index}.json`` by name). Deployments ship their own schema
+    files without touching the packaged catalog; the TransformSpec still
+    resolves by table name (transformers are code, schemas are data —
+    exactly the reference's split). Because the SCHEMA FILE is the source
+    of truth, editing it (adding a field) flows straight into the next
+    run's declared log/target schemas — the lake table evolves on the next
+    MERGE."""
+    import os
+
+    path = os.path.join(folder, f"{name}.json")
+    with open(path) as fh:
+        payload = struct_type_from_bq_json(json.load(fh))
+    return _load_one(name, payload)
+
+
 def catalog_table_names() -> list[str]:
     root = _resources.files("multiversx_etl_spark").joinpath("bq_schemas")
     return sorted(

@@ -95,6 +95,16 @@ class WorkerConfig:
     #: :55-71 — truncate_tables then a full re-consume) via a single
     #: bootstrap-snapshot commit of the log's folded live state
     processing: str = "append_only"
+    #: optional EXTERNAL schema directory — the reference's ``schema_folder``
+    #: config key (worker_config_mainnet.json carries
+    #: ``"schema_folder": "./schema"``; bq_client.py:84-87 loads
+    #: ``{folder}/{index}.json`` by name). When set, ``schema`` names a JSON
+    #: file in that folder instead of a packaged-catalog key, so deployments
+    #: ship their own schema files; editing the file (adding a field) flows
+    #: into the next run's declared schemas and the lake evolves on MERGE.
+    #: The TransformSpec still resolves by table name (transformers are
+    #: code, schemas are data — the reference's split).
+    schema_folder: str | None = None
 
     def erratum_for(self, table: str) -> int:
         """Accepted signed drift for a table (reference
@@ -121,7 +131,7 @@ _KNOWN = {
     "interval_size", "num_buckets", "mode", "compact_every",
     "compact_preserve_patches", "max_files_per_trigger", "trigger_interval",
     "fail_on_counts_mismatch", "counts_checks_errata", "layout", "fold",
-    "processing",
+    "processing", "schema_folder",
 }
 
 
@@ -181,6 +191,20 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
     from multiversx_etl_spark.operators.normalize import REGISTRY
     from multiversx_etl_spark.schemas import TABLES
 
+    if cfg.schema_folder is not None:
+        # external schema files (the reference's schema_folder): the file
+        # must exist NOW — a typo'd path failing at plan time, not at the
+        # first replay, is the whole point of validating configs up front
+        schema_path = os.path.join(cfg.schema_folder, f"{cfg.schema}.json")
+        if not os.path.isfile(schema_path):
+            raise ConfigError(f"schema file not found: {schema_path}")
+        if cfg.normalizer not in REGISTRY and cfg.normalizer != cfg.schema:
+            raise ConfigError(
+                f"unknown normalizer {cfg.normalizer!r}: with schema_folder it "
+                f"must be a registry name (have {sorted(REGISTRY)}) or the "
+                f"table name itself (spec-resolved)"
+            )
+        return cfg
     if cfg.schema not in TABLES:
         raise ConfigError(f"unknown declared schema {cfg.schema!r} (have {sorted(TABLES)})")
     if cfg.normalizer not in REGISTRY:
@@ -193,6 +217,34 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
 def load_worker_config(path: str) -> WorkerConfig | MultiWorkerConfig:
     with open(path) as fh:
         return worker_config_from_dict(json.load(fh))
+
+
+def _resolve_table(cfg: WorkerConfig):
+    """(log schema, target schema, key columns, normalizer fn) for a config:
+    the packaged declared-table registry by default, or an external
+    ``schema_folder`` file (the reference's `{folder}/{index}.json` by-name
+    resolution, bq_client.py:84-87) with the TransformSpec looked up by
+    table name."""
+    from multiversx_etl_spark.operators.normalize import REGISTRY
+    from multiversx_etl_spark.schemas import TABLES
+
+    if cfg.schema_folder is not None:
+        from multiversx_etl_spark.catalog import (
+            DEFAULT_SPEC,
+            SPECS,
+            load_table_from_folder,
+        )
+        from multiversx_etl_spark.operators.normalize import normalizer_from_spec
+
+        cat = load_table_from_folder(cfg.schema_folder, cfg.schema)
+        normalizer = (
+            REGISTRY[cfg.normalizer]
+            if cfg.normalizer in REGISTRY
+            else normalizer_from_spec(SPECS.get(cfg.schema, DEFAULT_SPEC))
+        )
+        return cat.log_schema, cat.target_schema, list(cat.key_columns), normalizer
+    log_schema, target_schema, key_columns = TABLES[cfg.schema]
+    return log_schema, target_schema, key_columns, REGISTRY[cfg.normalizer]
 
 
 def _resolved_layout(cfg: WorkerConfig, key_columns) -> str:
@@ -238,17 +290,14 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
         return {"tables": tables, "reconcile_ok": ok}
 
     from multiversx_etl_spark.operators.checks import reconcile
-    from multiversx_etl_spark.operators.normalize import REGISTRY
     from multiversx_etl_spark.oracle import expected_state
-    from multiversx_etl_spark.schemas import TABLES
     from multiversx_etl_spark.streaming.ingest import (
         ensure_table,
         replay,
         stream_ingest,
     )
 
-    log_schema, target_schema, key_columns = TABLES[cfg.schema]
-    normalizer = REGISTRY[cfg.normalizer]
+    log_schema, target_schema, key_columns, normalizer = _resolve_table(cfg)
     table = ensure_table(
         spark, cfg.table_root, num_buckets=cfg.num_buckets,
         schema=target_schema, key_columns=key_columns,
@@ -267,7 +316,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
         from multiversx_etl_spark.operators.dedup import dedup_latest
         from multiversx_etl_spark.streaming.ingest import bootstrap_snapshot
 
-        norm = normalizer(spark.read.parquet(cfg.log_path))
+        norm = normalizer(spark.read.schema(log_schema).parquet(cfg.log_path))
         if norm.where(F.col("op") == "patch").limit(1).count() > 0:
             # whole-row fold below would coarsen column-level patch LWW
             raise ConfigError(
@@ -346,7 +395,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
                 key_columns=tuple(key_columns), schema=log_schema,
             )
         else:
-            log = spark.read.parquet(cfg.log_path)
+            log = spark.read.schema(log_schema).parquet(cfg.log_path)
         s = replay(
             log, table,
             interval_size=cfg.interval_size,
@@ -364,7 +413,8 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
     report = reconcile(
         table,
         expected_state(
-            normalizer(spark.read.parquet(cfg.log_path)), key_columns=key_columns
+            normalizer(spark.read.schema(log_schema).parquet(cfg.log_path)),
+            key_columns=key_columns,
         ),
         key_columns=key_columns,
         erratum=cfg.erratum_for(cfg.name),
@@ -408,8 +458,6 @@ def stream_with_config_reload(
     group."""
     import time as _time
 
-    from multiversx_etl_spark.operators.normalize import REGISTRY
-    from multiversx_etl_spark.schemas import TABLES
     from multiversx_etl_spark.streaming.ingest import ensure_table, stream_ingest
 
     applied: list[dict[str, Any]] = []
@@ -423,7 +471,7 @@ def stream_with_config_reload(
             raise ConfigError("stream_with_config_reload takes a single-table config")
         if cfg.trigger_interval is None:
             raise ConfigError("stream_with_config_reload requires trigger_interval")
-        log_schema, target_schema, key_columns = TABLES[cfg.schema]
+        log_schema, target_schema, key_columns, normalizer = _resolve_table(cfg)
         table = ensure_table(
             spark, cfg.table_root, num_buckets=cfg.num_buckets,
             schema=target_schema, key_columns=key_columns,
@@ -445,7 +493,7 @@ def stream_with_config_reload(
             compact_every=cfg.compact_every,
             compact_preserve_patches=cfg.compact_preserve_patches,
             trigger_interval=cfg.trigger_interval,
-            normalizer=REGISTRY[cfg.normalizer],
+            normalizer=normalizer,
             log_schema=log_schema,
             fold=cfg.fold,
         )

@@ -344,10 +344,15 @@ def generate_catalog_log(
     null_element_fraction: float = 0.2,
     base_ts: int = 1_596_117_600,
     partitions: int | None = None,
+    log_schema=None,
+    offset_base: int = 0,
 ) -> DataFrame:
     """Deterministic change log for ANY catalog table (catalog.py — the
-    reference's 17 indices), synthesized from the table's DECLARED log
-    schema: every leaf is a pure function of (seq, field path), recursing
+    reference's 17 indices; pass ``log_schema`` explicitly for an
+    external-``schema_folder`` table, and ``offset_base`` to append a later
+    generation after the first ``offset_base`` events), synthesized from
+    the table's DECLARED log schema: every leaf is a pure function of
+    (seq, field path), recursing
     through struct and array levels, so any two runs produce byte-identical
     logs and an independent oracle can re-derive the expected state. String
     ARRAY elements go NULL at ``null_element_fraction`` (the EventsTransformer
@@ -371,16 +376,19 @@ def generate_catalog_log(
         TimestampType,
     )
 
-    from multiversx_etl_spark.catalog import catalog_tables
+    if log_schema is None:
+        from multiversx_etl_spark.catalog import catalog_tables
 
-    cat = catalog_tables()[table]
+        log_schema = catalog_tables()[table].log_schema
     n_dups = int(num_events * dup_fraction)
     total = num_events + n_dups
     rng = spark.range(0, total, 1, partitions) if partitions else spark.range(total)
     eff = F.when(F.col("id") < num_events, F.col("id")).otherwise(
         F.pmod(F.xxhash64(F.col("id"), F.lit(107)), F.lit(num_events))
+    ) + F.lit(offset_base)
+    df = rng.select(
+        (F.col("id") + F.lit(offset_base)).alias("offset"), eff.alias("seq")
     )
-    df = rng.select(F.col("id").alias("offset"), eff.alias("seq"))
     seq = F.col("seq")
 
     def salt(path: str) -> int:
@@ -437,7 +445,7 @@ def generate_catalog_log(
         .otherwise(F.lit("insert"))
         .alias("op"),
     ]
-    for f in cat.log_schema.fields[3:]:  # skip offset/seq/op bookkeeping
+    for f in log_schema.fields[3:]:  # skip offset/seq/op bookkeeping
         if f.name == "_id":
             kidx = F.pmod(F.xxhash64(seq, F.lit(113)), F.lit(num_keys))
             expr = F.md5(F.concat_ws("|", F.lit(table), kidx.cast("string")))

@@ -326,6 +326,110 @@ def test_mutable_processing_rejects_patch_logs(spark, tmp_path):
         run_from_config(spark, cfg)
 
 
+def test_catalog_table_streams_end_to_end(spark, tmp_path):
+    """A catalog index through the Structured Streaming path (config
+    surface, streaming=True): declared log schema on the file source,
+    per-index normalizer in foreachBatch, reconcile green at drain."""
+    from multiversx_etl_spark.config import run_from_config, worker_config_from_dict
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        write_log_parquet,
+    )
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_catalog_log(spark, 300, "events", num_keys=30), log_path, files=4
+    )
+    cfg = worker_config_from_dict({
+        "name": "events", "schema": "events", "normalizer": "events",
+        "table_root": str(tmp_path / "t"), "log_path": log_path,
+        "num_buckets": 4, "max_files_per_trigger": 2,
+    })
+    s = run_from_config(
+        spark, cfg, streaming=True, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert s["reconcile_ok"]
+
+
+def test_schema_folder_external_table_and_evolution(spark, tmp_path):
+    """The reference's ``schema_folder`` config key: a deployment-owned
+    schema JSON folder resolved by table name (bq_client.py:84-87), with
+    the schema FILE as the source of truth — editing it (adding a field)
+    flows into the next run's declared schemas and the lake table evolves
+    on MERGE, old rows reading NULL for the new column."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from multiversx_etl_spark.catalog import load_table_from_folder
+    from multiversx_etl_spark.config import run_from_config, worker_config_from_dict
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        write_log_parquet,
+    )
+
+    folder = tmp_path / "schemas"
+    folder.mkdir()
+    v1 = [
+        {"name": "_id", "type": "STRING", "mode": "REQUIRED"},
+        {"name": "name", "type": "STRING"},
+        {"name": "timestamp", "type": "TIMESTAMP"},
+    ]
+    (folder / "widgets.json").write_text(json.dumps(v1))
+    log_path = str(tmp_path / "log")
+
+    def cfg():
+        return worker_config_from_dict({
+            "name": "widgets", "schema": "widgets", "normalizer": "widgets",
+            "schema_folder": str(folder),
+            "table_root": str(tmp_path / "t"), "log_path": log_path,
+            "interval_size": 250, "num_buckets": 4,
+        })
+
+    cat1 = load_table_from_folder(str(folder), "widgets")
+    write_log_parquet(
+        generate_catalog_log(
+            spark, 200, "widgets", num_keys=20, log_schema=cat1.log_schema
+        ),
+        log_path, files=2,
+    )
+    s1 = run_from_config(spark, cfg())
+    assert s1["reconcile_ok"]
+    assert "score" not in LakeTable(spark, str(tmp_path / "t")).read().columns
+
+    # EVOLVE THE FILE: add a column; append a second log generation that
+    # carries it (touching only keys 0-4 of the same _id space)
+    (folder / "widgets.json").write_text(json.dumps(
+        v1 + [{"name": "score", "type": "INTEGER"}]
+    ))
+    cat2 = load_table_from_folder(str(folder), "widgets")
+    assert "score" in cat2.log_schema.fieldNames()
+    generate_catalog_log(
+        spark, 100, "widgets", num_keys=5, log_schema=cat2.log_schema,
+        offset_base=250,
+    ).write.mode("append").parquet(log_path)
+
+    s2 = run_from_config(spark, cfg())
+    assert s2["reconcile_ok"]
+    out = LakeTable(spark, str(tmp_path / "t")).read()
+    assert "score" in out.columns
+    # v2-touched keys carry scores; keys last written in generation 1 read
+    # NULL for the new column (old files evolve, values aren't invented)
+    assert out.where(F.col("score").isNotNull()).count() > 0
+    assert out.where(F.col("score").isNull()).count() > 0
+
+
+def test_schema_folder_validates_file_and_normalizer():
+    from multiversx_etl_spark.config import ConfigError, worker_config_from_dict
+
+    with pytest.raises(ConfigError, match="schema file not found"):
+        worker_config_from_dict({
+            "table_root": "/x", "log_path": "/y",
+            "schema": "nope", "schema_folder": "/definitely/missing",
+        })
+
+
 def test_shipped_catalog_config_example_loads():
     """The packaged example config (the worker_config_mainnet.json analog:
     8 append-only MOR tables + 7 mutable cow tables, per-index errata)
