@@ -339,6 +339,18 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.cmd == "package":  # no Spark session needed
         return _package(args.out)
+    if args.cmd == "gen-log" and args.table is not None:
+        # validate the index name BEFORE paying the JVM spin-up: a typo
+        # must be a one-line error, not a KeyError traceback 20s in
+        from multiversx_etl_spark.catalog import catalog_table_names
+
+        if args.table not in catalog_table_names():
+            print(
+                f"error: unknown catalog index {args.table!r} "
+                f"(have {', '.join(catalog_table_names())})",
+                file=sys.stderr,
+            )
+            return 2
     spark = _spark(args)
     try:
         return _dispatch(spark, args)

@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 
 from multiversx_etl_spark.sources.bq_schema import (
     drop_schema_field,
+    schema_has_path,
     struct_type_from_bq_json,
 )
 
@@ -124,7 +125,11 @@ class CatalogTable(NamedTuple):
 
 def _derive_target(payload: StructType, spec: TransformSpec) -> StructType:
     """Target payload = declared payload minus the spec's drops (the
-    schema-side twin of the normalizer; both read the same spec)."""
+    schema-side twin of the normalizer; both read the same spec). Every
+    drop is IDEMPOTENT — absent fields/paths are skipped, mirroring the
+    normalizer's tolerance — because external schema files (the reference's
+    own ``schema/*.json`` included) may already declare the post-transform
+    shape."""
     out = payload
     for name in spec.drop_fields:
         if name in out.fieldNames():
@@ -134,19 +139,26 @@ def _derive_target(payload: StructType, spec: TransformSpec) -> StructType:
             [f for f in out.fields if not f.name.startswith(spec.drop_prefixes)]
         )
     for path in spec.nested_drops:
-        if path[0] in out.fieldNames():
+        if schema_has_path(out, list(path)):
             out = drop_schema_field(out, list(path))
     return out
 
 
 def _load_one(name: str, payload: StructType) -> CatalogTable:
     spec = SPECS.get(name, DEFAULT_SPEC)
+    # volatile raw fields extend the log schema ONLY when the payload does
+    # not already declare them: an external schema file written in the RAW
+    # shape (api_*/nft_* present) must not produce duplicate column names —
+    # spark.read.schema() would reject the whole table as ambiguous
+    declared = set(payload.fieldNames())
     volatile = (
-        list(
-            struct_type_from_bq_json(
+        [
+            f
+            for f in struct_type_from_bq_json(
                 [{"name": n, "type": t} for n, t in spec.volatile_fields]
             ).fields
-        )
+            if f.name not in declared
+        ]
         if spec.volatile_fields
         else []
     )

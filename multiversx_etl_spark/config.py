@@ -278,6 +278,16 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
     and reports per-table summaries plus an overall ``reconcile_ok``.
     Streaming multi-table runs give each table its own checkpoint subdir."""
     if isinstance(cfg, MultiWorkerConfig):
+        if streaming:
+            # fail the WHOLE run before any table job starts: dying on the
+            # 9th table after 8 streaming drains (and after creating the
+            # mutable table empty) would leave a half-executed iteration
+            bad = [j.name for j in cfg.tables if j.processing == "mutable"]
+            if bad:
+                raise ConfigError(
+                    f"processing='mutable' tables {bad} cannot run in a "
+                    f"streaming iteration: mutable is a batch reload"
+                )
         tables: dict[str, Any] = {}
         ok = True
         for job in cfg.tables:
@@ -297,6 +307,10 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
         stream_ingest,
     )
 
+    if streaming and cfg.processing == "mutable":
+        # before ensure_table: refusing AFTER creating the (empty) table
+        # would leave state behind for a run that never happened
+        raise ConfigError("processing='mutable' is a batch reload, not a stream")
     log_schema, target_schema, key_columns, normalizer = _resolve_table(cfg)
     table = ensure_table(
         spark, cfg.table_root, num_buckets=cfg.num_buckets,
@@ -309,20 +323,22 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
         # the entire table with the log's folded live state — atomic, so
         # readers never observe the truncated-but-unloaded window the
         # reference's two-step flow has.
-        if streaming:
-            raise ConfigError("processing='mutable' is a batch reload, not a stream")
         import pyspark.sql.functions as F
 
         from multiversx_etl_spark.operators.dedup import dedup_latest
         from multiversx_etl_spark.streaming.ingest import bootstrap_snapshot
 
-        norm = normalizer(spark.read.schema(log_schema).parquet(cfg.log_path))
-        if norm.where(F.col("op") == "patch").limit(1).count() > 0:
+        raw = spark.read.schema(log_schema).parquet(cfg.log_path)
+        # probe the RAW op column (normalizers never synthesize patches):
+        # pushed-down predicate + single-column scan + limit(1), not a
+        # third full pass over normalized wide rows
+        if raw.select("op").where(F.col("op") == "patch").limit(1).count() > 0:
             # whole-row fold below would coarsen column-level patch LWW
             raise ConfigError(
                 "processing='mutable' does not support op='patch' logs; "
                 "use the incremental append_only path"
             )
+        norm = normalizer(raw)
         live = (
             dedup_latest(norm, key_columns)
             .where(F.col("op") != "delete")
@@ -518,15 +534,31 @@ def stream_with_config_reload(
                     _time.sleep(poll_seconds)
                     continue
                 if new_mtime != mtime:
-                    # parse the NEW config BEFORE stopping the query: ops
-                    # file edits are not atomic, so a torn/invalid read must
-                    # leave the running generation untouched. mtime advances
-                    # only on a SUCCESSFUL load — a torn read whose
-                    # completing write lands in the same coarse mtime tick
-                    # is retried next poll, never silently dropped.
+                    # parse AND resolve the NEW config BEFORE stopping the
+                    # query: ops file edits are not atomic, so a torn/invalid
+                    # read must leave the running generation untouched —
+                    # and that includes the schema_folder FILES the config
+                    # points at (_resolve_table reads them), a mid-rewrite
+                    # schema JSON, or an edit that no longer fits this
+                    # supervisor (multi-table / no trigger). Deferring any
+                    # of these to the loop top would raise AFTER q.stop().
+                    # mtime advances only on a SUCCESSFUL load — a torn read
+                    # whose completing write lands in the same coarse mtime
+                    # tick is retried next poll, never silently dropped.
                     try:
-                        cfg = load_worker_config(config_path)
-                    except (ConfigError, ValueError, OSError) as e:
+                        new_cfg = load_worker_config(config_path)
+                        if isinstance(new_cfg, MultiWorkerConfig):
+                            raise ConfigError(
+                                "stream_with_config_reload takes a "
+                                "single-table config"
+                            )
+                        if new_cfg.trigger_interval is None:
+                            raise ConfigError(
+                                "stream_with_config_reload requires "
+                                "trigger_interval"
+                            )
+                        _resolve_table(new_cfg)  # schema files must resolve NOW
+                    except (ConfigError, ValueError, OSError, KeyError) as e:
                         import sys as _sys
 
                         print(
@@ -535,6 +567,7 @@ def stream_with_config_reload(
                         )
                         _time.sleep(poll_seconds)
                         continue
+                    cfg = new_cfg
                     mtime = new_mtime
                     break  # graceful restart with the new knobs
                 _time.sleep(poll_seconds)

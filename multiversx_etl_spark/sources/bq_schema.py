@@ -121,3 +121,25 @@ def drop_schema_field(schema: StructType, path: list[str]) -> StructType:
         return StructType(out)
 
     return descend(schema, path)  # type: ignore[return-value]
+
+
+def schema_has_path(schema: StructType, path: list[str]) -> bool:
+    """True when ``path`` resolves in ``schema`` under the same descent
+    rules as :func:`drop_schema_field` (structs and array<struct> levels).
+    Lets a caller make drops idempotent: the reference's own schema files
+    declare the POST-transform shape (no ``reserved`` anywhere), so a
+    deployment pointing ``schema_folder`` at them must not crash on a drop
+    that already happened."""
+
+    def descend(dt: DataType, path: list[str]) -> bool:
+        if isinstance(dt, ArrayType):
+            return descend(dt.elementType, path)
+        if not isinstance(dt, StructType):
+            return False
+        head, *rest = path
+        for f in dt.fields:
+            if f.name == head:
+                return descend(f.dataType, rest) if rest else True
+        return False
+
+    return descend(schema, path)

@@ -509,19 +509,24 @@ def bootstrap_snapshot(
     version the seed captured, so tailing resumes from there with no
     seed/marker crash window. Returns the committed snapshot row count."""
     from multiversx_etl_spark.operators.dedup import dedup_latest
+    from multiversx_etl_spark.operators.merge import evolve_schema
 
     m = table.snapshot()
+    # same schema-evolution rule as merge_batch: snapshot columns absent
+    # from the table schema APPEND (a truncate-reload over an evolved
+    # declared schema must not silently drop the new columns' values)
+    evolved = evolve_schema(m.schema, snapshot, m.key_columns)
     cols = [F.col(c) for c in m.key_columns]
     seq = (F.col(seq_column) if seq_column and seq_column in snapshot.columns else F.lit(0))
     cols.append(seq.cast("long").alias("seq"))
     cols.append(F.lit(False).alias("deleted"))
     payload = [
         f.name
-        for f in m.schema.fields
+        for f in evolved.fields
         if f.name not in m.key_columns and f.name not in ("seq", "deleted")
     ]
     for p in payload:
-        typ = m.schema[p].dataType
+        typ = evolved[p].dataType
         cols.append(
             (F.col(p).cast(typ) if p in snapshot.columns else F.lit(None).cast(typ)).alias(p)
         )
@@ -539,6 +544,7 @@ def bootstrap_snapshot(
         stream_id=stream_id,
         epoch_id=epoch_id,
         epoch_info={"reseed": True, "rows": n_rows} if stream_id is not None else None,
+        schema=evolved,
         expected_parent=m.version,
         # full-state replacement: no delta or patch generations survive it
         properties={"mor_appends": 0, "patch_deltas": 0},

@@ -448,3 +448,183 @@ def test_shipped_catalog_config_example_loads():
     assert isinstance(cfg, MultiWorkerConfig) and len(cfg.tables) == 15
     assert sum(1 for t in cfg.tables if t.processing == "mutable") == 7
     assert cfg.tables[0].erratum_for("miniblocks") == -53193
+
+
+def test_mutable_reload_keeps_evolved_schema_columns(spark, tmp_path):
+    """processing='mutable' over an EVOLVED schema file: the truncate-reload
+    must carry the new column's values into the lake (bootstrap_snapshot
+    evolves the table schema exactly like merge_batch does) — and keep
+    reconciling green, since the expected state sees the column too."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from multiversx_etl_spark.catalog import load_table_from_folder
+    from multiversx_etl_spark.config import run_from_config, worker_config_from_dict
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        write_log_parquet,
+    )
+
+    folder = tmp_path / "schemas"
+    folder.mkdir()
+    v1 = [
+        {"name": "_id", "type": "STRING", "mode": "REQUIRED"},
+        {"name": "name", "type": "STRING"},
+    ]
+    (folder / "widgets.json").write_text(json.dumps(v1))
+    log_path = str(tmp_path / "log")
+
+    def cfg():
+        return worker_config_from_dict({
+            "name": "widgets", "schema": "widgets", "normalizer": "widgets",
+            "schema_folder": str(folder),
+            "table_root": str(tmp_path / "t"), "log_path": log_path,
+            "interval_size": 250, "num_buckets": 4, "processing": "mutable",
+        })
+
+    cat1 = load_table_from_folder(str(folder), "widgets")
+    write_log_parquet(
+        generate_catalog_log(
+            spark, 200, "widgets", num_keys=20, log_schema=cat1.log_schema
+        ),
+        log_path, files=2,
+    )
+    assert run_from_config(spark, cfg())["reconcile_ok"]
+
+    # evolve the schema FILE, append a generation carrying the new column
+    (folder / "widgets.json").write_text(json.dumps(
+        v1 + [{"name": "score", "type": "INTEGER"}]
+    ))
+    cat2 = load_table_from_folder(str(folder), "widgets")
+    generate_catalog_log(
+        spark, 100, "widgets", num_keys=5, log_schema=cat2.log_schema,
+        offset_base=250,
+    ).write.mode("append").parquet(log_path)
+
+    s2 = run_from_config(spark, cfg())
+    assert s2["reconcile_ok"], s2
+    out = LakeTable(spark, str(tmp_path / "t")).read()
+    assert "score" in out.columns
+    assert out.where(F.col("score").isNotNull()).count() > 0
+
+
+def test_external_schema_in_post_transform_shape_loads(tmp_path):
+    """The reference's OWN schema files declare the post-transform shape
+    (no 'reserved' anywhere) — a deployment pointing schema_folder at them
+    must load cleanly: every spec drop is idempotent, never a crash on an
+    already-absent field (catalog.py _derive_target)."""
+    import json
+
+    from multiversx_etl_spark.catalog import load_table_from_folder
+
+    # blocks WITHOUT pubKeyBitmap/reserved and WITHOUT the nested reserved —
+    # and one variant missing the nested array entirely
+    post = [
+        {"name": "_id", "type": "STRING", "mode": "REQUIRED"},
+        {"name": "round", "type": "NUMERIC"},
+        {"name": "epochStartShardsData", "type": "RECORD", "mode": "REPEATED",
+         "fields": [
+             {"name": "shardID", "type": "NUMERIC"},
+             {"name": "pendingMiniBlockHeaders", "type": "RECORD",
+              "mode": "REPEATED",
+              "fields": [{"name": "hash", "type": "STRING"}]},
+         ]},
+    ]
+    (tmp_path / "blocks.json").write_text(json.dumps(post))
+    cat = load_table_from_folder(str(tmp_path), "blocks")
+    inner = (
+        cat.target_schema["epochStartShardsData"].dataType
+        .elementType["pendingMiniBlockHeaders"].dataType.elementType
+    )
+    assert "reserved" not in inner.fieldNames()
+
+    flat = [
+        {"name": "_id", "type": "STRING", "mode": "REQUIRED"},
+        {"name": "round", "type": "NUMERIC"},
+    ]
+    (tmp_path / "blocks.json").write_text(json.dumps(flat))
+    cat = load_table_from_folder(str(tmp_path), "blocks")
+    assert cat.target_schema.fieldNames()[:2] == ["_id", "round"]
+
+
+def test_external_raw_shape_schema_has_no_duplicate_log_columns(tmp_path):
+    """An external accounts schema written in the RAW shape (api_* declared
+    in the payload) must not double the volatile fields in the log schema —
+    spark.read.schema() rejects duplicate column names outright."""
+    import json
+
+    from multiversx_etl_spark.catalog import load_table_from_folder
+
+    raw = [
+        {"name": "_id", "type": "STRING", "mode": "REQUIRED"},
+        {"name": "balance", "type": "STRING"},
+        {"name": "api_balance", "type": "STRING"},
+    ]
+    (tmp_path / "accounts.json").write_text(json.dumps(raw))
+    cat = load_table_from_folder(str(tmp_path), "accounts")
+    names = cat.log_schema.fieldNames()
+    assert len(names) == len(set(names)), names
+    assert names.count("api_balance") == 1
+    # the normalizer still strips it from the target side
+    assert "api_balance" not in cat.target_schema.fieldNames()
+
+
+def test_multi_table_streaming_rejects_mutable_before_any_job(spark, tmp_path):
+    """A mixed streaming iteration must fail BEFORE the first table job —
+    not die halfway with 8 tables drained and an empty mutable table
+    created (run_from_config validates the whole MultiWorkerConfig up
+    front)."""
+    import os
+
+    from multiversx_etl_spark.config import (
+        ConfigError,
+        run_from_config,
+        worker_config_from_dict,
+    )
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        write_log_parquet,
+    )
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_catalog_log(spark, 100, "rounds", num_keys=10), log_path, files=2
+    )
+    cfg = worker_config_from_dict({
+        "interval_size": 100, "num_buckets": 4,
+        "tables": [
+            {"name": "rounds", "schema": "rounds", "normalizer": "rounds",
+             "table_root": str(tmp_path / "t_rounds"), "log_path": log_path},
+            {"name": "accounts", "schema": "accounts", "normalizer": "accounts",
+             "table_root": str(tmp_path / "t_accounts"), "log_path": log_path,
+             "processing": "mutable"},
+        ],
+    })
+    with pytest.raises(ConfigError, match="mutable"):
+        run_from_config(
+            spark, cfg, streaming=True, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+    # nothing ran: neither table root exists, no checkpoint was cut
+    assert not os.path.exists(str(tmp_path / "t_rounds"))
+    assert not os.path.exists(str(tmp_path / "t_accounts"))
+
+
+def test_gen_log_unknown_table_is_a_clean_cli_error(tmp_path):
+    """gen-log --table with a typo'd index exits 2 with a one-line error
+    BEFORE any Spark session is built — not a KeyError traceback."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    run = subprocess.run(
+        [sys.executable, "-m", "multiversx_etl_spark", "gen-log",
+         str(tmp_path / "log"), "--table", "acounts", "--events", "10"],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "PYTHONPATH": repo}, cwd=repo,
+    )
+    assert run.returncode == 2
+    assert "unknown catalog index 'acounts'" in run.stderr
+    assert "Traceback" not in run.stderr

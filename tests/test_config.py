@@ -460,3 +460,80 @@ def test_continuous_join_fold_through_reload_supervisor(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Exchange RoundRobinPartitioning" not in plan, plan
+
+
+def test_reload_supervisor_survives_broken_schema_folder_edit(spark, tmp_path):
+    """The reload guard covers the SCHEMA FILES too, not just the config:
+    a mid-rewrite (torn) schema_folder JSON at reload time must leave the
+    running generation untouched — the supervisor resolves the new
+    generation's schemas BEFORE stopping the query. A later good edit then
+    reloads normally."""
+    import json as _json
+
+    from multiversx_etl_spark.config import stream_with_config_reload
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.catalog import load_table_from_folder
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        write_log_parquet,
+    )
+
+    folder = tmp_path / "schemas"
+    folder.mkdir()
+    schema_v1 = [
+        {"name": "_id", "type": "STRING", "mode": "REQUIRED"},
+        {"name": "name", "type": "STRING"},
+    ]
+    (folder / "widgets.json").write_text(_json.dumps(schema_v1))
+    log_path = str(tmp_path / "log")
+    cat = load_table_from_folder(str(folder), "widgets")
+    write_log_parquet(
+        generate_catalog_log(spark, 200, "widgets", num_keys=20,
+                             log_schema=cat.log_schema),
+        log_path, files=4,
+    )
+    cfg_path = str(tmp_path / "cfg.json")
+
+    def write_cfg(mfpt: int) -> None:
+        with open(cfg_path, "w") as fh:
+            _json.dump({
+                "name": "widgets", "schema": "widgets", "normalizer": "widgets",
+                "schema_folder": str(folder),
+                "table_root": str(tmp_path / "t"), "log_path": log_path,
+                "interval_size": 100, "num_buckets": 4,
+                "max_files_per_trigger": mfpt,
+                "trigger_interval": "1 seconds",
+            }, fh)
+
+    write_cfg(1)
+    state = {"step": 0}
+
+    def on_poll(table, cfg) -> bool:
+        if state["step"] == 0:
+            state["step"] = 1
+            # ops half-writes the schema file, then touches the config:
+            # the reload attempt must be IGNORED (stream stays up)
+            (folder / "widgets.json").write_text('{"torn":')
+            write_cfg(2)
+            return False
+        if state["step"] == 1 and cfg.max_files_per_trigger == 1:
+            # still on generation 1 despite the config touch — now repair
+            # the schema file and touch the config again: reload succeeds
+            state["step"] = 2
+            (folder / "widgets.json").write_text(_json.dumps(schema_v1))
+            write_cfg(3)
+            return False
+        try:
+            return cfg.max_files_per_trigger == 3 and table.read().count() > 0
+        except Exception:
+            return False
+
+    out = stream_with_config_reload(
+        spark, cfg_path, str(tmp_path / "ckpt"), poll_seconds=0.3,
+        on_poll=on_poll,
+    )
+    # exactly ONE reload happened (the repaired edit); the torn one was
+    # ignored without killing the query
+    assert out["reloads"] == 1
+    assert [a["max_files_per_trigger"] for a in out["applied"]] == [1, 3]
+    assert LakeTable(spark, str(tmp_path / "t")).read().count() > 0
