@@ -120,9 +120,23 @@ class MultiWorkerConfig:
     /root/reference/multiversxetl/worker_config.py:51-65,
     app_controller.py:55-102). Each entry is a full WorkerConfig with its
     own log, table root, stream and ledger; top-level keys act as defaults
-    merged under every entry."""
+    merged under every entry.
+
+    ``num_threads`` (top-level only — the reference's per-group knob,
+    worker_config.py:57,86; mainnet runs 4-8) runs that many table jobs
+    CONCURRENTLY: Spark job submission is thread-safe and concurrent jobs
+    from separate driver threads overlap in the scheduler, which is the
+    standard way to amortize the per-job fixed cost (planning, commits,
+    small stages) across many small-to-medium tables. Each thread tags its
+    jobs with a per-table scheduler pool, so a deployment running
+    ``spark.scheduler.mode=FAIR`` gets fair sharing between tables for
+    free; under the default FIFO the overlap alone captures most of the
+    win. First failure stops the pool (no new tables start, in-flight
+    tables finish) and re-raises — the reference's error-event semantics
+    (app_controller.py:156-193)."""
 
     tables: list[WorkerConfig]
+    num_threads: int = 1
 
 
 _REQUIRED = ("table_root", "log_path")
@@ -139,7 +153,14 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
     if not isinstance(data, dict):
         raise ConfigError(f"config must be a JSON object, got {type(data).__name__}")
     if "tables" in data:
-        defaults = {k: v for k, v in data.items() if k != "tables"}
+        # num_threads is a property of the multi-table RUN, never of one
+        # table — it stays OUT of the per-entry defaults merge
+        num_threads = data.get("num_threads", 1)
+        if not isinstance(num_threads, int) or num_threads < 1:
+            raise ConfigError("num_threads must be a positive integer")
+        defaults = {
+            k: v for k, v in data.items() if k not in ("tables", "num_threads")
+        }
         entries = data["tables"]
         if not isinstance(entries, list) or not entries:
             raise ConfigError("'tables' must be a non-empty list")
@@ -154,7 +175,7 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
         names = [j.name for j in jobs]
         if len(set(names)) != len(names):
             raise ConfigError(f"duplicate table names in config: {names}")
-        return MultiWorkerConfig(tables=jobs)
+        return MultiWorkerConfig(tables=jobs, num_threads=num_threads)
     unknown = set(data) - _KNOWN
     if unknown:
         raise ConfigError(f"unknown config keys: {sorted(unknown)}")
@@ -288,15 +309,72 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
                     f"processing='mutable' tables {bad} cannot run in a "
                     f"streaming iteration: mutable is a batch reload"
                 )
-        tables: dict[str, Any] = {}
-        ok = True
-        for job in cfg.tables:
-            sub_ckpt = (
+        def _sub_ckpt(job: WorkerConfig) -> str | None:
+            return (
                 f"{checkpoint_dir.rstrip('/')}/{job.name}" if checkpoint_dir else None
             )
-            s = run_from_config(spark, job, streaming=streaming, checkpoint_dir=sub_ckpt)
-            tables[job.name] = s
-            ok = ok and s.get("reconcile_ok", True)
+
+        results: dict[str, Any] = {}
+        if cfg.num_threads > 1 and len(cfg.tables) > 1:
+            # the reference's thread-pool consume loop
+            # (app_controller.py:156-193): N threads pull table jobs from a
+            # shared queue; the first failure stops new picks (in-flight
+            # jobs finish) and is re-raised. Disjoint tables share nothing
+            # but the SparkSession, whose job submission is thread-safe;
+            # PySpark pins each Python thread to its own JVM thread, so the
+            # per-thread scheduler-pool tag below is race-free.
+            import threading
+
+            pending = list(cfg.tables)
+            stop = threading.Event()
+            lock = threading.Lock()
+            errors: list[tuple[str, BaseException]] = []
+
+            def _worker() -> None:
+                while not stop.is_set():
+                    with lock:
+                        if not pending:
+                            return
+                        job = pending.pop(0)
+                    spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", f"mxetl-{job.name}"
+                    )
+                    try:
+                        s = run_from_config(
+                            spark, job, streaming=streaming,
+                            checkpoint_dir=_sub_ckpt(job),
+                        )
+                    except BaseException as e:  # noqa: BLE001 — recorded + re-raised below
+                        with lock:
+                            errors.append((job.name, e))
+                        stop.set()
+                        return
+                    with lock:
+                        results[job.name] = s
+
+            threads = [
+                threading.Thread(target=_worker, name=f"mxetl-table-{i}")
+                for i in range(min(cfg.num_threads, len(cfg.tables)))
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            if errors:
+                import sys as _sys
+
+                name, err = errors[0]
+                print(f"[run-config] table {name!r} failed; pool stopped",
+                      file=_sys.stderr)
+                raise err
+        else:
+            for job in cfg.tables:
+                results[job.name] = run_from_config(
+                    spark, job, streaming=streaming, checkpoint_dir=_sub_ckpt(job)
+                )
+        # config order, not completion order, so reports are stable
+        tables = {j.name: results[j.name] for j in cfg.tables if j.name in results}
+        ok = all(s.get("reconcile_ok", True) for s in tables.values())
         return {"tables": tables, "reconcile_ok": ok}
 
     from multiversx_etl_spark.operators.checks import reconcile

@@ -461,6 +461,7 @@ def test_shipped_catalog_config_example_loads():
     assert isinstance(cfg, MultiWorkerConfig) and len(cfg.tables) == 15
     assert sum(1 for t in cfg.tables if t.processing == "mutable") == 7
     assert cfg.tables[0].erratum_for("miniblocks") == -53193
+    assert cfg.num_threads == 8  # the reference's mainnet thread-pool knob
 
 
 def test_mutable_reload_keeps_evolved_schema_columns(spark, tmp_path):

@@ -537,3 +537,96 @@ def test_reload_supervisor_survives_broken_schema_folder_edit(spark, tmp_path):
     assert out["reloads"] == 1
     assert [a["max_files_per_trigger"] for a in out["applied"]] == [1, 3]
     assert LakeTable(spark, str(tmp_path / "t")).read().count() > 0
+
+
+def test_multi_table_thread_pool_matches_sequential(spark, tmp_path):
+    """num_threads — the reference's thread-pool consume loop
+    (worker_config.py:57,86: mainnet runs 4-8 threads;
+    app_controller.py:156-193): a 4-table run on 4 threads produces
+    byte-identical per-table state and the same summaries as the
+    sequential run of the same config."""
+    from multiversx_etl_spark.config import run_from_config, worker_config_from_dict
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        write_log_parquet,
+    )
+
+    names = ["rounds", "events", "accounts", "tokens"]
+    logs = {}
+    for name in names:
+        logs[name] = str(tmp_path / f"log_{name}")
+        write_log_parquet(
+            generate_catalog_log(spark, 200, name, num_keys=25),
+            logs[name], files=2,
+        )
+
+    def cfg(suffix, threads):
+        return worker_config_from_dict({
+            "interval_size": 200, "num_buckets": 4, "num_threads": threads,
+            "tables": [
+                {"name": n, "schema": n, "normalizer": n,
+                 "table_root": str(tmp_path / f"t_{suffix}_{n}"),
+                 "log_path": logs[n],
+                 # exercise both processing modes through the pool
+                 **({"processing": "mutable"} if n in ("accounts", "tokens") else {})}
+                for n in names
+            ],
+        })
+
+    par = run_from_config(spark, cfg("p", 4))
+    seq = run_from_config(spark, cfg("s", 1))
+    assert par["reconcile_ok"] and seq["reconcile_ok"]
+    assert list(par["tables"]) == list(seq["tables"]) == names  # config order
+    for n in names:
+        assert par["tables"][n] == seq["tables"][n], n
+        a = LakeTable(spark, str(tmp_path / f"t_p_{n}")).read()
+        b = LakeTable(spark, str(tmp_path / f"t_s_{n}")).read()
+        cols = sorted(a.columns)
+        assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+        assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+
+
+def test_num_threads_validation():
+    from multiversx_etl_spark.config import ConfigError, worker_config_from_dict
+
+    with pytest.raises(ConfigError, match="num_threads"):
+        worker_config_from_dict({
+            "num_threads": 0,
+            "tables": [{"table_root": "/t", "log_path": "/l"}],
+        })
+    # per-table / single-table num_threads is rejected: it is a property
+    # of the multi-table RUN
+    with pytest.raises(ConfigError, match="unknown config keys"):
+        worker_config_from_dict({
+            "table_root": "/t", "log_path": "/l", "num_threads": 4,
+        })
+
+
+def test_thread_pool_first_failure_stops_and_reraises(spark, tmp_path):
+    """Reference error semantics (app_controller.py:156-193): the first
+    failing table stops the pool and the error surfaces to the caller."""
+    from multiversx_etl_spark.config import run_from_config, worker_config_from_dict
+    from multiversx_etl_spark.operators.checks import CountsMismatchError
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        write_log_parquet,
+    )
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_catalog_log(spark, 150, "rounds", num_keys=15), log_path, files=2
+    )
+    cfg = worker_config_from_dict({
+        "interval_size": 150, "num_buckets": 4, "num_threads": 3,
+        "tables": [
+            {"name": f"rounds{i}", "schema": "rounds", "normalizer": "rounds",
+             "table_root": str(tmp_path / f"t{i}"), "log_path": log_path,
+             # an exact synthetic log with a NONZERO erratum must fail the
+             # counts check on table 1 (adjusted delta = erratum)
+             **({"counts_checks_errata": {"rounds1": 5}} if i == 1 else {})}
+            for i in range(3)
+        ],
+    })
+    with pytest.raises(CountsMismatchError):
+        run_from_config(spark, cfg)
