@@ -336,9 +336,48 @@ def main(argv: list[str] | None = None) -> int:
         "--checkpoint; Ctrl-C stops gracefully",
     )
 
+    uqp = sub.add_parser(
+        "user-query",
+        help="run one of the reference's shipped analytics queries "
+        "(queries/blocks.sql, transactions.sql, interactions.sql and the "
+        "maintenance/views.md views) against a lake table; "
+        "'user-query list' prints the names",
+    )
+    uqp.add_argument("name", help="query name, or 'list'")
+    uqp.add_argument(
+        "--table", default=None,
+        help="lake table root holding the query's input index "
+        "(operations for all but recent_blocks)",
+    )
+    uqp.add_argument(
+        "--anchor-date", default=None,
+        help="pin CURRENT_DATE for the 7-day-window queries (YYYY-MM-DD); "
+        "default: today, like the reference SQL",
+    )
+    uqp.add_argument(
+        "--limit-out", type=int, default=20, help="rows printed (JSON lines)"
+    )
+
     args = p.parse_args(argv)
     if args.cmd == "package":  # no Spark session needed
         return _package(args.out)
+    if args.cmd == "user-query":
+        # name validation (and 'list') before paying the JVM spin-up
+        from multiversx_etl_spark.user_queries import CANNED_QUERIES
+
+        if args.name == "list":
+            print(json.dumps({n: t for n, (t, _) in CANNED_QUERIES.items()}))
+            return 0
+        if args.name not in CANNED_QUERIES:
+            print(
+                f"error: unknown user query {args.name!r} "
+                f"(have {', '.join(CANNED_QUERIES)})",
+                file=sys.stderr,
+            )
+            return 2
+        if not args.table:
+            print("error: --table is required", file=sys.stderr)
+            return 2
     if args.cmd == "gen-log" and args.table is not None:
         # validate the index name BEFORE paying the JVM spin-up: a typo
         # must be a one-line error, not a KeyError traceback 20s in
@@ -916,6 +955,19 @@ def _dispatch(spark, args) -> int:
             summary["stopped"] = True
         print(json.dumps(summary))
         return 0 if summary.get("reconcile_ok", True) else 1
+
+    if args.cmd == "user-query":
+        from multiversx_etl_spark.user_queries import CANNED_QUERIES
+
+        _, fn = CANNED_QUERIES[args.name]
+        df = LakeTable(spark, args.table).read()
+        if args.name in ("contract_interactions", "contract_unique_users"):
+            out = fn(df, anchor_date=args.anchor_date)
+        else:
+            out = fn(df)
+        for line in out.limit(args.limit_out).toJSON().collect():
+            print(line)
+        return 0
 
     raise AssertionError(f"unhandled cmd {args.cmd}")
 

@@ -335,6 +335,27 @@ def generate_block_log(
     )
 
 
+#: Enum-like fields of the deployment data model, with the values the
+#: reference's own shipped queries and views select on: view_transactions /
+#: view_scresults filter type='normal'/'unsigned' (maintenance/views.md),
+#: queries/transactions.sql filters operation='reward' and status='success',
+#: queries/interactions.sql filters isScCall (boolean — generic synth).
+#: Weights come from repeating values; draws stay pure functions of seq.
+_FIELD_DOMAINS: dict[tuple[str, str], tuple[str, ...]] = {
+    ("operations", "type"): ("normal", "normal", "normal", "unsigned", "receipt"),
+    ("operations", "status"): ("success", "success", "success", "fail", "pending"),
+    ("operations", "operation"): ("transfer", "transfer", "reward", "scDeploy"),
+}
+
+#: STRING fields the reference's queries cast to BIGNUMERIC
+#: (queries/transactions.sql:6, interactions.sql:49) — synthesized as
+#: wei-scale digit strings so the casts are exercised with real magnitudes.
+_NUMERIC_STRING_FIELDS: set[tuple[str, str]] = {
+    ("operations", "value"),
+    ("operations", "fee"),
+}
+
+
 def generate_catalog_log(
     spark: SparkSession,
     num_events: int,
@@ -346,6 +367,7 @@ def generate_catalog_log(
     partitions: int | None = None,
     log_schema=None,
     offset_base: int = 0,
+    ts_step: int = 1,
 ) -> DataFrame:
     """Deterministic change log for ANY catalog table (catalog.py — the
     reference's 17 indices; pass ``log_schema`` explicitly for an
@@ -358,7 +380,15 @@ def generate_catalog_log(
     ARRAY elements go NULL at ``null_element_fraction`` (the EventsTransformer
     scrub needs work to do, transformers.py:67-77); volatile ``api_*``/
     ``nft_*`` log-only fields are generated like any other and stripped by
-    the normalizer. Same offset/seq/op discipline as the other generators."""
+    the normalizer. Same offset/seq/op discipline as the other generators.
+
+    Timestamps advance ``ts_step`` seconds per event (default 1), so a small
+    log can span many days — the shipped user queries (queries/*.sql) all
+    group by DATE(timestamp). Fields with a declared enum-like domain in the
+    reference's data model (_FIELD_DOMAINS: operations type/status/operation,
+    the values its queries and views filter on) draw from that domain, and
+    amount fields declared STRING but cast BIGNUMERIC by the reference's own
+    queries (_NUMERIC_STRING_FIELDS) synthesize as wei-scale digit strings."""
     import zlib
 
     from pyspark.sql.types import (
@@ -425,9 +455,9 @@ def generate_catalog_log(
         if isinstance(dt, BooleanType):
             return F.pmod(F.xxhash64(seq, F.lit(s)), F.lit(2)) == 0
         if isinstance(dt, TimestampType):
-            return F.timestamp_seconds(F.lit(base_ts) + seq)
+            return F.timestamp_seconds(F.lit(base_ts) + seq * F.lit(ts_step))
         if isinstance(dt, TimestampNTZType):
-            return F.timestamp_seconds(F.lit(base_ts) + seq).cast(dt)
+            return F.timestamp_seconds(F.lit(base_ts) + seq * F.lit(ts_step)).cast(dt)
         if isinstance(dt, DateType):
             return F.date_add(F.lit("2020-07-30"), F.pmod(seq, F.lit(365)).cast("int"))
         if isinstance(dt, BinaryType):
@@ -449,6 +479,19 @@ def generate_catalog_log(
         if f.name == "_id":
             kidx = F.pmod(F.xxhash64(seq, F.lit(113)), F.lit(num_keys))
             expr = F.md5(F.concat_ws("|", F.lit(table), kidx.cast("string")))
+        elif (table, f.name) in _FIELD_DOMAINS:
+            vals = _FIELD_DOMAINS[(table, f.name)]
+            expr = F.element_at(
+                F.array(*[F.lit(v) for v in vals]),
+                (
+                    F.pmod(F.xxhash64(seq, F.lit(salt(f.name))), F.lit(len(vals))) + 1
+                ).cast("int"),
+            )
+        elif (table, f.name) in _NUMERIC_STRING_FIELDS:
+            expr = (
+                F.pmod(F.xxhash64(seq, F.lit(salt(f.name))), F.lit(1_000_000))
+                * F.lit(10**12)
+            ).cast("string")
         else:
             expr = synth(f.dataType, f.name)
         cols.append(expr.cast(f.dataType).alias(f.name))

@@ -1,0 +1,211 @@
+"""The reference's shipped end-user surface: its canned analytics queries
+(/root/reference/queries/blocks.sql, transactions.sql, interactions.sql)
+and its two maintained views (/root/reference/maintenance/views.md), as
+library functions over the catalog tables (catalog.py: ``blocks``,
+``operations``).
+
+Each function takes the table as a DataFrame — ``LakeTable.read()`` of a
+replayed table, or any frame with the declared schema — and returns the
+query's result frame with the reference's exact output column names, so a
+user of the reference can run every query they run today against the lake.
+
+Spark-first notes, per query:
+- every filter here is a plain column predicate on a parquet-backed scan —
+  Catalyst pushes it into the scan (PushedFilters) and prunes columns to
+  the projection (ReadSchema), so at 100 TB each query reads only the
+  columns and row groups it needs;
+- ORDER BY ... LIMIT compiles to TakeOrderedAndProject (per-partition
+  top-k + driver-side merge of k·P rows — never a global sort);
+- the per-day top-k windows partition by a narrow key (day), so the single
+  shuffle is by day and AQE coalesces the post-shuffle partitions.
+
+Determinism deviation, documented once: BigQuery leaves ROW_NUMBER ties
+unspecified; these implementations add a trailing deterministic tie-break
+(``_id`` / ``contract``) so results are reproducible and oracle-checkable.
+``largest_daily_transfers`` ranks by ``CAST(value AS DECIMAL(38,0))`` —
+the numeric intent the reference's other queries spell out with
+``CAST(`value` AS BIGNUMERIC)`` (queries/transactions.sql:6) — rather than
+the raw-string ordering a literal reading of transactions.sql:31 implies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+#: BIGNUMERIC analog for wei-scale integer amounts carried as strings.
+_DEC = "decimal(38,0)"
+
+
+def view_transactions(operations: DataFrame) -> DataFrame:
+    """maintenance/views.md view_transactions: operations WHERE type='normal'
+    (the indexer's merged operations index holds transactions, smart-contract
+    results and receipts; 'normal' selects the user-signed transactions)."""
+    return operations.where(F.col("type") == "normal")
+
+
+def view_scresults(operations: DataFrame) -> DataFrame:
+    """maintenance/views.md view_scresults: operations WHERE type='unsigned'
+    (smart-contract results)."""
+    return operations.where(F.col("type") == "unsigned")
+
+
+def create_views(spark: SparkSession, operations: DataFrame) -> None:
+    """Register both maintained views as temp views, the CREATE VIEW analog
+    (maintenance/views.md) — SQL users query ``view_transactions`` /
+    ``view_scresults`` exactly as they do on the reference deployment."""
+    view_transactions(operations).createOrReplaceTempView("view_transactions")
+    view_scresults(operations).createOrReplaceTempView("view_scresults")
+
+
+def recent_blocks(blocks: DataFrame, limit: int = 1000) -> DataFrame:
+    """queries/blocks.sql: basic information about the most recent blocks.
+    ORDER BY timestamp DESC LIMIT n → TakeOrderedAndProject."""
+    return (
+        blocks.select(
+            "nonce",
+            "timestamp",
+            F.col("shardId").alias("shard"),
+            F.size("miniBlocksHashes").alias("num_miniblocks"),
+            F.col("txCount").alias("num_txs"),
+        )
+        .orderBy(F.col("timestamp").desc())
+        .limit(limit)
+    )
+
+
+def daily_rewards(operations: DataFrame) -> DataFrame:
+    """queries/transactions.sql:1-12 'Network rewards, by day':
+    SUM(CAST(value AS BIGNUMERIC)) over type='normal' AND operation='reward'."""
+    return (
+        view_transactions(operations)
+        .where(F.col("operation") == "reward")
+        .groupBy(F.to_date("timestamp").alias("day"))
+        .agg(F.sum(F.col("value").cast(_DEC)).alias("rewards"))
+        .orderBy(F.col("day").desc())
+    )
+
+
+def daily_transactions(operations: DataFrame) -> DataFrame:
+    """queries/transactions.sql:14-22 'Number of transactions, by day'."""
+    return (
+        view_transactions(operations)
+        .groupBy(F.to_date("timestamp").alias("day"))
+        .agg(F.count(F.lit(1)).alias("transactions"))
+        .orderBy(F.col("day").desc())
+    )
+
+
+def largest_daily_transfers(operations: DataFrame, limit: int = 100) -> DataFrame:
+    """queries/transactions.sql:24-37 'Transactions with the largest
+    transferred value, by day': per-day top-1 by value over successful
+    transactions. Narrow-key (day) ranking window; ``_id`` tie-break."""
+    w = Window.partitionBy(F.to_date("timestamp")).orderBy(
+        F.col("value").cast(_DEC).desc(), F.col("_id")
+    )
+    return (
+        view_transactions(operations)
+        .where(F.col("status") == "success")
+        .withColumn("row_num", F.row_number().over(w))
+        .where(F.col("row_num") == 1)
+        .select(
+            F.to_date("timestamp").alias("day"),
+            F.col("_id").alias("hash"),
+            "sender",
+            "receiver",
+            "value",
+        )
+        .orderBy(F.col("day").desc())
+        .limit(limit)
+    )
+
+
+def daily_active_users(operations: DataFrame, limit: int = 1000) -> DataFrame:
+    """queries/interactions.sql:1-10 'Daily active users':
+    COUNT(DISTINCT sender) per day over type='normal'."""
+    return (
+        view_transactions(operations)
+        .groupBy(F.to_date("timestamp").alias("day"))
+        .agg(F.count_distinct("sender").alias("num_users"))
+        .orderBy(F.col("day").desc())
+        .limit(limit)
+    )
+
+
+def _anchor(anchor_date: str | None):
+    # the reference uses CURRENT_DATE(); tests pin an anchor for determinism
+    return F.current_date() if anchor_date is None else F.to_date(F.lit(anchor_date))
+
+
+def contract_interactions(
+    operations: DataFrame, anchor_date: str | None = None
+) -> DataFrame:
+    """queries/interactions.sql:12-22 'Number of interactions, per contract
+    address': COUNT(*) per (day, receiver) over isScCall, last 7 days."""
+    return (
+        operations.where(F.col("isScCall"))
+        .groupBy(
+            F.to_date("timestamp").alias("day"),
+            F.col("receiver").alias("contract"),
+        )
+        .agg(F.count(F.lit(1)).alias("num_interactions"))
+        .where(F.col("day") >= F.date_sub(_anchor(anchor_date), 7))
+        .orderBy(F.col("day").desc(), F.col("num_interactions").desc())
+    )
+
+
+def contract_unique_users(
+    operations: DataFrame, anchor_date: str | None = None
+) -> DataFrame:
+    """queries/interactions.sql:24-36 'Number of unique users, per contract
+    address': COUNT(DISTINCT sender) per (day, receiver) over
+    type='normal' AND isScCall, last 7 days."""
+    return (
+        view_transactions(operations)
+        .where(F.col("isScCall"))
+        .groupBy(
+            F.to_date("timestamp").alias("day"),
+            F.col("receiver").alias("contract"),
+        )
+        .agg(F.count_distinct("sender").alias("num_users"))
+        .where(F.col("day") >= F.date_sub(_anchor(anchor_date), 7))
+        .orderBy(F.col("day").desc(), F.col("num_users").desc())
+    )
+
+
+def top_contract_native_volume(operations: DataFrame) -> DataFrame:
+    """queries/interactions.sql:38-63 'Volume transferred, per contract
+    address — native (EGLD), input volume': CTE of per-(day, contract)
+    SUM(CAST(value AS BIGNUMERIC)) over successful sc-calls, then the top 3
+    contracts per day by volume. ``contract`` tie-break added."""
+    volumes = (
+        view_transactions(operations)
+        .where(F.col("isScCall") & (F.col("status") == "success"))
+        .groupBy(
+            F.to_date("timestamp").alias("day"),
+            F.col("receiver").alias("contract"),
+        )
+        .agg(F.sum(F.col("value").cast(_DEC)).alias("native_volume"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("native_volume").desc(), F.col("contract")
+    )
+    return (
+        volumes.withColumn("top", F.row_number().over(w))
+        .where(F.col("top") <= 3)
+        .orderBy(F.col("day").desc(), F.col("top").asc())
+    )
+
+
+#: name → (table argument, callable) — the CLI and tests enumerate this.
+CANNED_QUERIES: dict[str, tuple[str, object]] = {
+    "recent_blocks": ("blocks", recent_blocks),
+    "daily_rewards": ("operations", daily_rewards),
+    "daily_transactions": ("operations", daily_transactions),
+    "largest_daily_transfers": ("operations", largest_daily_transfers),
+    "daily_active_users": ("operations", daily_active_users),
+    "contract_interactions": ("operations", contract_interactions),
+    "contract_unique_users": ("operations", contract_unique_users),
+    "top_contract_native_volume": ("operations", top_contract_native_volume),
+}

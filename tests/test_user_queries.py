@@ -1,0 +1,276 @@
+"""The reference's shipped user queries (queries/*.sql) and maintained views
+(maintenance/views.md) over replayed catalog tables, each checked against a
+DuckDB oracle running the literal SQL on the same state parquet."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from multiversx_etl_spark import user_queries as uq
+
+
+@pytest.fixture(scope="module")
+def state(spark, tmp_path_factory):
+    """Replay synthetic operations + blocks logs through the real CDC path,
+    then freeze each table's state as plain parquet so Spark and DuckDB
+    query byte-identical input."""
+    from multiversx_etl_spark.operators.normalize import REGISTRY
+    from multiversx_etl_spark.schemas import TABLES
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        write_log_parquet,
+    )
+    from multiversx_etl_spark.streaming.ingest import ensure_table, replay
+
+    root = tmp_path_factory.mktemp("user_queries")
+    out = {}
+    tables = {}
+    for name, num_events, num_keys in (("operations", 3000, 80), ("blocks", 300, 40)):
+        log_path = str(root / f"log_{name}")
+        # ts_step=3600: ~3k events span ~126 days, so the daily queries get
+        # real groups and the 7-day HAVING window has edges to cut
+        write_log_parquet(
+            generate_catalog_log(
+                spark, num_events, name, num_keys=num_keys, ts_step=3600
+            ),
+            log_path,
+            files=2,
+        )
+        _, target_schema, key = TABLES[name]
+        table = ensure_table(
+            spark, str(root / f"t_{name}"), num_buckets=4,
+            schema=target_schema, key_columns=key,
+        )
+        replay(
+            spark.read.parquet(log_path), table, interval_size=num_events // 2,
+            normalizer=REGISTRY[name],
+        )
+        out[name] = str(root / f"state_{name}")
+        tables[name] = str(root / f"t_{name}")
+        table.read().write.parquet(out[name])
+    ops = spark.read.parquet(out["operations"])
+    anchor = ops.select(F.max(F.to_date("timestamp")).cast("string")).first()[0]
+    return {"paths": out, "tables": tables, "anchor": anchor}
+
+
+def _spark_df(spark, state, name):
+    return spark.read.parquet(state["paths"][name])
+
+
+def _oracle(state, sql):
+    con = duckdb.connect()
+    try:
+        for name, path in state["paths"].items():
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+        cur = con.execute(sql)
+        return cur.fetchall()
+    finally:
+        con.close()
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def _canon(rows):
+    # sort on stringified values: Decimal/int/date/datetime all stringify
+    # stably, and both engines return the same logical values
+    return sorted([tuple(str(v) for v in r) for r in rows])
+
+
+def _assert_match(df, state, sql, min_rows=2):
+    got, want = _rows(df), _oracle(state, sql)
+    assert len(got) >= min_rows
+    assert _canon(got) == _canon(want)
+
+
+def test_recent_blocks(spark, state):
+    df = uq.recent_blocks(_spark_df(spark, state, "blocks"))
+    _assert_match(df, state, """
+        SELECT nonce, timestamp, shardId AS shard,
+               len(miniBlocksHashes) AS num_miniblocks, txCount AS num_txs
+        FROM blocks ORDER BY timestamp DESC LIMIT 1000
+    """)
+    # the reference's intent: most recent first
+    ts = [r[1] for r in _rows(df)]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_daily_rewards(spark, state):
+    df = uq.daily_rewards(_spark_df(spark, state, "operations"))
+    _assert_match(df, state, """
+        SELECT CAST(timestamp AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(38,0))) AS rewards
+        FROM operations WHERE type = 'normal' AND operation = 'reward'
+        GROUP BY day ORDER BY day DESC
+    """)
+
+
+def test_daily_transactions(spark, state):
+    df = uq.daily_transactions(_spark_df(spark, state, "operations"))
+    _assert_match(df, state, """
+        SELECT CAST(timestamp AS DATE) AS day, COUNT(*) AS transactions
+        FROM operations WHERE type = 'normal'
+        GROUP BY day ORDER BY day DESC
+    """)
+
+
+def test_largest_daily_transfers(spark, state):
+    df = uq.largest_daily_transfers(_spark_df(spark, state, "operations"))
+    _assert_match(df, state, """
+        SELECT day, hash, sender, receiver, value FROM (
+          SELECT CAST(timestamp AS DATE) AS day, _id AS hash, sender,
+                 receiver, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY CAST(timestamp AS DATE)
+                   ORDER BY CAST(value AS DECIMAL(38,0)) DESC, _id
+                 ) AS row_num
+          FROM operations WHERE type = 'normal' AND status = 'success'
+        ) WHERE row_num = 1 ORDER BY day DESC LIMIT 100
+    """)
+    rows = _rows(df)
+    # one winner per day (state timestamps cluster in the latest days: the
+    # table holds last images, whose seqs — hence timestamps — are late)
+    assert len(rows) <= 100
+    assert len({r[0] for r in rows}) == len(rows)
+
+
+def test_daily_active_users(spark, state):
+    df = uq.daily_active_users(_spark_df(spark, state, "operations"))
+    _assert_match(df, state, """
+        SELECT CAST(timestamp AS DATE) AS day,
+               COUNT(DISTINCT sender) AS num_users
+        FROM operations WHERE type = 'normal'
+        GROUP BY day ORDER BY day DESC LIMIT 1000
+    """)
+
+
+def test_contract_interactions(spark, state):
+    anchor = state["anchor"]
+    df = uq.contract_interactions(
+        _spark_df(spark, state, "operations"), anchor_date=anchor
+    )
+    _assert_match(df, state, f"""
+        SELECT CAST(timestamp AS DATE) AS day, receiver AS contract,
+               COUNT(*) AS num_interactions
+        FROM operations WHERE isScCall
+        GROUP BY day, contract
+        HAVING day >= DATE '{anchor}' - 7
+        ORDER BY day DESC, num_interactions DESC
+    """)
+    # the 7-day window must have actually cut rows
+    assert df.count() < _spark_df(spark, state, "operations").where(
+        F.col("isScCall")
+    ).select(F.to_date("timestamp"), "receiver").distinct().count()
+
+
+def test_contract_unique_users(spark, state):
+    anchor = state["anchor"]
+    df = uq.contract_unique_users(
+        _spark_df(spark, state, "operations"), anchor_date=anchor
+    )
+    _assert_match(df, state, f"""
+        SELECT CAST(timestamp AS DATE) AS day, receiver AS contract,
+               COUNT(DISTINCT sender) AS num_users
+        FROM operations WHERE type = 'normal' AND isScCall
+        GROUP BY day, contract
+        HAVING day >= DATE '{anchor}' - 7
+        ORDER BY day DESC, num_users DESC
+    """)
+
+
+def test_top_contract_native_volume(spark, state):
+    df = uq.top_contract_native_volume(_spark_df(spark, state, "operations"))
+    _assert_match(df, state, """
+        WITH contract_volumes_per_day AS (
+          SELECT CAST(timestamp AS DATE) AS day, receiver AS contract,
+                 SUM(CAST(value AS DECIMAL(38,0))) AS native_volume
+          FROM operations
+          WHERE type = 'normal' AND isScCall AND status = 'success'
+          GROUP BY day, contract
+        )
+        SELECT day, contract, native_volume, row_num AS top FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY day ORDER BY native_volume DESC, contract
+                 ) AS row_num
+          FROM contract_volumes_per_day
+        ) WHERE row_num <= 3 ORDER BY day DESC, top ASC
+    """)
+    assert df.groupBy("day").count().where(F.col("count") > 3).count() == 0
+
+
+def test_views_registered_for_sql_users(spark, state):
+    """maintenance/views.md: SQL users query view_transactions /
+    view_scresults by name; the views partition operations exactly."""
+    ops = _spark_df(spark, state, "operations")
+    uq.create_views(spark, ops)
+    n_tx = spark.sql("SELECT COUNT(*) FROM view_transactions").first()[0]
+    n_sc = spark.sql("SELECT COUNT(*) FROM view_scresults").first()[0]
+    assert n_tx == ops.where(F.col("type") == "normal").count() > 0
+    assert n_sc == ops.where(F.col("type") == "unsigned").count() > 0
+    other = ops.where(~F.col("type").isin("normal", "unsigned")).count()
+    assert n_tx + n_sc + other == ops.count()
+
+
+def test_user_query_cli(spark, state):
+    """A fresh consumer process runs a shipped query against the lake table
+    by name — the BQ-console analog for reference users."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    run = subprocess.run(
+        [sys.executable, "-m", "multiversx_etl_spark", "--master", "local[2]",
+         "user-query", "daily_transactions",
+         "--table", state["tables"]["operations"], "--limit-out", "500"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "PYTHONPATH": repo}, cwd=repo,
+    )
+    assert run.returncode == 0, run.stderr[-3000:]
+    rows = [json.loads(line) for line in run.stdout.strip().splitlines()]
+    want = {
+        str(r["day"]): r["transactions"]
+        for r in uq.daily_transactions(
+            _spark_df(spark, state, "operations")
+        ).collect()
+    }
+    assert {r["day"]: r["transactions"] for r in rows} == want and want
+
+    # list + unknown-name paths (no JVM paid for either)
+    ls = subprocess.run(
+        [sys.executable, "-m", "multiversx_etl_spark", "user-query", "list"],
+        capture_output=True, text=True, timeout=60,
+        env={**os.environ, "PYTHONPATH": repo}, cwd=repo,
+    )
+    assert ls.returncode == 0
+    assert set(json.loads(ls.stdout)) == set(uq.CANNED_QUERIES)
+    bad = subprocess.run(
+        [sys.executable, "-m", "multiversx_etl_spark", "user-query", "nope",
+         "--table", "/tmp/x"],
+        capture_output=True, text=True, timeout=60,
+        env={**os.environ, "PYTHONPATH": repo}, cwd=repo,
+    )
+    assert bad.returncode == 2 and "unknown user query" in bad.stderr
+
+
+def test_plans_scale(spark, state):
+    """100 TB shape assertions: the view filter reaches the parquet scan
+    (PushedFilters) and recent_blocks never global-sorts
+    (TakeOrderedAndProject)."""
+    ops = _spark_df(spark, state, "operations")
+    plan = uq.view_transactions(ops)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "type" in plan
+    blk = uq.recent_blocks(_spark_df(spark, state, "blocks"))
+    bplan = blk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in bplan
+    assert "Sort" not in bplan.replace("TakeOrderedAndProject", "")
+    for name, (tbl, fn) in uq.CANNED_QUERIES.items():
+        df = fn(_spark_df(spark, state, tbl))
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p, name  # everything stays JVM-side
