@@ -378,6 +378,17 @@ def main(argv: list[str] | None = None) -> int:
         if not args.table:
             print("error: --table is required", file=sys.stderr)
             return 2
+        if args.anchor_date is not None:
+            import inspect
+
+            if "anchor_date" not in inspect.signature(
+                CANNED_QUERIES[args.name][1]
+            ).parameters:
+                print(
+                    f"error: {args.name} does not take --anchor-date",
+                    file=sys.stderr,
+                )
+                return 2
     if args.cmd == "gen-log" and args.table is not None:
         # validate the index name BEFORE paying the JVM spin-up: a typo
         # must be a one-line error, not a KeyError traceback 20s in
@@ -946,25 +957,39 @@ def _dispatch(spark, args) -> int:
         summary = run_from_config(
             spark, cfg, streaming=args.streaming, checkpoint_dir=args.checkpoint
         )
+        qs = summary.pop("streaming_queries", [])  # multi-table continuous
         q = summary.pop("streaming_query", None)
-        if q is not None:  # continuous: block until Ctrl-C
+        if q is not None:
+            qs = [q, *qs]
+        if qs:  # continuous: block until Ctrl-C, then stop every tail
             try:
-                q.awaitTermination()
+                for each in qs:
+                    each.awaitTermination()
             except KeyboardInterrupt:
-                q.stop()
+                for each in qs:
+                    try:
+                        each.stop()
+                    except BaseException:
+                        pass  # stop the REST even if one is already dead
             summary["stopped"] = True
         print(json.dumps(summary))
         return 0 if summary.get("reconcile_ok", True) else 1
 
     if args.cmd == "user-query":
+        import inspect
+
         from multiversx_etl_spark.user_queries import CANNED_QUERIES
 
         _, fn = CANNED_QUERIES[args.name]
+        # anchor support comes from the query's own signature, so a new
+        # CANNED_QUERIES entry with an anchor_date param is CLI-anchored
+        # with no dispatcher edit (an anchor on a query that cannot honor
+        # it was already rejected before the JVM spun up)
+        kwargs = {}
+        if "anchor_date" in inspect.signature(fn).parameters:
+            kwargs["anchor_date"] = args.anchor_date
         df = LakeTable(spark, args.table).read()
-        if args.name in ("contract_interactions", "contract_unique_users"):
-            out = fn(df, anchor_date=args.anchor_date)
-        else:
-            out = fn(df)
+        out = fn(df, **kwargs)
         for line in out.limit(args.limit_out).toJSON().collect():
             print(line)
         return 0

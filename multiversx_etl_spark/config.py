@@ -175,6 +175,12 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
         names = [j.name for j in jobs]
         if len(set(names)) != len(names):
             raise ConfigError(f"duplicate table names in config: {names}")
+        # distinct names writing into one root is the dangerous copy-paste:
+        # sequential runs double-process; num_threads>1 runs write the same
+        # table CONCURRENTLY (racing ledger commits = lost epochs)
+        roots = [j.table_root for j in jobs]
+        if len(set(roots)) != len(roots):
+            raise ConfigError(f"duplicate table_root in config: {sorted(roots)}")
         return MultiWorkerConfig(tables=jobs, num_threads=num_threads)
     unknown = set(data) - _KNOWN
     if unknown:
@@ -336,10 +342,15 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
                         if not pending:
                             return
                         job = pending.pop(0)
-                    spark.sparkContext.setLocalProperty(
-                        "spark.scheduler.pool", f"mxetl-{job.name}"
-                    )
+                    # EVERYTHING after the pop is inside the try: a failure
+                    # anywhere (the pool tag included — a py4j hiccup counts)
+                    # must stop the pool and surface, never let the thread
+                    # die via threading.excepthook with the job silently
+                    # dropped from the report
                     try:
+                        spark.sparkContext.setLocalProperty(
+                            "spark.scheduler.pool", f"mxetl-{job.name}"
+                        )
                         s = run_from_config(
                             spark, job, streaming=streaming,
                             checkpoint_dir=_sub_ckpt(job),
@@ -367,15 +378,34 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
                 print(f"[run-config] table {name!r} failed; pool stopped",
                       file=_sys.stderr)
                 raise err
+            missing = [j.name for j in cfg.tables if j.name not in results]
+            if missing:
+                # no recorded error yet a job never completed: a thread was
+                # killed harder than except can see — this must be a loud
+                # failure, not a success report missing a table
+                raise RuntimeError(
+                    f"thread pool lost table jobs without an error: {missing}"
+                )
         else:
             for job in cfg.tables:
                 results[job.name] = run_from_config(
                     spark, job, streaming=streaming, checkpoint_dir=_sub_ckpt(job)
                 )
         # config order, not completion order, so reports are stable
-        tables = {j.name: results[j.name] for j in cfg.tables if j.name in results}
+        tables = {j.name: results[j.name] for j in cfg.tables}
         ok = all(s.get("reconcile_ok", True) for s in tables.values())
-        return {"tables": tables, "reconcile_ok": ok}
+        out: dict[str, Any] = {"tables": tables, "reconcile_ok": ok}
+        # continuous multi-table runs: hoist the live query handles out of
+        # the per-table summaries so the summaries stay JSON-serializable
+        # and a caller can await/stop every tail from one place
+        qs = [
+            s.pop("streaming_query")
+            for s in tables.values()
+            if s.get("streaming_query") is not None
+        ]
+        if qs:
+            out["streaming_queries"] = qs
+        return out
 
     from multiversx_etl_spark.operators.checks import reconcile
     from multiversx_etl_spark.oracle import expected_state

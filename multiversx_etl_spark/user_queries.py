@@ -26,6 +26,12 @@ unspecified; these implementations add a trailing deterministic tie-break
 the numeric intent the reference's other queries spell out with
 ``CAST(`value` AS BIGNUMERIC)`` (queries/transactions.sql:6) — rather than
 the raw-string ordering a literal reading of transactions.sql:31 implies.
+
+Cast semantics: under Spark's default ANSI mode a non-numeric ``value`` /
+``fee`` string fails the CAST at runtime — exactly what BigQuery's CAST
+does on the reference deployment. Data that wants NULL-on-bad-input
+(BigQuery SAFE_CAST) should pre-clean with ``F.try_cast`` before calling
+these; the shipped queries stay faithful to the reference's strict casts.
 """
 
 from __future__ import annotations

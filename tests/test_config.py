@@ -601,6 +601,54 @@ def test_num_threads_validation():
         worker_config_from_dict({
             "table_root": "/t", "log_path": "/l", "num_threads": 4,
         })
+    # distinct names sharing one table_root: double-processing when
+    # sequential, concurrent same-table writes under a pool — rejected
+    with pytest.raises(ConfigError, match="duplicate table_root"):
+        worker_config_from_dict({
+            "tables": [
+                {"name": "a", "table_root": "/t", "log_path": "/l1"},
+                {"name": "b", "table_root": "/t", "log_path": "/l2"},
+            ],
+        })
+
+
+def test_multi_table_continuous_streaming_hoists_queries(spark, tmp_path):
+    """Continuous multi-table runs return every live query handle in a
+    top-level streaming_queries list, leaving the per-table summaries
+    JSON-serializable (the CLI json.dumps them verbatim)."""
+    import json
+
+    from multiversx_etl_spark.config import run_from_config, worker_config_from_dict
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        write_log_parquet,
+    )
+
+    names = ["rounds", "events"]
+    tables_cfg = []
+    for n in names:
+        lp = str(tmp_path / f"log_{n}")
+        write_log_parquet(
+            generate_catalog_log(spark, 100, n, num_keys=10), lp, files=2
+        )
+        tables_cfg.append({
+            "name": n, "schema": n, "normalizer": n,
+            "table_root": str(tmp_path / f"t_{n}"), "log_path": lp,
+        })
+    cfg = worker_config_from_dict({
+        "interval_size": 100, "num_buckets": 4, "num_threads": 2,
+        "trigger_interval": "1 seconds", "tables": tables_cfg,
+    })
+    out = run_from_config(
+        spark, cfg, streaming=True, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        assert len(out["streaming_queries"]) == len(names)
+        json.dumps(out["tables"])  # no live handles left in the summaries
+        assert all(s["reconcile_skipped"] for s in out["tables"].values())
+    finally:
+        for q in out["streaming_queries"]:
+            q.stop()
 
 
 def test_thread_pool_first_failure_stops_and_reraises(spark, tmp_path):

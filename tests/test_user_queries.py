@@ -257,6 +257,16 @@ def test_user_query_cli(spark, state):
         env={**os.environ, "PYTHONPATH": repo}, cwd=repo,
     )
     assert bad.returncode == 2 and "unknown user query" in bad.stderr
+    # an anchor on a query that cannot honor it: loud pre-JVM error,
+    # never a silently ignored flag
+    noanchor = subprocess.run(
+        [sys.executable, "-m", "multiversx_etl_spark", "user-query",
+         "daily_rewards", "--table", "/tmp/x", "--anchor-date", "2026-01-01"],
+        capture_output=True, text=True, timeout=60,
+        env={**os.environ, "PYTHONPATH": repo}, cwd=repo,
+    )
+    assert noanchor.returncode == 2
+    assert "does not take --anchor-date" in noanchor.stderr
 
 
 def test_plans_scale(spark, state):
