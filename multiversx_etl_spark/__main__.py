@@ -284,7 +284,8 @@ def main(argv: list[str] | None = None) -> int:
     rv.add_argument(
         "--spec",
         required=True,
-        help='JSON spec file: {"kind": "agg", "dims": [...], "sums": {alias: col}}'
+        help='JSON spec file: {"kind": "agg", "dims": [...], "sums": '
+        '{alias: sql}, "derived": {dim: sql}, "where": sql}'
         ' | {"kind": "transform", "exprs": {col: sql}, "pre": {tmp: sql}}'
         ' | {"kind": "minhash_index", "text_col": "content", "bands": 3}',
     )
@@ -766,6 +767,8 @@ def _dispatch(spark, args) -> int:
                 dims=tuple(spec_json["dims"]),
                 sums=spec_json.get("sums", {}),
                 count_alias=spec_json.get("count_alias", "n_rows"),
+                derived=spec_json.get("derived", {}),
+                where=spec_json.get("where"),
             )
             create, refresh, reseed = create_agg_view, refresh_agg_view, reseed_agg_view
             stream_id = args.stream_id or "matview"

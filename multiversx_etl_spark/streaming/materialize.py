@@ -62,16 +62,40 @@ _NUMERIC = {"byte", "short", "integer", "long", "float", "double"}
 @dataclass(frozen=True)
 class AggViewSpec:
     """A grouped rollup: ``SELECT dims..., count(*) AS count_alias,
-    sum(col) AS alias... GROUP BY dims``.
+    sum(expr) AS alias... FROM (SELECT *, derived... FROM src WHERE where)
+    GROUP BY dims``.
 
-    ``dims`` become the view table's upsert key. ``sums`` maps output
-    alias -> numeric source column (decimal sums work; pass the column
-    pre-cast in the source if you need a specific precision).
+    ``dims`` become the view table's upsert key; each dim names a source
+    column or a ``derived`` alias. ``sums`` maps output alias -> numeric
+    SQL expression (a bare column name is the simple case; decimal casts
+    widen per SQL rules). ``derived`` maps alias -> row-wise SQL
+    expression computed before grouping (insertion order; later entries
+    may reference earlier ones) — expression GROUP BY keys like
+    ``to_date(timestamp)``. ``where`` is a row predicate applied before
+    grouping (it may reference derived names).
+
+    The ±1 delta algebra is unchanged by ``derived``/``where`` because
+    both are row-wise and deterministic: ``prepare`` runs identically on
+    the full recompute and on both delta images, so an update that moves
+    a row across the filter boundary nets to a plain group decrement on
+    one side and increment on the other.
     """
 
     dims: tuple[str, ...]
     sums: dict[str, str] = field(default_factory=dict)
     count_alias: str = "n_rows"
+    derived: dict[str, str] = field(default_factory=dict)
+    where: str | None = None
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        """The row-wise pre-aggregation stage (derived columns, then the
+        filter) — shared verbatim by the full recompute and the refresh's
+        pre/post delta images."""
+        for name, e in self.derived.items():
+            df = df.withColumn(name, F.expr(e))
+        if self.where is not None:
+            df = df.where(F.expr(self.where))
+        return df
 
     def agg_exprs(self) -> list:
         # sums are null-coalesced: SQL's "sum of no non-null values is
@@ -80,7 +104,7 @@ class AggViewSpec:
         # — in the full form here AND the delta form in refresh_agg_view
         exprs = [F.count(F.lit(1)).alias(self.count_alias)]
         exprs += [
-            F.coalesce(F.sum(F.col(src)), F.lit(0)).alias(alias)
+            F.coalesce(F.sum(F.expr(src)), F.lit(0)).alias(alias)
             for alias, src in self.sums.items()
         ]
         return exprs
@@ -88,23 +112,19 @@ class AggViewSpec:
     def aggregate(self, df: DataFrame) -> DataFrame:
         """The full (non-incremental) form — the reseed path and the
         correctness oracle both use exactly this."""
-        return df.groupBy(*self.dims).agg(*self.agg_exprs())
+        return self.prepare(df).groupBy(*self.dims).agg(*self.agg_exprs())
 
     def validate(self, src: LakeTable) -> None:
         schema = src.snapshot().schema
-        names = {f.name: f.dataType.typeName() for f in schema.fields}
-        for d in self.dims:
-            if d not in names:
-                raise ValueError(f"dim {d!r} not in source schema")
-        for alias, col in self.sums.items():
-            t = names.get(col)
-            if t is None:
-                raise ValueError(f"sum source {col!r} not in source schema")
-            if t not in _NUMERIC and not t.startswith("decimal"):
-                raise ValueError(
-                    f"sum({col!r}) is {t}: only numeric columns are "
-                    "incrementally summable"
-                )
+        names = {f.name for f in schema.fields}
+        for name in self.derived:
+            # withColumn REPLACES an existing column: a derived alias
+            # shadowing a source column would silently rewrite the
+            # pre-image rows the delta algebra diffs against
+            if name in names:
+                raise ValueError(f"derived column {name!r} shadows a source column")
+            if name == "op":
+                raise ValueError("derived column 'op' collides with an engine column")
         for d in self.dims:
             # the backing table appends its own (seq, deleted) fields; a
             # dim with either name would duplicate a schema field, and 'op'
@@ -115,6 +135,25 @@ class AggViewSpec:
         for alias in (*self.sums, self.count_alias):
             if alias in reserved:
                 raise ValueError(f"aggregate alias {alias!r} collides")
+        # surface missing columns, bad SQL, and non-numeric sums at
+        # declaration time by planning the full form on an empty frame
+        from pyspark.errors import AnalysisException
+
+        try:
+            probe = self.prepare(src.read().limit(0))
+            probe_names = set(probe.columns)
+            for d in self.dims:
+                if d not in probe_names:
+                    raise ValueError(f"dim {d!r} not in source schema or derived")
+            for alias, srcexpr in self.sums.items():
+                t = probe.select(F.expr(srcexpr)).schema[0].dataType.typeName()
+                if t not in _NUMERIC and not t.startswith("decimal"):
+                    raise ValueError(
+                        f"sum({srcexpr!r}) is {t}: only numeric expressions "
+                        "are incrementally summable"
+                    )
+        except AnalysisException as e:
+            raise ValueError(f"bad spec expression: {e}") from None
 
 
 def create_agg_view(
@@ -217,13 +256,16 @@ def refresh_agg_view(
     def _image(version: int, weight: int) -> DataFrame:
         buckets = src_buckets if version == cur else _buckets_at(version)
         img = src.read(version=version, buckets=buckets)
-        return img.join(
+        img = img.join(
             changed, on=_null_safe_on(img, changed, key), how="left_semi"
-        ).withColumn("_w", F.lit(weight))
+        )
+        # the spec's row-wise stage runs on each image exactly as it runs
+        # in the full recompute: rows the filter drops contribute no weight
+        return spec.prepare(img).withColumn("_w", F.lit(weight))
 
     pm = _image(start, -1).unionByName(_image(cur, +1))
     d_exprs = [F.sum("_w").alias(f"_d_{spec.count_alias}")] + [
-        F.sum(F.col("_w") * F.col(srccol)).alias(f"_d_{alias}")
+        F.sum(F.col("_w") * F.expr(srccol)).alias(f"_d_{alias}")
         for alias, srccol in spec.sums.items()
     ]
     delta = pm.groupBy(*spec.dims).agg(*d_exprs)

@@ -169,6 +169,49 @@ def test_bootstrap_via_reseed_then_tail(spark, tmp_path):
     assert _view_state(view) == _recompute_state(src)
 
 
+def test_filtered_derived_view_matches_recompute(spark, tmp_path):
+    """derived dims + where filter through the ±1 delta algebra: updates
+    that cross the filter boundary (both directions) and move between
+    derived groups must leave the view equal to a from-scratch recompute."""
+    spec = AggViewSpec(
+        dims=("l2",),
+        derived={"l2": "upper(lang)"},
+        where="content <> 'hidden'",
+        sums={"seq_total": "seq"},
+    )
+    src = _mk_src(spark, tmp_path)
+    view = create_agg_view(src, str(tmp_path / "view"), spec, num_buckets=4)
+
+    def state(rows):
+        return {(r["l2"], r["n_rows"], r["seq_total"]) for r in rows}
+
+    merge_batch(src, _batch(spark, [
+        (0, 1, "insert", "r", "a.py", "c", "py", "v1"),
+        (1, 1, "insert", "r", "b.py", "c", "py", "hidden"),  # filtered out
+        (2, 1, "insert", "r", "c.rs", "c", "rs", "v1"),
+    ]), "m", 0, 0, 3)
+    refresh_agg_view(src, view, spec)
+    got = state(view.read().collect())
+    assert got == state(spec.aggregate(src.read()).collect())
+    assert ("PY", 1, 1) in got  # the hidden row never counted
+
+    # b.py crosses INTO the filter, a.py crosses OUT, c.rs moves derived dim
+    merge_batch(src, _batch(spark, [
+        (3, 2, "update", "r", "b.py", "c", "py", "v2"),
+        (4, 2, "update", "r", "a.py", "c", "py", "hidden"),
+        (5, 2, "update", "r", "c.rs", "c", "go", "v1"),
+    ]), "m", 1, 3, 6)
+    refresh_agg_view(src, view, spec)
+    assert state(view.read().collect()) == state(
+        spec.aggregate(src.read()).collect()
+    )
+    # reseed from scratch agrees with the incrementally-maintained state
+    reseed_agg_view(src, view, spec)
+    assert state(view.read().collect()) == state(
+        spec.aggregate(src.read()).collect()
+    )
+
+
 def test_spec_validation(spark, tmp_path):
     src = _mk_src(spark, tmp_path)
     with pytest.raises(ValueError, match="not in source schema"):
@@ -177,8 +220,12 @@ def test_spec_validation(spark, tmp_path):
         AggViewSpec(dims=("lang",), sums={"s": "content"}).validate(src)
     with pytest.raises(ValueError, match="collides"):
         AggViewSpec(dims=("lang",), sums={"lang": "seq"}).validate(src)
-    with pytest.raises(ValueError, match="not in source schema"):
+    with pytest.raises(ValueError, match="bad spec expression"):
         AggViewSpec(dims=("lang",), sums={"s": "nope"}).validate(src)
+    with pytest.raises(ValueError, match="shadows a source column"):
+        AggViewSpec(dims=("lang",), derived={"lang": "upper(lang)"}).validate(src)
+    with pytest.raises(ValueError, match="bad spec expression"):
+        AggViewSpec(dims=("lang",), where="no_such_col = 1").validate(src)
 
 
 def test_refresh_across_rebucket(spark, tmp_path):

@@ -216,6 +216,84 @@ def test_views_registered_for_sql_users(spark, state):
     assert n_tx + n_sc + other == ops.count()
 
 
+def test_dashboard_views_incremental(spark, tmp_path):
+    """The reference's daily dashboards, maintained incrementally from the
+    operations CDC feed: after two replay epochs + two refreshes each view
+    equals the corresponding published query run on the final state."""
+    from multiversx_etl_spark.operators.normalize import REGISTRY
+    from multiversx_etl_spark.schemas import TABLES
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        read_offset_range,
+        write_log_parquet,
+    )
+    from multiversx_etl_spark.streaming.ingest import ensure_table, replay
+    from multiversx_etl_spark.streaming.materialize import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_catalog_log(spark, 800, "operations", num_keys=40, ts_step=3600),
+        log_path, files=2,
+    )
+    _, target_schema, key = TABLES["operations"]
+    table = ensure_table(
+        spark, str(tmp_path / "t"), num_buckets=4,
+        schema=target_schema, key_columns=key,
+    )
+    log = spark.read.parquet(log_path)
+    replay(read_offset_range(log, 0, 404), table, interval_size=404,
+           normalizer=REGISTRY["operations"])
+
+    specs = uq.dashboard_specs()
+    views = {
+        n: create_agg_view(table, str(tmp_path / f"v_{n}"), s, num_buckets=4)
+        for n, s in specs.items()
+    }
+    for n, s in specs.items():
+        assert refresh_agg_view(table, views[n], s) is not None
+
+    # second epoch: updates/deletes land, the views refresh incrementally
+    replay(log, table, interval_size=404, normalizer=REGISTRY["operations"])
+    for n, s in specs.items():
+        assert refresh_agg_view(table, views[n], s) is not None
+
+    st = table.read()
+    got_tx = {
+        (str(r["day"]), r["transactions"])
+        for r in views["daily_transactions"].read().collect()
+    }
+    want_tx = {
+        (str(r["day"]), r["transactions"])
+        for r in uq.daily_transactions(st).collect()
+    }
+    assert got_tx == want_tx and want_tx
+
+    got_rw = {
+        (str(r["day"]), str(r["rewards"]))
+        for r in views["daily_rewards"].read().collect()
+    }
+    want_rw = {
+        (str(r["day"]), str(r["rewards"]))
+        for r in uq.daily_rewards(st).collect()
+    }
+    assert got_rw == want_rw and want_rw
+
+    # the view keeps all days; the published query's 7-day window is a
+    # query-time filter — an early anchor keeps every day
+    got_ci = {
+        (str(r["day"]), r["contract"], r["num_interactions"])
+        for r in views["contract_interactions"].read().collect()
+    }
+    want_ci = {
+        (str(r["day"]), r["contract"], r["num_interactions"])
+        for r in uq.contract_interactions(st, anchor_date="1970-01-08").collect()
+    }
+    assert got_ci == want_ci and want_ci
+
+
 def test_user_query_cli(spark, state):
     """A fresh consumer process runs a shipped query against the lake table
     by name — the BQ-console analog for reference users."""
