@@ -247,6 +247,35 @@ def dashboard_specs():
     }
 
 
+def daily_active_users_cascade():
+    """The COUNT(DISTINCT) dashboard (queries/interactions.sql:1-10 daily
+    active users) as TWO cascaded maintained views — the standard IVM
+    decomposition of a distinct count into self-maintainable pieces:
+
+    - level 1, over ``operations``: one row per (day, sender) with its
+      event count — existence of the row IS the distinct fact;
+    - level 2, over the LEVEL-1 VIEW's own change feed (an agg view is a
+      LakeTable, so it replays like any other source): COUNT(*) per day
+      = COUNT(DISTINCT sender) per day.
+
+    A sender's first event of a day inserts a level-1 row (level 2 +1);
+    further events only bump the level-1 count (a net-zero level-2 delta,
+    dropped before touching the view); deleting the sender's last event
+    tombstones the level-1 row (level 2 −1). Refresh level 1 before
+    level 2. Returns ``(level1_spec, level2_spec)``.
+    """
+    from multiversx_etl_spark.streaming.materialize import AggViewSpec
+
+    lvl1 = AggViewSpec(
+        dims=("day", "sender"),
+        derived={"day": "to_date(timestamp)"},
+        where="type = 'normal'",
+        count_alias="n_events",
+    )
+    lvl2 = AggViewSpec(dims=("day",), count_alias="num_users")
+    return lvl1, lvl2
+
+
 #: name → (table argument, callable) — the CLI and tests enumerate this.
 CANNED_QUERIES: dict[str, tuple[str, object]] = {
     "recent_blocks": ("blocks", recent_blocks),

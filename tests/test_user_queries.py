@@ -294,6 +294,56 @@ def test_dashboard_views_incremental(spark, tmp_path):
     assert got_ci == want_ci and want_ci
 
 
+def test_daily_active_users_cascade(spark, tmp_path):
+    """COUNT(DISTINCT) via two cascaded maintained views: after each
+    upstream epoch + level-1-then-level-2 refresh, level 2 equals the
+    published daily_active_users query on the current state."""
+    from multiversx_etl_spark.operators.normalize import REGISTRY
+    from multiversx_etl_spark.schemas import TABLES
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        read_offset_range,
+        write_log_parquet,
+    )
+    from multiversx_etl_spark.streaming.ingest import ensure_table, replay
+    from multiversx_etl_spark.streaming.materialize import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_catalog_log(spark, 600, "operations", num_keys=30, ts_step=3600),
+        log_path, files=2,
+    )
+    _, target_schema, key = TABLES["operations"]
+    table = ensure_table(
+        spark, str(tmp_path / "t"), num_buckets=4,
+        schema=target_schema, key_columns=key,
+    )
+    log = spark.read.parquet(log_path)
+    spec1, spec2 = uq.daily_active_users_cascade()
+    v1 = create_agg_view(table, str(tmp_path / "v1"), spec1, num_buckets=4)
+    v2 = create_agg_view(v1, str(tmp_path / "v2"), spec2, num_buckets=4)
+
+    def check():
+        got = {
+            (str(r["day"]), r["num_users"]) for r in v2.read().collect()
+        }
+        want = {
+            (str(r["day"]), r["num_users"])
+            for r in uq.daily_active_users(table.read()).collect()
+        }
+        assert got == want and want
+
+    for hi in (303, None):  # two upstream epochs
+        part = log if hi is None else read_offset_range(log, 0, hi)
+        replay(part, table, interval_size=303, normalizer=REGISTRY["operations"])
+        refresh_agg_view(table, v1, spec1)   # level 1 first,
+        refresh_agg_view(v1, v2, spec2)      # then its consumer
+        check()
+
+
 def test_user_query_cli(spark, state):
     """A fresh consumer process runs a shipped query against the lake table
     by name — the BQ-console analog for reference users."""
