@@ -337,6 +337,17 @@ def main(argv: list[str] | None = None) -> int:
         "--checkpoint; Ctrl-C stops gracefully",
     )
 
+    dbp = sub.add_parser(
+        "dashboards",
+        help="create-if-absent and refresh ALL the reference's daily "
+        "dashboards (queries/transactions.sql, interactions.sql) as "
+        "incrementally maintained views over an operations lake table "
+        "(one round; run under cron/loop for a tail)",
+    )
+    dbp.add_argument("operations_table", help="the operations lake table root")
+    dbp.add_argument("views_root", help="directory the view tables live under")
+    dbp.add_argument("--buckets", type=int, default=16)
+
     uqp = sub.add_parser(
         "user-query",
         help="run one of the reference's shipped analytics queries "
@@ -977,6 +988,43 @@ def _dispatch(spark, args) -> int:
             summary["stopped"] = True
         print(json.dumps(summary))
         return 0 if summary.get("reconcile_ok", True) else 1
+
+    if args.cmd == "dashboards":
+        from multiversx_etl_spark.streaming.materialize import (
+            create_agg_view,
+            refresh_agg_view,
+        )
+        from multiversx_etl_spark.user_queries import (
+            daily_active_users_cascade,
+            dashboard_specs,
+        )
+
+        ops = LakeTable(spark, args.operations_table)
+        lvl1, lvl2 = daily_active_users_cascade()
+        # (name, source-resolver, spec) in dependency order: the cascade's
+        # level 2 consumes the level-1 VIEW, so it must refresh after it
+        plan = [(n, None, s) for n, s in dashboard_specs().items()]
+        plan += [
+            ("daily_active_senders", None, lvl1),
+            ("daily_active_users", "daily_active_senders", lvl2),
+        ]
+        views: dict[str, LakeTable] = {}
+        out = {}
+        for name, src_name, spec in plan:
+            src = ops if src_name is None else views[src_name]
+            root = f"{args.views_root.rstrip('/')}/{name}"
+            if LakeTable.exists(root):
+                view = LakeTable(spark, root)
+            else:
+                view = create_agg_view(src, root, spec, num_buckets=args.buckets)
+            stats = refresh_agg_view(src, view, spec, stream_id=f"dash_{name}")
+            views[name] = view
+            out[name] = {
+                "up_to_date": stats is None,
+                "view_rows": view.read().count(),
+            }
+        print(json.dumps(out))
+        return 0
 
     if args.cmd == "user-query":
         import inspect

@@ -344,6 +344,69 @@ def test_daily_active_users_cascade(spark, tmp_path):
         check()
 
 
+def test_dashboards_cli(spark, tmp_path):
+    """The one-command ops surface: a fresh consumer process creates and
+    refreshes every reference dashboard (cascade included, in dependency
+    order); a second run reports everything up to date."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.operators.normalize import REGISTRY
+    from multiversx_etl_spark.schemas import TABLES
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        write_log_parquet,
+    )
+    from multiversx_etl_spark.streaming.ingest import ensure_table, replay
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_catalog_log(spark, 400, "operations", num_keys=25, ts_step=3600),
+        log_path, files=2,
+    )
+    _, target_schema, key = TABLES["operations"]
+    table = ensure_table(
+        spark, str(tmp_path / "t"), num_buckets=4,
+        schema=target_schema, key_columns=key,
+    )
+    replay(spark.read.parquet(log_path), table, interval_size=400,
+           normalizer=REGISTRY["operations"])
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_cli():
+        r = subprocess.run(
+            [sys.executable, "-m", "multiversx_etl_spark", "--master",
+             "local[2]", "dashboards", str(tmp_path / "t"),
+             str(tmp_path / "views"), "--buckets", "4"],
+            capture_output=True, text=True, timeout=300,
+            env={**os.environ, "PYTHONPATH": repo}, cwd=repo,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    out = run_cli()
+    assert set(out) == {
+        "daily_transactions", "daily_rewards", "contract_interactions",
+        "daily_active_senders", "daily_active_users",
+    }
+    assert all(not v["up_to_date"] and v["view_rows"] > 0 for v in out.values())
+
+    view = LakeTable(spark, str(tmp_path / "views" / "daily_transactions"))
+    got = {(str(r["day"]), r["transactions"]) for r in view.read().collect()}
+    want = {
+        (str(r["day"]), r["transactions"])
+        for r in uq.daily_transactions(table.read()).collect()
+    }
+    assert got == want and want
+
+    again = run_cli()
+    assert all(v["up_to_date"] for v in again.values())
+
+
 def test_user_query_cli(spark, state):
     """A fresh consumer process runs a shipped query against the lake table
     by name — the BQ-console analog for reference users."""
