@@ -221,6 +221,16 @@ def dashboard_specs():
     are not self-maintainable under deletes with count/sum state alone
     (they need a per-(day, sender) intermediate view; compute them with
     the query functions above or cascade two views).
+
+    When to refresh vs recompute (measured, BENCH/BASELINE.md "Dashboard
+    IVM"): for dashboard-sized rollups (up to ~10^6 groups) a scheduled
+    ``reseed_agg_view`` — one map-side aggregate over a plain scan — is
+    CHEAPER than the delta refresh until the base table dwarfs executor
+    memory, because the refresh's two time-travel images shuffle their
+    MOR fold while the recompute doesn't shuffle at all. The delta
+    refresh earns its keep on views too expensive to rebuild per round
+    (the MinHash index in features.py), for always-on consumers needing
+    exact maintenance under deletes, and for the distinct-count cascade.
     """
     from multiversx_etl_spark.streaming.materialize import AggViewSpec
 
