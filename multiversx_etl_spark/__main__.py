@@ -993,6 +993,7 @@ def _dispatch(spark, args) -> int:
         from multiversx_etl_spark.streaming.materialize import (
             create_agg_view,
             refresh_agg_view,
+            refresh_agg_views,
         )
         from multiversx_etl_spark.user_queries import (
             daily_active_users_cascade,
@@ -1009,20 +1010,48 @@ def _dispatch(spark, args) -> int:
             ("daily_active_users", "daily_active_senders", lvl2),
         ]
         views: dict[str, LakeTable] = {}
-        out = {}
         for name, src_name, spec in plan:
             src = ops if src_name is None else views[src_name]
             root = f"{args.views_root.rstrip('/')}/{name}"
             if LakeTable.exists(root):
                 view = LakeTable(spark, root)
+                # a populated view maintained under ANOTHER stream id has
+                # no dash_<name> marker: refreshing would re-apply the full
+                # 0→cur delta ON TOP of its rows — silent double counts
+                if (
+                    view.last_committed_epoch(f"dash_{name}") is None
+                    and view.read().limit(1).count() > 0
+                ):
+                    raise SystemExit(
+                        f"{root} has rows but no dash_{name} marker (it was "
+                        "maintained under a different stream id); refreshing "
+                        "would double-count — use a fresh --views-root or "
+                        "keep maintaining it via refresh-view --stream-id"
+                    )
             else:
                 view = create_agg_view(src, root, spec, num_buckets=args.buckets)
-            stats = refresh_agg_view(src, view, spec, stream_id=f"dash_{name}")
             views[name] = view
-            out[name] = {
-                "up_to_date": stats is None,
-                "view_rows": view.read().count(),
+        # all ops-sourced views refresh through ONE shared change window
+        # (one change-feed read + one persisted image pair per round); the
+        # cascade's level 2 then consumes the freshly-advanced level-1 view
+        ops_names = [n for n, src_name, _ in plan if src_name is None]
+        stats_map = refresh_agg_views(
+            ops,
+            [(views[n], s, f"dash_{n}") for n, src_name, s in plan
+             if src_name is None],
+        )
+        stats = {n: stats_map[f"dash_{n}"] for n in ops_names}
+        stats["daily_active_users"] = refresh_agg_view(
+            views["daily_active_senders"], views["daily_active_users"],
+            lvl2, stream_id="dash_daily_active_users",
+        )
+        out = {
+            name: {
+                "up_to_date": stats[name] is None,
+                "view_rows": views[name].read().count(),
             }
+            for name, _src, _spec in plan
+        }
         print(json.dumps(out))
         return 0
 

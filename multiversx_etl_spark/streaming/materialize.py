@@ -125,6 +125,14 @@ class AggViewSpec:
                 raise ValueError(f"derived column {name!r} shadows a source column")
             if name == "op":
                 raise ValueError("derived column 'op' collides with an engine column")
+        for name in (*self.derived, *self.dims, *self.sums, self.count_alias):
+            # refresh-internal columns: _image overwrites _w AFTER prepare,
+            # and the delta agg emits _d_<alias> — a spec using either name
+            # would diverge from the full recompute with no error
+            if name == "_w" or name.startswith("_d_"):
+                raise ValueError(
+                    f"{name!r} collides with a refresh-internal column"
+                )
         for d in self.dims:
             # the backing table appends its own (seq, deleted) fields; a
             # dim with either name would duplicate a schema field, and 'op'
@@ -145,6 +153,10 @@ class AggViewSpec:
             for d in self.dims:
                 if d not in probe_names:
                     raise ValueError(f"dim {d!r} not in source schema or derived")
+            all_exprs = probe.select(
+                *[F.expr(e) for e in (*self.derived.values(), *self.sums.values())],
+                *( [F.expr(self.where)] if self.where is not None else [] ),
+            )
             for alias, srcexpr in self.sums.items():
                 t = probe.select(F.expr(srcexpr)).schema[0].dataType.typeName()
                 if t not in _NUMERIC and not t.startswith("decimal"):
@@ -154,6 +166,27 @@ class AggViewSpec:
                     )
         except AnalysisException as e:
             raise ValueError(f"bad spec expression: {e}") from None
+        # refresh_agg_view re-runs prepare() on the HISTORICAL pre-image:
+        # an expression whose value drifts between refreshes (current_date
+        # in a where-window, rand, uuid) silently un-balances the ±1
+        # algebra — the stale row's -1 never fires — and the view diverges
+        # from the recompute forever. Spark marks current_date/timestamp
+        # deterministic (they are, within one query), so check by name too.
+        # markers keep their "(" so a mere COLUMN named current_date
+        # (printed current_date#N, no paren) never false-positives
+        plan = all_exprs._jdf.queryExecution().analyzed().toString().lower()
+        for marker in ("current_date(", "current_timestamp(", "currentdate(",
+                       "currenttimestamp(", "current_timezone(",
+                       "localtimestamp(", "rand(", "randn(", "uuid(",
+                       "shuffle(", "monotonically_increasing_id("):
+            if marker in plan:
+                raise ValueError(
+                    f"spec expression uses {marker.rstrip('(')}: derived/"
+                    "where/sums must be deterministic AND time-invariant — "
+                    "the refresh re-evaluates them on historical pre-images "
+                    "(put time windows in the READER, like the 7-day HAVING "
+                    "in contract_interactions)"
+                )
 
 
 def create_agg_view(
@@ -190,6 +223,7 @@ def reseed_agg_view(
     retention-gap fallback."""
     from multiversx_etl_spark.streaming.ingest import bootstrap_snapshot
 
+    spec.validate(src)  # a spec edited since create must fail HERE, loudly
     cur = src.current_version()
     rollup = spec.aggregate(src.read(version=cur)).withColumn("seq", F.lit(cur))
     n = bootstrap_snapshot(
@@ -206,27 +240,15 @@ def reseed_agg_view(
 from multiversx_etl_spark.operators.merge import null_safe_on as _null_safe_on  # noqa: E402
 
 
-def refresh_agg_view(
-    src: LakeTable,
-    view: LakeTable,
-    spec: AggViewSpec,
-    stream_id: str = "matview",
-    auto_reseed: bool = True,
-) -> MergeStats | None:
-    """Apply all upstream changes since the last refreshed version to the
-    rollup. Returns merge stats, or None when already up to date."""
-    last = view.last_committed_epoch(stream_id)
-    start = int(last) if last is not None else 0
-    cur = src.current_version()
-    if start >= cur:
-        return None
-    try:
-        feed = src.changes(start, cur)
-    except ValueError:
-        if not auto_reseed:
-            raise
-        return reseed_agg_view(src, view, spec, stream_id)
-
+def _change_images(
+    src: LakeTable, start: int, cur: int
+) -> tuple[DataFrame, DataFrame] | None:
+    """The SPEC-INDEPENDENT part of a refresh: the changed-key set and the
+    raw (un-prepared, un-weighted) pre/post images of those keys. Returns
+    None when the feed had no logical rows (e.g. a compact-only range).
+    Raises ValueError when the range is unreadable (expired/rewritten) —
+    the caller decides whether to reseed."""
+    feed = src.changes(start, cur)
     key = src.snapshot().key_columns
     changed = feed.select(*key).distinct()
 
@@ -243,27 +265,54 @@ def refresh_agg_view(
             ).distinct().collect()
         }
 
-    src_buckets = _buckets_at(cur)
-    if not src_buckets:  # feed had no logical rows (e.g. compact-only range)
-        empty = view.read().limit(0).drop("deleted", "seq").withColumn(
-            "op", F.lit("update")
-        )
-        return merge_batch(
-            view, empty.withColumn("seq", F.lit(cur)), stream_id, epoch_id=cur,
-            offset_lo=start, offset_hi=cur, marker_mode="latest_only",
-        )
+    post_buckets = _buckets_at(cur)
+    if not post_buckets:
+        return None
 
-    def _image(version: int, weight: int) -> DataFrame:
-        buckets = src_buckets if version == cur else _buckets_at(version)
+    def _raw_image(version: int, buckets: set[int]) -> DataFrame:
         img = src.read(version=version, buckets=buckets)
-        img = img.join(
+        return img.join(
             changed, on=_null_safe_on(img, changed, key), how="left_semi"
         )
-        # the spec's row-wise stage runs on each image exactly as it runs
-        # in the full recompute: rows the filter drops contribute no weight
-        return spec.prepare(img).withColumn("_w", F.lit(weight))
 
-    pm = _image(start, -1).unionByName(_image(cur, +1))
+    return (
+        _raw_image(start, _buckets_at(start)),
+        _raw_image(cur, post_buckets),
+    )
+
+
+def _commit_empty(
+    view: LakeTable, stream_id: str, start: int, cur: int
+) -> MergeStats:
+    """Advance the marker past a no-logical-rows range without touching
+    any view row."""
+    empty = view.read().limit(0).drop("deleted", "seq").withColumn(
+        "op", F.lit("update")
+    )
+    return merge_batch(
+        view, empty.withColumn("seq", F.lit(cur)), stream_id, epoch_id=cur,
+        offset_lo=start, offset_hi=cur, marker_mode="latest_only",
+    )
+
+
+def _commit_delta(
+    view: LakeTable,
+    spec: AggViewSpec,
+    stream_id: str,
+    start: int,
+    cur: int,
+    pre: DataFrame,
+    post: DataFrame,
+) -> MergeStats:
+    """The SPEC-SPECIFIC part of a refresh: prepare + weigh the shared
+    images, aggregate the group deltas, join the affected view rows, and
+    commit — exactly the algebra documented in the module docstring."""
+    # the spec's row-wise stage runs on each image exactly as it runs in
+    # the full recompute: rows the filter drops contribute no weight
+    pm = (
+        spec.prepare(pre).withColumn("_w", F.lit(-1))
+        .unionByName(spec.prepare(post).withColumn("_w", F.lit(+1)))
+    )
     d_exprs = [F.sum("_w").alias(f"_d_{spec.count_alias}")] + [
         F.sum(F.col("_w") * F.expr(srccol)).alias(f"_d_{alias}")
         for alias, srccol in spec.sums.items()
@@ -320,3 +369,84 @@ def refresh_agg_view(
         offset_hi=cur,
         marker_mode="latest_only",
     )
+
+
+def refresh_agg_view(
+    src: LakeTable,
+    view: LakeTable,
+    spec: AggViewSpec,
+    stream_id: str = "matview",
+    auto_reseed: bool = True,
+) -> MergeStats | None:
+    """Apply all upstream changes since the last refreshed version to the
+    rollup. Returns merge stats, or None when already up to date."""
+    spec.validate(src)  # re-validate per refresh: CLI specs are files that
+    # can be edited to something time-varying between rounds
+    last = view.last_committed_epoch(stream_id)
+    start = int(last) if last is not None else 0
+    cur = src.current_version()
+    if start >= cur:
+        return None
+    try:
+        images = _change_images(src, start, cur)
+    except ValueError:
+        if not auto_reseed:
+            raise
+        return reseed_agg_view(src, view, spec, stream_id)
+    if images is None:
+        return _commit_empty(view, stream_id, start, cur)
+    pre, post = images
+    return _commit_delta(view, spec, stream_id, start, cur, pre, post)
+
+
+def refresh_agg_views(
+    src: LakeTable,
+    targets: list[tuple[LakeTable, AggViewSpec, str]],
+    auto_reseed: bool = True,
+) -> dict[str, MergeStats | None]:
+    """Refresh MANY views over ONE source, sharing the spec-independent
+    work: targets whose markers start from the same version share one
+    change-feed read, one changed-key set and one PERSISTED pair of
+    pre/post images, so the source's MOR-fold shuffle runs twice per
+    round instead of twice per view (the 100 TB cost of a multi-dashboard
+    round — see the dashboards CLI). Views at different start versions
+    (e.g. one created later) group separately and still refresh correctly.
+    Returns {stream_id: MergeStats | None (up to date)}."""
+    out: dict[str, MergeStats | None] = {}
+    cur = src.current_version()
+    groups: dict[int, list[tuple[LakeTable, AggViewSpec, str]]] = {}
+    for view, spec, stream_id in targets:
+        spec.validate(src)
+        last = view.last_committed_epoch(stream_id)
+        start = int(last) if last is not None else 0
+        if start >= cur:
+            out[stream_id] = None
+            continue
+        groups.setdefault(start, []).append((view, spec, stream_id))
+    for start, members in groups.items():
+        try:
+            images = _change_images(src, start, cur)
+        except ValueError:
+            if not auto_reseed:
+                raise
+            for view, spec, stream_id in members:
+                out[stream_id] = reseed_agg_view(src, view, spec, stream_id)
+            continue
+        if images is None:
+            for view, spec, stream_id in members:
+                out[stream_id] = _commit_empty(view, stream_id, start, cur)
+            continue
+        pre, post = images
+        share = len(members) > 1
+        if share:
+            pre, post = pre.persist(), post.persist()
+        try:
+            for view, spec, stream_id in members:
+                out[stream_id] = _commit_delta(
+                    view, spec, stream_id, start, cur, pre, post
+                )
+        finally:
+            if share:
+                pre.unpersist()
+                post.unpersist()
+    return out

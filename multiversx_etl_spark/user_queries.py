@@ -216,7 +216,12 @@ def dashboard_specs():
     Covered: daily transaction counts (transactions.sql:14-22), daily
     rewards (transactions.sql:1-12), per-(day, contract) interaction
     counts (interactions.sql:12-22 — the 7-day HAVING window is
-    query-time, so the view keeps all days and the reader filters).
+    query-time, so the view keeps all days and the reader filters; a
+    time window baked into the SPEC would drift between refreshes and
+    is rejected by validation). One documented sum deviation: the view
+    reports ``rewards = 0`` for a day whose reward rows all carry NULL
+    ``value`` where the published query returns NULL — the engine-wide
+    IVM convention (sum ≡ coalesce(sum, 0), see AggViewSpec.agg_exprs).
     NOT covered: the COUNT(DISTINCT sender) dashboards — distinct counts
     are not self-maintainable under deletes with count/sum state alone
     (they need a per-(day, sender) intermediate view; compute them with

@@ -212,6 +212,78 @@ def test_filtered_derived_view_matches_recompute(spark, tmp_path):
     )
 
 
+def test_refresh_agg_views_shared_scan_matches_individual(spark, tmp_path):
+    """The multi-view entry point: targets sharing a start version share
+    one image pair; targets at a DIFFERENT start version group separately
+    — every view still lands exactly on the from-scratch recompute."""
+    from multiversx_etl_spark.streaming.materialize import refresh_agg_views
+
+    src = _mk_src(spark, tmp_path)
+    spec_b = AggViewSpec(dims=("repo",), sums={"seq_total": "seq"},
+                         count_alias="n")
+    va = create_agg_view(src, str(tmp_path / "va"), SPEC, num_buckets=4)
+    vb = create_agg_view(src, str(tmp_path / "vb"), spec_b, num_buckets=4)
+    vc = create_agg_view(src, str(tmp_path / "vc"), SPEC, num_buckets=4)
+
+    merge_batch(src, _batch(spark, [
+        (0, 1, "insert", "r1", "a.py", "c", "py", "v1"),
+        (1, 1, "insert", "r1", "b.py", "c", "py", "v1"),
+        (2, 1, "insert", "r2", "c.rs", "c", "rs", "v1"),
+    ]), "m", 0, 0, 3)
+    # vc refreshes now — its marker will sit at a LATER start than va/vb
+    assert refresh_agg_view(src, vc, SPEC, stream_id="ctl") is not None
+    merge_batch(src, _batch(spark, [
+        (3, 2, "update", "r1", "b.py", "c", "rs", "v2"),
+        (4, 2, "delete", "r2", "c.rs", "c", "rs", None),
+        (5, 2, "insert", "r3", "d.py", "c", "py", "v1"),
+    ]), "m", 1, 3, 6)
+
+    outs = refresh_agg_views(
+        src, [(va, SPEC, "a"), (vb, spec_b, "b"), (vc, SPEC, "ctl")]
+    )
+    assert all(outs[k] is not None for k in ("a", "b", "ctl"))
+    assert _view_state(va) == _recompute_state(src)
+    assert _view_state(vc) == _recompute_state(src)
+    got_b = {(r["repo"], r["n"], r["seq_total"]) for r in vb.read().collect()}
+    want_b = {
+        (r["repo"], r["n"], r["seq_total"])
+        for r in spec_b.aggregate(src.read()).collect()
+    }
+    assert got_b == want_b and want_b
+
+    outs2 = refresh_agg_views(
+        src, [(va, SPEC, "a"), (vb, spec_b, "b"), (vc, SPEC, "ctl")]
+    )
+    assert all(v is None for v in outs2.values())
+
+
+def test_spec_rejects_time_varying_expressions(spark, tmp_path):
+    """current_date() in a spec would un-balance the ±1 algebra between
+    refreshes (the stale row's -1 never fires) — rejected at validation,
+    including via the refresh path (CLI specs are editable files)."""
+    src = _mk_src(spark, tmp_path)
+    with pytest.raises(ValueError, match="time-invariant"):
+        AggViewSpec(
+            dims=("lang",),
+            where="to_date(commit) >= date_sub(current_date(), 7)",
+        ).validate(src)
+    with pytest.raises(ValueError, match="time-invariant"):
+        AggViewSpec(
+            dims=("recent",), derived={"recent": "current_timestamp()"}
+        ).validate(src)
+    with pytest.raises(ValueError, match="time-invariant"):
+        AggViewSpec(dims=("lang",), sums={"s": "seq * rand()"}).validate(src)
+    # a mere COLUMN named like the function must not false-positive
+    AggViewSpec(
+        dims=("current_date",), derived={"current_date": "to_date(commit)"}
+    ).validate(src)
+    # refresh-internal names are reserved
+    with pytest.raises(ValueError, match="refresh-internal"):
+        AggViewSpec(dims=("_w",), derived={"_w": "length(content)"}).validate(src)
+    with pytest.raises(ValueError, match="refresh-internal"):
+        AggViewSpec(dims=("lang",), sums={"_d_x": "seq"}).validate(src)
+
+
 def test_spec_validation(spark, tmp_path):
     src = _mk_src(spark, tmp_path)
     with pytest.raises(ValueError, match="not in source schema"):

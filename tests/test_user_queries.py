@@ -406,6 +406,27 @@ def test_dashboards_cli(spark, tmp_path):
     again = run_cli()
     assert all(v["up_to_date"] for v in again.values())
 
+    # a populated view maintained under a DIFFERENT stream id must be
+    # refused, not silently double-counted
+    from multiversx_etl_spark.streaming.materialize import (
+        create_agg_view,
+        reseed_agg_view,
+    )
+
+    foreign_root = str(tmp_path / "views2" / "daily_transactions")
+    spec = uq.dashboard_specs()["daily_transactions"]
+    fv = create_agg_view(table, foreign_root, spec, num_buckets=4)
+    reseed_agg_view(table, fv, spec, stream_id="matview")
+    clash = subprocess.run(
+        [sys.executable, "-m", "multiversx_etl_spark", "--master",
+         "local[2]", "dashboards", str(tmp_path / "t"),
+         str(tmp_path / "views2"), "--buckets", "4"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "PYTHONPATH": repo}, cwd=repo,
+    )
+    assert clash.returncode != 0
+    assert "double-count" in clash.stderr
+
 
 def test_user_query_cli(spark, state):
     """A fresh consumer process runs a shipped query against the lake table
