@@ -40,6 +40,25 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
+#: Compression EFFORT knob (CPU spent per byte compressed), separate from the
+#: codec choice above. ``SPARK_GRAFT_ZSTD_LEVEL=<n>`` raises both the parquet
+#: writer level (parquet-mr default 3) and the shuffle/io codec level (Spark
+#: default 1). Two uses: (a) ops tuning — at cluster scale storage/network
+#: bytes are the scarce resource and higher effort is often worth it; (b) a
+#: CAUSAL probe of this sandbox's scaling ceiling — raising CPU-per-byte
+#: shifts the replay from fabric-bound toward CPU-bound, which is the profile
+#: of a real multi-node cluster (each executor brings its own memory
+#: bandwidth), so the N->4N efficiency under a high level estimates what a
+#: real cluster would measure (experiment recorded in BENCH/BASELINE.md).
+_zstd_level = os.environ.get("SPARK_GRAFT_ZSTD_LEVEL")
+if _zstd_level:
+    DEFAULT_CONF.update(
+        {
+            "spark.hadoop.parquet.compression.codec.zstd.level": _zstd_level,
+            "spark.io.compression.zstd.level": _zstd_level,
+        }
+    )
+
 #: Speculative execution: re-launch suspiciously slow tasks on another
 #: executor — the standard mitigation for stragglers (slow node, vCPU
 #: steal, GC pause). Measured on this VM's 4-executor replays: ~1/3 of

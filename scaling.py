@@ -103,13 +103,19 @@ spark.stop()
 
 def run_level(repo: str, label: str, master: str, shuffle: int, log_path: str,
               table_path: str, buckets: int, interval: int, total: int,
-              fold: str = "union") -> dict:
+              fold: str = "union", zstd_level: str | None = None) -> dict:
     code = _CHILD.format(repo=repo, label=label, master=master, shuffle=shuffle,
                          log_path=log_path, table_path=table_path,
                          buckets=buckets, interval=interval, total=total,
                          fold=fold)
+    env = dict(os.environ)
+    if zstd_level and zstd_level != "default":
+        env["SPARK_GRAFT_ZSTD_LEVEL"] = zstd_level
+    else:
+        env.pop("SPARK_GRAFT_ZSTD_LEVEL", None)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        check=True, env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -138,6 +144,18 @@ def main() -> None:
                     "efficiencies AND the pooled (all-samples) efficiency are "
                     "reported, so one invocation produces the honest "
                     "multi-sweep table (VERDICT r03 #9)")
+    ap.add_argument("--zstd-levels", default="default",
+                    help="comma-separated zstd EFFORT levels to compare "
+                    "(e.g. 'default,12'; 'default' = parquet 3 / io 1). "
+                    "Conditions are interleaved within each repeat over ONE "
+                    "shared input log (written at the default level, so the "
+                    "scan side is identical across conditions and the "
+                    "manipulation isolates write-side CPU-per-byte). This is "
+                    "the CAUSAL probe of the single-box fabric ceiling: if "
+                    "raising CPU-per-byte raises N->4N efficiency, the "
+                    "sub-linear default-config ratio is the shared memory "
+                    "fabric, not engine serialization (BENCH/BASELINE.md "
+                    "round 4)")
     ap.add_argument("--fold", choices=["union", "join"], default="union",
                     help="'join' = the ZERO-EXCHANGE merge fold: bucketed "
                     "catalog log + layout='spark' table (VERDICT r03 #3); "
@@ -182,20 +200,28 @@ def main() -> None:
         spark.stop()
 
         interval = -(-total // args.epochs)
-        samples: dict[int, list[float]] = {c: [] for c in levels}
-        by_sweep: list[dict[int, list[float]]] = []
+        zlevels = args.zstd_levels.split(",")
+        samples: dict[str, dict[int, list[float]]] = {
+            z: {c: [] for c in levels} for z in zlevels
+        }
+        by_sweep: list[dict[str, dict[int, list[float]]]] = []
         for sweep in range(args.sweeps):
-            sw: dict[int, list[float]] = {c: [] for c in levels}
+            sw: dict[str, dict[int, list[float]]] = {
+                z: {c: [] for c in levels} for z in zlevels
+            }
             for rep in range(args.repeats):
                 for n in levels:  # interleaved: a load spike hits all levels
-                    r = run_level(
-                        repo, str(n), masters[n], shuffles[n], log_path,
-                        os.path.join(workdir, f"t{n}s{sweep}r{rep}"),
-                        args.buckets, interval, total, fold=args.fold,
-                    )
-                    samples[n].append(r["events_per_sec"])
-                    sw[n].append(r["events_per_sec"])
-                    print(json.dumps(r), flush=True)
+                    for z in zlevels:  # ... and all codec-effort conditions
+                        r = run_level(
+                            repo, str(n), masters[n], shuffles[n], log_path,
+                            os.path.join(workdir, f"t{n}s{sweep}r{rep}z{z}"),
+                            args.buckets, interval, total, fold=args.fold,
+                            zstd_level=z,
+                        )
+                        r["zstd_level"] = z
+                        samples[z][n].append(r["events_per_sec"])
+                        sw[z][n].append(r["events_per_sec"])
+                        print(json.dumps(r), flush=True)
             by_sweep.append(sw)
 
         def median(xs: list[float]) -> float:
@@ -218,26 +244,37 @@ def main() -> None:
                     )
             return out
 
-        med = {c: median(samples[c]) for c in levels}  # pooled across sweeps
-        pairs = pairs_of(med)
-        sweep_pairs = [pairs_of({c: median(sw[c]) for c in levels}) for sw in by_sweep]
+        def condition_report(z: str) -> dict:
+            med = {c: median(samples[z][c]) for c in levels}  # pooled
+            return {
+                "pairs": pairs_of(med),  # pooled: per-level medians, ALL samples
+                "sweep_pairs": [  # per-sweep medians (honest spread)
+                    pairs_of({c: median(sw[z][c]) for c in levels})
+                    for sw in by_sweep
+                ],
+                "levels": {str(c): round(med[c], 1) for c in levels},
+                "samples": {str(c): samples[z][c] for c in levels},
+            }
+
+        reports = {z: condition_report(z) for z in zlevels}
+        base = reports[zlevels[0]]
         out = {
             "metric": "scaling_efficiency",
-            "value": max((p["efficiency"] for p in pairs), default=None),
+            "value": max((p["efficiency"] for p in base["pairs"]), default=None),
             "unit": "ratio",
             "mode": "executors" if args.executors else "threads",
             "fold": args.fold,
             "masters": {str(c): masters[c] for c in levels},
-            "pairs": pairs,  # pooled: per-level medians over ALL samples
-            "sweep_pairs": sweep_pairs,  # per-sweep medians (honest spread)
-            "levels": {str(c): round(med[c], 1) for c in levels},
-            "samples": {str(c): samples[c] for c in levels},
+            **base,  # first condition = the headline numbers (back-compat)
+            "zstd_levels": zlevels,
             "events": total,
             "epochs": args.epochs,
             "buckets": args.buckets,
             "repeats": args.repeats,
             "sweeps": args.sweeps,
         }
+        if len(zlevels) > 1:
+            out["by_zstd_level"] = reports
         print(json.dumps(out))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
