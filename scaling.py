@@ -113,10 +113,16 @@ def run_level(repo: str, label: str, master: str, shuffle: int, log_path: str,
         env["SPARK_GRAFT_ZSTD_LEVEL"] = zstd_level
     else:
         env.pop("SPARK_GRAFT_ZSTD_LEVEL", None)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        check=True, env=env,
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            check=True, env=env,
+        )
+    except subprocess.CalledProcessError as e:
+        # surface the child JVM's dying words — capture_output otherwise
+        # swallows them and leaves only the exit status
+        print((e.stderr or "")[-4000:], file=sys.stderr)
+        raise
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -161,6 +167,21 @@ def main() -> None:
                     "catalog log + layout='spark' table (VERDICT r03 #3); "
                     "'union' = the historical one-shuffle fold")
     args = ap.parse_args()
+    # The codec-effort condition is owned by --zstd-levels, applied per child
+    # in run_level. A user-exported knob would leak into the shared-log
+    # generator session (imported below) and break the "scan side identical
+    # across conditions" protocol — ignore it loudly instead.
+    if os.environ.pop("SPARK_GRAFT_ZSTD_LEVEL", None):
+        print("scaling.py: ignoring exported SPARK_GRAFT_ZSTD_LEVEL — "
+              "use --zstd-levels to set per-condition effort", file=sys.stderr)
+    zlevels: list[str] = []
+    for z in args.zstd_levels.split(","):
+        z = z.strip()
+        if z != "default" and not z.isdigit():
+            ap.error(f"--zstd-levels entry {z!r} is neither 'default' nor an "
+                     "integer zstd level")
+        if z not in zlevels:  # dedup: repeated conditions would double-count
+            zlevels.append(z)
     if args.executors:
         levels = [int(x) for x in args.executors.split(",")]
         masters = {
@@ -200,7 +221,6 @@ def main() -> None:
         spark.stop()
 
         interval = -(-total // args.epochs)
-        zlevels = args.zstd_levels.split(",")
         samples: dict[str, dict[int, list[float]]] = {
             z: {c: [] for c in levels} for z in zlevels
         }
@@ -257,15 +277,20 @@ def main() -> None:
             }
 
         reports = {z: condition_report(z) for z in zlevels}
-        base = reports[zlevels[0]]
+        # the headline metric must describe the DEFAULT config whenever it was
+        # measured — a manipulated condition listed first must not become the
+        # recorded scaling number
+        base_z = "default" if "default" in reports else zlevels[0]
+        base = reports[base_z]
         out = {
             "metric": "scaling_efficiency",
             "value": max((p["efficiency"] for p in base["pairs"]), default=None),
             "unit": "ratio",
             "mode": "executors" if args.executors else "threads",
             "fold": args.fold,
+            "headline_zstd_level": base_z,
             "masters": {str(c): masters[c] for c in levels},
-            **base,  # first condition = the headline numbers (back-compat)
+            **base,  # headline condition's numbers (back-compat keys)
             "zstd_levels": zlevels,
             "events": total,
             "epochs": args.epochs,

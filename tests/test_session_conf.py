@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -15,15 +16,15 @@ _PROBE = (
 )
 
 
-def _conf_with_env(**env: str) -> dict:
-    import json
-
+def _conf_with_env(_remove: tuple[str, ...] = (), **env: str) -> dict:
+    child = {k: v for k, v in os.environ.items() if k not in _remove}
+    child.update(env)
     out = subprocess.run(
         [sys.executable, "-c", _PROBE],
         capture_output=True,
         text=True,
         check=True,
-        env={**os.environ, **env},
+        env=child,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -35,17 +36,7 @@ def test_zstd_level_knob_sets_both_codec_levels():
 
 
 def test_zstd_level_knob_absent_by_default():
-    env = {k: v for k, v in os.environ.items() if k != "SPARK_GRAFT_ZSTD_LEVEL"}
-    import json
-
-    out = subprocess.run(
-        [sys.executable, "-c", _PROBE],
-        capture_output=True,
-        text=True,
-        check=True,
-        env=env,
-    )
-    conf = json.loads(out.stdout.strip().splitlines()[-1])
+    conf = _conf_with_env(_remove=("SPARK_GRAFT_ZSTD_LEVEL",))
     assert "spark.hadoop.parquet.compression.codec.zstd.level" not in conf
     assert "spark.io.compression.zstd.level" not in conf
     # the codec itself stays zstd regardless of the effort knob
