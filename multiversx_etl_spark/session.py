@@ -44,12 +44,13 @@ DEFAULT_CONF: dict[str, str] = {
 #: codec choice above. ``SPARK_GRAFT_ZSTD_LEVEL=<n>`` raises both the parquet
 #: writer level (parquet-mr default 3) and the shuffle/io codec level (Spark
 #: default 1). Two uses: (a) ops tuning — at cluster scale storage/network
-#: bytes are the scarce resource and higher effort is often worth it; (b) a
-#: CAUSAL probe of this sandbox's scaling ceiling — raising CPU-per-byte
-#: shifts the replay from fabric-bound toward CPU-bound, which is the profile
-#: of a real multi-node cluster (each executor brings its own memory
-#: bandwidth), so the N->4N efficiency under a high level estimates what a
-#: real cluster would measure (experiment recorded in BENCH/BASELINE.md).
+#: bytes are the scarce resource and higher effort can be worth it (measure
+#: first: levels ≤6 are near-free, 12+ costs ~1.4× wall for single-digit-%
+#: byte savings on high-entropy data); (b) the CAUSAL probe of this
+#: sandbox's scaling ceiling — measured outcome (two interleaved-condition
+#: runs, BENCH/BASELINE.md round 4): the N->4N efficiency is INVARIANT to a
+#: 3× CPU-per-byte manipulation, i.e. no compute/data mix reachable by this
+#: knob escapes the single-VM fabric band (0.70-0.75).
 _zstd_level = os.environ.get("SPARK_GRAFT_ZSTD_LEVEL")
 if _zstd_level:
     DEFAULT_CONF.update(

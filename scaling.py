@@ -157,10 +157,11 @@ def main() -> None:
                     "shared input log (written at the default level, so the "
                     "scan side is identical across conditions and the "
                     "manipulation isolates write-side CPU-per-byte). This is "
-                    "the CAUSAL probe of the single-box fabric ceiling: if "
-                    "raising CPU-per-byte raises N->4N efficiency, the "
-                    "sub-linear default-config ratio is the shared memory "
-                    "fabric, not engine serialization (BENCH/BASELINE.md "
+                    "the CAUSAL probe of the single-box fabric ceiling; "
+                    "measured outcome across two runs: the N->4N ratio is "
+                    "INVARIANT to a 3x effort manipulation — single-run "
+                    "condition contrasts reverse between VM windows, so "
+                    "always replicate before reading one (BENCH/BASELINE.md "
                     "round 4)")
     ap.add_argument("--fold", choices=["union", "join"], default="union",
                     help="'join' = the ZERO-EXCHANGE merge fold: bucketed "
