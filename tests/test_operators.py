@@ -10,10 +10,16 @@ import pyspark.sql.functions as F
 import pytest
 
 from multiversx_etl_spark.operators.multimodal import (
+    _bmp_bytes,
+    _chained_md5,
+    _wav_bytes,
+    decode_media,
     decode_with_real_codec,
     extract_features,
     sample_frames,
+    synthesize_bmp,
     synthesize_media,
+    synthesize_wav,
 )
 from multiversx_etl_spark.operators.normalize import (
     canonicalize_content,
@@ -103,6 +109,110 @@ def test_frame_sampling(spark):
 def test_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_with_real_codec(b"", "image")
+
+
+# ---------------------------------------------------------------------------
+# real decode: canonical PCM WAV + 24-bit BMP (numpy-only, no codec libs)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_decode_matches_stdlib_wave(spark):
+    """decode_media vs a WAV written by Python's own stdlib wave module."""
+    import io
+    import struct
+    import wave
+
+    samples = [0, 1000, -1000, 32767, -32768, 7, -7, 12345]
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    payload = bio.getvalue()
+
+    media = spark.createDataFrame(
+        [(7, payload, ("audio", len(payload), "pcm_wav"))],
+        "doc_id long, payload binary, meta struct<media_type:string,n_bytes:long,codec:string>",
+    )
+    r = decode_media(media).collect()[0]
+    assert r["codec"] == "pcm_wav"
+    assert r["channels"] == 1
+    assert r["sample_rate"] == 16000
+    assert r["bits_per_sample"] == 16
+    assert r["n_samples"] == len(samples)
+    assert r["width"] is None and r["height"] is None
+    assert r["value_mean"] == pytest.approx(sum(samples) / len(samples))
+
+
+def test_bmp_decode_reference(spark):
+    """decode_media vs a hand-packed 2x2 24-bit BMP (stride padding excluded
+    from the pixel mean)."""
+    pixels = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    payload = _bmp_bytes(pixels, width=2, height=2)
+    # 3*2=6 pixel bytes/row pad to stride 8: padding must NOT skew the mean
+    assert len(payload) == 54 + 2 * 8
+    media = spark.createDataFrame(
+        [(3, payload, ("image", len(payload), "bmp24"))],
+        "doc_id long, payload binary, meta struct<media_type:string,n_bytes:long,codec:string>",
+    )
+    r = decode_media(media).collect()[0]
+    assert (r["width"], r["height"], r["channels"], r["bits_per_sample"]) == (2, 2, 3, 24)
+    assert r["n_samples"] == 4
+    assert r["sample_rate"] is None
+    assert r["value_mean"] == pytest.approx(sum(pixels) / len(pixels))
+
+
+def test_synthesized_media_round_trips_through_decode(spark):
+    """synthesize_wav / synthesize_bmp payloads are REAL files: the wav half
+    re-parses with the stdlib wave module, and decode_media agrees with an
+    independent pure-Python fold on every field."""
+    import io
+    import struct
+    import wave
+
+    docs = _docs(spark)
+    wav_rows = {r["doc_id"]: r for r in decode_media(synthesize_wav(docs)).collect()}
+    bmp_rows = {r["doc_id"]: r for r in decode_media(synthesize_bmp(docs)).collect()}
+    texts = {0: "hello world", 1: "spark", 2: "streaming merge join"}
+    for doc_id, text in texts.items():
+        pcm = _chained_md5(text, 128)
+        with wave.open(io.BytesIO(_wav_bytes(pcm, 8000)), "rb") as w:
+            assert (w.getnchannels(), w.getframerate(), w.getnframes()) == (1, 8000, 64)
+            frames = w.readframes(64)
+        vals = struct.unpack("<64h", frames)
+        r = wav_rows[doc_id]
+        assert (r["channels"], r["sample_rate"], r["n_samples"]) == (1, 8000, 64)
+        assert r["value_mean"] == pytest.approx(sum(vals) / 64)
+
+        pix = _chained_md5(text, 3 * 5 * 4)
+        b = bmp_rows[doc_id]
+        assert (b["width"], b["height"], b["n_samples"]) == (5, 4, 20)
+        assert b["value_mean"] == pytest.approx(sum(pix) / len(pix))
+
+
+def test_decode_media_lib_codec_hits_stub_boundary(spark):
+    """A codec that needs external libraries raises the honest boundary."""
+    media = synthesize_media(_docs(spark))  # codecs fake-png/fake-pcm/fake-h264
+    with pytest.raises(Exception, match="external libraries"):
+        decode_media(media).collect()
+
+
+def test_decode_media_malformed_payload(spark):
+    media = spark.createDataFrame(
+        [(1, b"not a wav at all, but long enough to pass the length check!!",
+          ("audio", 61, "pcm_wav"))],
+        "doc_id long, payload binary, meta struct<media_type:string,n_bytes:long,codec:string>",
+    )
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        decode_media(media).collect()
+
+
+def test_decode_media_plan_has_no_exchange(spark):
+    """mapInPandas decode is partition-preserving — payload bytes never
+    shuffle."""
+    plan = decode_media(synthesize_wav(_docs(spark)))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 # ---------------------------------------------------------------------------
