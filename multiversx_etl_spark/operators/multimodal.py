@@ -307,8 +307,10 @@ def _decode_wav_payload(buf) -> dict:
 _BMP_HEADER_LEN = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
 
 
-def _decode_bmp_payload(buf) -> dict:
-    """Parse one 24-bit uncompressed BMP blob (numpy view over the pixels)."""
+def _bmp_pixels(buf):
+    """Parse one 24-bit uncompressed BMP blob into (width, height, pixel rows)
+    where pixel rows is a (height, 3*width) uint8 view in stored (bottom-up)
+    order with the stride padding dropped."""
     import numpy as np
 
     if len(buf) < _BMP_HEADER_LEN:
@@ -329,7 +331,12 @@ def _decode_bmp_payload(buf) -> dict:
     if width < 0 or len(buf) < need:
         raise ValueError(f"BMP pixel array truncated: {len(buf)} < {need}")
     rows = np.asarray(buf[data_offset : data_offset + stride * height])
-    pixels = rows.reshape(height, stride)[:, : 3 * width]  # drop the padding
+    return width, height, rows.reshape(height, stride)[:, : 3 * width]
+
+
+def _decode_bmp_payload(buf) -> dict:
+    """Parse one 24-bit uncompressed BMP blob (numpy view over the pixels)."""
+    width, height, pixels = _bmp_pixels(buf)
     return {
         "codec": "bmp24",
         "channels": 3,
@@ -480,3 +487,50 @@ def _bmp_bytes(pixels: bytes, width: int, height: int) -> bytes:
         + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0)
     )
     return header + body
+
+
+def resize_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor resize of 24-bit BMP payloads to (width, height) —
+    a REAL resize over really-decoded pixels (numpy gather on the decoded
+    row/column grid, re-encoded as BMP). Output carries the same
+    (doc_id, payload, meta) shape as the synthesizers, so resized media
+    feeds straight back into ``decode_media``/``extract_features``.
+    Arrow-batched ``mapInPandas``, partition-preserving."""
+    if width <= 0 or height <= 0:
+        raise ValueError("resize dimensions must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            buf, offs = _payload_buffer(pdf["payload"])
+            out = []
+            for i, codec in enumerate(pdf["codec"]):
+                if codec != "bmp24":
+                    raise NotImplementedError(
+                        f"resize of codec {codec!r} needs external libraries"
+                    )
+                w0, h0, px = _bmp_pixels(buf[offs[i] : offs[i + 1]])
+                if not (w0 and h0):
+                    raise ValueError("cannot resize an empty BMP")
+                # nearest-neighbor index grids (pixel-center convention)
+                rows = ((np.arange(height) + 0.5) * h0 / height).astype(np.int64)
+                cols = ((np.arange(width) + 0.5) * w0 / width).astype(np.int64)
+                rgb = px.reshape(h0, w0, 3)[rows][:, cols]
+                out.append(_bmp_bytes(rgb.tobytes(), width, height))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    out_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    flat = media.select("doc_id", "payload", F.col("meta.codec").alias("codec"))
+    raw = flat.mapInPandas(run, out_schema)
+    return raw.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit("bmp24").alias("codec"),
+        ).alias("meta"),
+    )

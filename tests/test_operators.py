@@ -208,6 +208,58 @@ def test_decode_media_malformed_payload(spark):
         decode_media(media).collect()
 
 
+def test_resize_bmp_nearest_neighbor(spark):
+    """2x downsample picks the pixel-center nearest source pixel; the output
+    is a real BMP that round-trips through decode_media."""
+    import numpy as np
+
+    from multiversx_etl_spark.operators.multimodal import resize_bmp
+
+    rng = np.random.default_rng(42)
+    w0 = h0 = 4
+    pixels = rng.integers(0, 256, size=(h0, w0, 3), dtype=np.uint8)
+    payload = _bmp_bytes(pixels.tobytes(), w0, h0)
+    media = spark.createDataFrame(
+        [(5, payload, ("image", len(payload), "bmp24"))],
+        "doc_id long, payload binary, meta struct<media_type:string,n_bytes:long,codec:string>",
+    )
+    resized = resize_bmp(media, 2, 2)
+    out = resized.collect()[0]
+    assert out["meta"]["codec"] == "bmp24"
+    # independent reference: pixel-center nearest grid = source rows/cols 1,3
+    expected = pixels[[1, 3]][:, [1, 3]]
+    w1, h1, px = 2, 2, bytes(out["payload"])
+    assert px[:2] == b"BM"
+    r = decode_media(resized).collect()[0]
+    assert (r["width"], r["height"]) == (w1, h1)
+    assert r["value_mean"] == pytest.approx(expected.mean())
+
+
+def test_resize_bmp_upsample_preserves_mean_of_constant(spark):
+    import numpy as np
+
+    from multiversx_etl_spark.operators.multimodal import resize_bmp
+
+    pixels = np.full((2, 2, 3), 77, dtype=np.uint8)
+    payload = _bmp_bytes(pixels.tobytes(), 2, 2)
+    media = spark.createDataFrame(
+        [(9, payload, ("image", len(payload), "bmp24"))],
+        "doc_id long, payload binary, meta struct<media_type:string,n_bytes:long,codec:string>",
+    )
+    r = decode_media(resize_bmp(media, 7, 3)).collect()[0]
+    assert (r["width"], r["height"], r["value_mean"]) == (7, 3, 77.0)
+
+
+def test_resize_bmp_rejects_non_bmp_and_bad_dims(spark):
+    from multiversx_etl_spark.operators.multimodal import resize_bmp
+
+    with pytest.raises(ValueError, match="positive"):
+        resize_bmp(synthesize_bmp(_docs(spark)), 0, 2)
+    wavs = synthesize_wav(_docs(spark))
+    with pytest.raises(Exception, match="external libraries"):
+        resize_bmp(wavs, 2, 2).collect()
+
+
 def test_decode_media_plan_has_no_exchange(spark):
     """mapInPandas decode is partition-preserving — payload bytes never
     shuffle."""
