@@ -284,6 +284,10 @@ def _decode_wav_payload(buf) -> dict:
     channels, sample_rate, bits = u16(22), u32(24), u16(34)
     if bits != 16:
         raise ValueError(f"unsupported bits_per_sample {bits} (16 only)")
+    if channels == 0:
+        raise ValueError("malformed WAV: nChannels is 0")
+    if sample_rate > 2**31 - 1:  # schema field is int32; refuse, don't wrap
+        raise ValueError(f"malformed WAV: sample_rate {sample_rate} out of range")
     data_len = min(u32(40), len(buf) - _WAV_HEADER_LEN)
     pcm_bytes = np.asarray(buf[_WAV_HEADER_LEN : _WAV_HEADER_LEN + data_len])
     # int16 LE without alignment assumptions: lo + (hi as signed) * 256
@@ -291,7 +295,7 @@ def _decode_wav_payload(buf) -> dict:
     hi = pcm_bytes[1::2].astype(np.int8).astype(np.int64)
     n = min(len(lo), len(hi))
     samples = lo[:n] + (hi[:n] << 8)
-    frames = n // channels if channels else 0
+    frames = n // channels
     return {
         "codec": "pcm_wav",
         "channels": channels,
@@ -309,8 +313,9 @@ _BMP_HEADER_LEN = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
 
 def _bmp_pixels(buf):
     """Parse one 24-bit uncompressed BMP blob into (width, height, pixel rows)
-    where pixel rows is a (height, 3*width) uint8 view in stored (bottom-up)
-    order with the stride padding dropped."""
+    where pixel rows is a (height, 3*width) uint8 array normalized to
+    bottom-up row order (top-down/negative-height inputs are flipped) with
+    the stride padding dropped."""
     import numpy as np
 
     if len(buf) < _BMP_HEADER_LEN:
@@ -325,13 +330,18 @@ def _bmp_pixels(buf):
     bpp, compression = u(28, 2), u(30, 4)
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    if data_offset < _BMP_HEADER_LEN:
+        raise ValueError(f"malformed BMP: pixel offset {data_offset} inside header")
     height = abs(height_raw)
     stride = (3 * width + 3) // 4 * 4  # rows pad to 4-byte boundaries
     need = data_offset + stride * height
     if width < 0 or len(buf) < need:
         raise ValueError(f"BMP pixel array truncated: {len(buf)} < {need}")
     rows = np.asarray(buf[data_offset : data_offset + stride * height])
-    return width, height, rows.reshape(height, stride)[:, : 3 * width]
+    pixels = rows.reshape(height, stride)[:, : 3 * width]
+    if height_raw < 0:  # normalize top-down storage to bottom-up order
+        pixels = pixels[::-1]
+    return width, height, pixels
 
 
 def _decode_bmp_payload(buf) -> dict:
@@ -361,8 +371,6 @@ def decode_media(media: DataFrame) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             buf, offs = _payload_buffer(pdf["payload"])
             out: list[dict] = []
@@ -382,6 +390,26 @@ def decode_media(media: DataFrame) -> DataFrame:
     return flat.mapInPandas(run, MEDIA_DECODE_SCHEMA)
 
 
+#: (doc_id, payload) shape the synthesizers and resize emit before the meta
+#: struct is re-attached.
+_PAYLOAD_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+)
+
+
+def _with_meta(raw: DataFrame, media_type: str, codec: str) -> DataFrame:
+    """Re-attach the typed metadata struct to a (doc_id, payload) frame."""
+    return raw.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit(codec).alias("codec"),
+        ).alias("meta"),
+    )
+
+
 def synthesize_wav(
     documents: DataFrame, sample_rate: int = 8000, n_frames: int = 64
 ) -> DataFrame:
@@ -398,19 +426,8 @@ def synthesize_wav(
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    out_schema = StructType(
-        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-    )
-    raw = documents.select("doc_id", "text").mapInPandas(run, out_schema)
-    return raw.select(
-        "doc_id",
-        "payload",
-        F.struct(
-            F.lit("audio").alias("media_type"),
-            F.length("payload").cast("long").alias("n_bytes"),
-            F.lit("pcm_wav").alias("codec"),
-        ).alias("meta"),
-    )
+    raw = documents.select("doc_id", "text").mapInPandas(run, _PAYLOAD_SCHEMA)
+    return _with_meta(raw, "audio", "pcm_wav")
 
 
 def synthesize_bmp(documents: DataFrame, width: int = 5, height: int = 4) -> DataFrame:
@@ -426,26 +443,18 @@ def synthesize_bmp(documents: DataFrame, width: int = 5, height: int = 4) -> Dat
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    out_schema = StructType(
-        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-    )
-    raw = documents.select("doc_id", "text").mapInPandas(run, out_schema)
-    return raw.select(
-        "doc_id",
-        "payload",
-        F.struct(
-            F.lit("image").alias("media_type"),
-            F.length("payload").cast("long").alias("n_bytes"),
-            F.lit("bmp24").alias("codec"),
-        ).alias("meta"),
-    )
+    raw = documents.select("doc_id", "text").mapInPandas(run, _PAYLOAD_SCHEMA)
+    return _with_meta(raw, "image", "bmp24")
 
 
-def _chained_md5(text: str, n_bytes: int) -> bytes:
+def _chained_md5(text: str | None, n_bytes: int) -> bytes:
     """First ``n_bytes`` of md5(text) ++ md5('b1|'+text) ++ md5('b2|'+text) …
-    — the same chaining rule ``synthesize_media`` uses, extended as needed."""
+    — the same chaining rule ``synthesize_media`` uses, extended as needed.
+    NULL text synthesizes as empty text (the generators must not die on a
+    null document)."""
     import hashlib
 
+    text = text or ""
     out = hashlib.md5(text.encode()).digest()
     i = 1
     while len(out) < n_bytes:
@@ -520,17 +529,5 @@ def resize_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
                 out.append(_bmp_bytes(rgb.tobytes(), width, height))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
-    out_schema = StructType(
-        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-    )
     flat = media.select("doc_id", "payload", F.col("meta.codec").alias("codec"))
-    raw = flat.mapInPandas(run, out_schema)
-    return raw.select(
-        "doc_id",
-        "payload",
-        F.struct(
-            F.lit("image").alias("media_type"),
-            F.length("payload").cast("long").alias("n_bytes"),
-            F.lit("bmp24").alias("codec"),
-        ).alias("meta"),
-    )
+    return _with_meta(flat.mapInPandas(run, _PAYLOAD_SCHEMA), "image", "bmp24")

@@ -260,6 +260,71 @@ def test_resize_bmp_rejects_non_bmp_and_bad_dims(spark):
         resize_bmp(wavs, 2, 2).collect()
 
 
+def test_resize_preserves_topdown_bmp_orientation(spark):
+    """A top-down (negative-height) BMP must not come back vertically
+    mirrored: _bmp_pixels normalizes to bottom-up order before the gather."""
+    import numpy as np
+    import struct
+
+    from multiversx_etl_spark.operators.multimodal import _bmp_pixels, resize_bmp
+
+    # rows in VISUAL order: top row all 1s, bottom row all 2s
+    top, bottom = bytes([1] * 6), bytes([2] * 6)
+    body = top + b"\x00\x00" + bottom + b"\x00\x00"  # stride 8, stored top-down
+    payload = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+    w, h, px = _bmp_pixels(np.frombuffer(payload, dtype=np.uint8))
+    assert (w, h) == (2, 2)
+    assert bytes(px[0]) == bottom and bytes(px[1]) == top  # bottom-up order
+    media = spark.createDataFrame(
+        [(1, payload, ("image", len(payload), "bmp24"))],
+        "doc_id long, payload binary, meta struct<media_type:string,n_bytes:long,codec:string>",
+    )
+    out = bytes(resize_bmp(media, 2, 2).collect()[0]["payload"])
+    w2, h2, px2 = _bmp_pixels(np.frombuffer(out, dtype=np.uint8))
+    assert bytes(px2[0]) == bottom and bytes(px2[1]) == top
+
+
+def test_decode_rejects_malformed_headers(spark):
+    """Header fields that would silently corrupt output raise instead."""
+    import struct
+
+    from multiversx_etl_spark.operators.multimodal import (
+        _decode_bmp_payload,
+        _decode_wav_payload,
+    )
+    import numpy as np
+
+    def wav_with(channels=1, rate=8000):
+        byte_rate = min(rate * 2, 0xFFFFFFFF)  # field is u32; not validated
+        return np.frombuffer(
+            b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, 2, 16)
+            + b"data" + struct.pack("<I", 0),
+            dtype=np.uint8,
+        )
+
+    with pytest.raises(ValueError, match="nChannels"):
+        _decode_wav_payload(wav_with(channels=0))
+    with pytest.raises(ValueError, match="out of range"):
+        _decode_wav_payload(wav_with(rate=3_000_000_000))
+
+    bad_offset = bytearray(_bmp_bytes(bytes(12), 2, 2))
+    bad_offset[10] = 2  # pixel offset points inside the header
+    with pytest.raises(ValueError, match="inside header"):
+        _decode_bmp_payload(np.frombuffer(bytes(bad_offset), dtype=np.uint8))
+
+
+def test_synthesizers_tolerate_null_text(spark):
+    docs = spark.createDataFrame([(0, None), (1, "x")], "doc_id long, text string")
+    assert decode_media(synthesize_wav(docs)).count() == 2
+    assert decode_media(synthesize_bmp(docs)).count() == 2
+
+
 def test_decode_media_plan_has_no_exchange(spark):
     """mapInPandas decode is partition-preserving — payload bytes never
     shuffle."""
