@@ -160,8 +160,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument(
         "--preserve-patches", action="store_true",
-        help="keep contested partial-image generations instead of "
-        "finalizing them (exact column-level LWW under arbitrary lateness)",
+        help="compatibility alias: compaction now always finalizes "
+        "partial-image generations exactly (per-column _colseq state)",
+    )
+    c.add_argument(
+        "--drop-orphan-patches", action="store_true",
+        help="discard patches whose key has no full image yet (the only "
+        "remaining patch debt after an exact finalize; clears the way for "
+        "copy-on-write merges)",
     )
 
     rbk = sub.add_parser(
@@ -183,8 +189,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="orphan-GC age guard in seconds")
     mt.add_argument(
         "--preserve-patches", action="store_true",
-        help="keep contested partial-image generations through the compact "
-        "step (match this to the stream's compact_preserve_patches)",
+        help="compatibility alias: compaction now always finalizes "
+        "partial-image generations exactly (per-column _colseq state), so "
+        "this flag changes nothing",
     )
 
     ex = sub.add_parser(
@@ -660,7 +667,11 @@ def _dispatch(spark, args) -> int:
     if args.cmd == "compact":
         table = LakeTable(spark, args.table)
         before = len(table.snapshot().files)
-        m = table.compact(full=args.full, preserve_patches=args.preserve_patches)
+        m = table.compact(
+            full=args.full,
+            preserve_patches=args.preserve_patches,
+            drop_orphan_patches=args.drop_orphan_patches,
+        )
         print(json.dumps({"version": m.version, "files_before": before, "files_after": len(m.files)}))
         return 0
 

@@ -71,6 +71,8 @@ class WorkerConfig:
     num_buckets: int = 16
     mode: str = "mor"
     compact_every: int | None = None
+    #: compatibility alias — mid-stream compactions now always finalize
+    #: partial-image generations exactly (per-column _colseq state)
     compact_preserve_patches: bool = False
     max_files_per_trigger: int = 4
     trigger_interval: str | None = None

@@ -348,19 +348,29 @@ class LakeTable:
         the read applies the last-writer-wins fold (per-key max-seq struct
         winner — Iceberg v2 MOR). ``raw=True`` skips the fold AND the
         tombstone filter, returning every physical row — for callers (the
-        MERGE itself) that fold downstream anyway.
+        MERGE itself) that fold downstream anyway. When the manifest flags
+        finalized per-column state (property ``colseq > 0``), raw reads
+        also carry the hidden ``_colseq`` map (column name -> writer seq
+        for columns last written by a patch NEWER than the row's
+        full-image seq — see ``_finalize_fold``).
         """
-        from pyspark.sql.types import StringType, StructField
+        from pyspark.sql.types import LongType, MapType, StringType, StructField
 
         m = self.snapshot(version)
         files = m.files_for_pids(self.pids_for_buckets(buckets, m))
         schema = m.schema
         patch_outstanding = int(m.properties.get("patch_deltas", 0)) > 0
+        colseq_out = int(m.properties.get("colseq", 0)) > 0
         read_action = with_action or patch_outstanding
+        extra_fields: list[StructField] = []
+        if read_action:
+            extra_fields.append(StructField("_action", StringType(), True))
+        if colseq_out:
+            extra_fields.append(
+                StructField("_colseq", MapType(StringType(), LongType()), True)
+            )
         read_schema = (
-            StructType(list(schema.fields) + [StructField("_action", StringType(), True)])
-            if read_action
-            else schema
+            StructType(list(schema.fields) + extra_fields) if extra_fields else schema
         )
         if not files:
             df = self.spark.createDataFrame([], read_schema)
@@ -378,28 +388,53 @@ class LakeTable:
             # bucket-scoped result. raw=True callers (the MERGE) skip this:
             # copy-on-write must rewrite whole pid groups.
             df = df.where(m.bucket_expr().isin(*[int(b) for b in buckets]))
-        if patch_outstanding:
-            # Per-COLUMN fold (partial-image patch generations outstanding):
-            # liveness and the row's base come from the max-seq FULL
-            # generation; each payload column independently takes the
-            # max-seq generation among full images (which set every column,
-            # NULLs included) and the patches that set it — column-level
-            # last-writer-wins, exact under arbitrary cross-epoch
-            # reordering because every patch generation keeps its own seq.
+        mor_outstanding = int(m.properties.get("mor_appends", 0)) > 0
+        if patch_outstanding or (colseq_out and mor_outstanding):
+            # Per-COLUMN fold (partial-image patch generations outstanding,
+            # and/or finalized _colseq rows coexisting with newer delta
+            # generations): liveness and the row's base come from the
+            # max-seq FULL generation; each payload column independently
+            # takes the max-seq WRITER among full images (which set every
+            # column, NULLs included — a finalized row's per-column writer
+            # seq is its _colseq entry, falling back to the row seq) and
+            # the patches that set it — column-level last-writer-wins,
+            # exact under arbitrary cross-epoch reordering because every
+            # patch generation (or _colseq entry) keeps its own seq.
             # Keys with no full generation at all (orphan patches) drop.
-            # The row seq is the newest generation folded in, so a
-            # redelivered event always seq-ties or loses (idempotence).
+            # The row seq is the newest writer folded in, so a redelivered
+            # event always seq-ties or loses (idempotence).
             others = [c for c in schema.fieldNames() if c not in m.key_columns and c != "seq"]
             payload = [c for c in others if c != "deleted"]
-            is_patch = F.coalesce(F.col("_action") == "patch", F.lit(False))
+            is_patch = (
+                F.coalesce(F.col("_action") == "patch", F.lit(False))
+                if "_action" in df.columns
+                else F.lit(False)
+            )
+            if colseq_out:
+                def _gseq(p: str) -> Column:
+                    return F.when(is_patch, F.col("seq")).otherwise(
+                        F.coalesce(
+                            F.element_at(F.col("_colseq"), F.lit(p)), F.col("seq")
+                        )
+                    )
+                rowmax = F.greatest(
+                    F.col("seq"), F.array_max(F.map_values(F.col("_colseq")))
+                )
+            else:
+                def _gseq(p: str) -> Column:
+                    return F.col("seq")
+                rowmax = F.col("seq")
             df = (
                 df.groupBy(*m.key_columns)
                 .agg(
                     F.max(F.when(~is_patch, F.struct("seq", "deleted"))).alias("_b"),
-                    F.max("seq").alias("_smax"),
+                    F.max(rowmax).alias("_smax"),
                     *[
                         F.max(
-                            F.when(~is_patch | F.col(p).isNotNull(), F.struct("seq", F.col(p)))
+                            F.when(
+                                ~is_patch | F.col(p).isNotNull(),
+                                F.struct(_gseq(p).alias("s"), F.col(p).alias("v")),
+                            )
                         ).alias(f"_c_{p}")
                         for p in payload
                     ],
@@ -409,11 +444,23 @@ class LakeTable:
                     *m.key_columns,
                     F.col("_smax").alias("seq"),
                     F.col("_b.deleted").alias("deleted"),
-                    *[F.col(f"_c_{p}.{p}").alias(p) for p in payload],
+                    *[F.col(f"_c_{p}.v").alias(p) for p in payload],
                 )
                 .select(*[f.name for f in schema.fields])
             )
-        elif int(m.properties.get("mor_appends", 0)) > 0:
+        elif colseq_out:
+            # Finalized per-column state with NO generations outstanding:
+            # exactly one physical row per key, so the visible state is a
+            # pure PROJECTION (no shuffle, no fold) — the row seq lifts to
+            # the newest per-column writer recorded in _colseq (visible
+            # semantics identical to the armed fold's _smax).
+            df = df.withColumn(
+                "seq",
+                F.greatest(
+                    F.col("seq"), F.array_max(F.map_values(F.col("_colseq")))
+                ),
+            ).select(*[f.name for f in schema.fields])
+        elif mor_outstanding:
             # Wide max-struct fold, kept ON MEASUREMENT (VERDICT r02 #6
             # asked for a key-narrow fold + winners join-back; both its
             # sort-merge and shuffled-hash-semi-join variants were built
@@ -815,49 +862,103 @@ class LakeTable:
         self._write_manifest(manifest)
         return manifest
 
-    def _preserving_split(
+    def _finalize_fold(
         self, m: Manifest, buckets: set[int] | None, target_buckets: int
     ):
-        """Semantics-preserving rewrite inputs: (wide-folded base over FULL
-        generations only, contested+orphan patch generations), both carrying
-        ``_bucket`` under ``target_buckets``.
+        """Per-column-EXACT collapse of every outstanding generation (full
+        images, patch generations, prior ``_colseq`` rows) into ONE row per
+        key, plus the orphan patch generations that cannot collapse.
 
-        The base's row seq stays the full-image winner's — never coarsened
-        by patch seqs — and contested patches (newer than their key's full
-        winner) plus ORPHANS (no full image yet: arbitrary lateness is
-        exactly what preserve mode promises) are kept as generations, so a
-        full image arriving later than the rewrite still folds per-column
-        exactly. Patch debt self-clears as newer full images supersede."""
+        The output row keeps the FULL-image winner's ``seq`` — liveness and
+        row-level LWW are decided among full images alone, so that seq is
+        never coarsened — and every column whose last writer was a patch
+        NEWER than that winner gets an entry in the hidden ``_colseq`` map
+        (column name -> writer seq; NULL map = no contested columns).
+        Because each contested column keeps its own writer seq, a full
+        image arriving with ANY later seq still folds per-column exactly:
+        finalization carries no bounded-lateness contract. Entries
+        self-clear as newer full images supersede them (the entry is kept
+        only while its seq exceeds the full-image winner's).
+
+        ORPHAN patches (keys with no full image at all) have no row to
+        collapse into; they are returned separately — deduped per (key,
+        seq), still carrying ``_action='patch'`` — for the caller to
+        rewrite as generations, so a base image arriving arbitrarily late
+        still picks them up. Both outputs carry ``_bucket`` under
+        ``target_buckets``."""
         key = m.key_columns
         raw = self.read(
             buckets=buckets, include_tombstones=True, raw=True, with_action=True
         )
         is_patch = F.coalesce(F.col("_action") == "patch", F.lit(False))
-        fulls = raw.where(~is_patch).drop("_action")
-        others = [c for c in fulls.columns if c not in key and c != "seq"]
+        has_colseq = "_colseq" in raw.columns
+        payload = [
+            f.name
+            for f in m.schema.fields
+            if f.name not in key and f.name not in ("seq", "deleted")
+        ]
+
+        def _gseq(p: str) -> Column:
+            if not has_colseq:
+                return F.col("seq")
+            return F.when(is_patch, F.col("seq")).otherwise(
+                F.coalesce(F.element_at(F.col("_colseq"), F.lit(p)), F.col("seq"))
+            )
+
+        agg = raw.groupBy(*key).agg(
+            F.max(F.when(~is_patch, F.struct("seq", "deleted"))).alias("_b"),
+            *[
+                F.max(
+                    F.when(
+                        ~is_patch | F.col(p).isNotNull(),
+                        F.struct(_gseq(p).alias("s"), F.col(p).alias("v")),
+                    )
+                ).alias(f"_c_{p}")
+                for p in payload
+            ],
+        )
+        if payload:
+            entries = F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("key"), F.col(f"_c_{p}.s").alias("value")
+                        )
+                        for p in payload
+                    ]
+                ),
+                lambda e: e["value"] > F.col("_b.seq"),
+            )
+            colseq = F.when(F.size(entries) > 0, F.map_from_entries(entries))
+        else:
+            colseq = F.lit(None).cast("map<string,bigint>")
         folded = (
-            fulls.groupBy(*key)
-            .agg(F.max(F.struct("seq", *others)).alias("_w"))
+            agg.where(F.col("_b").isNotNull())
             .select(
                 *key,
-                F.col("_w.seq").alias("seq"),
-                *[F.col(f"_w.{c}").alias(c) for c in others],
+                F.col("_b.seq").alias("seq"),
+                F.col("_b.deleted").alias("deleted"),
+                *[F.col(f"_c_{p}.v").alias(p) for p in payload],
+                colseq.alias("_colseq"),
             )
-            .select(*[f.name for f in m.schema.fields])
             .withColumn("_bucket", bucket_expr(key, target_buckets, m.layout))
         )
-        base_seqs = fulls.groupBy(*key).agg(F.max("seq").alias("_bseq"))
-        patches = (
+        full_keys = raw.where(~is_patch).select(*key).distinct()
+        orphans = (
             raw.where(is_patch)
-            .join(base_seqs, on=key, how="left")
-            .where(F.col("seq") > F.coalesce(F.col("_bseq"), F.lit(-1)))
-            .drop("_bseq")
+            .join(full_keys, on=key, how="left_anti")
             .dropDuplicates([*key, "seq"])  # redelivered partials
+            .drop("_colseq")  # patch generations never carry per-column state
             .withColumn("_bucket", bucket_expr(key, target_buckets, m.layout))
         )
-        return folded, patches
+        return folded, orphans
 
-    def compact(self, full: bool = False, preserve_patches: bool = False) -> Manifest:
+    def compact(
+        self,
+        full: bool = False,
+        preserve_patches: bool = False,
+        drop_orphan_patches: bool = False,
+    ) -> Manifest:
         """Fold outstanding merge-on-read deltas into base files (tombstones
         retained — a late lower-seq update must never resurrect a deleted
         key, so tombstone seqs survive compaction). Iceberg analog:
@@ -874,13 +975,20 @@ class LakeTable:
         in the manifest by the MERGE; files from manifests predating the
         flag read as deltas (conservative: they stay compactable).
 
-        With partial-image generations outstanding, the default run
-        FINALIZES column-level LWW (folds patches into full rows — exact
-        once the stream's bounded-lateness window has passed);
-        ``preserve_patches=True`` instead rewrites contested patch
-        generations alongside the wide-folded base, keeping per-column
-        exactness under arbitrary lateness at the cost of the read fold
-        staying armed until newer full images clear the debt."""
+        With partial-image generations outstanding, finalization is EXACT
+        under arbitrary lateness: contested patch columns collapse into the
+        hidden per-column writer-seq map ``_colseq`` (see
+        ``_finalize_fold``) while the row keeps the full-image winner's
+        seq, so a full image arriving later — even with a seq between the
+        base's and a patched column's — still folds per-column correctly.
+        Orphan patches (no full image yet) are rewritten as generations and
+        re-finalized once their base arrives; ``drop_orphan_patches=True``
+        discards them instead (e.g. past a known lateness bound — they are
+        the only remaining patch debt, and clearing it re-legalizes
+        copy-on-write merges). ``preserve_patches`` is retained for
+        compatibility: the exactness it used to buy is now unconditional,
+        so it is an alias for the default behavior."""
+        del preserve_patches  # superseded: finalization is always exact now
         m = self.snapshot()
         delta_pids = {f["pid"] for f in m.files if not f.get("base", False)}
         if full:
@@ -893,34 +1001,52 @@ class LakeTable:
         buckets = {b for b in range(m.num_buckets) if mapping[b] in delta_pids}
         key = m.key_columns
         patch_outstanding = int(m.properties.get("patch_deltas", 0)) > 0
+        colseq_out = int(m.properties.get("colseq", 0)) > 0
         tag = f"compact-v{m.version:08d}"
         patch_files: list[dict] = []
         n_preserved = 0
-        if preserve_patches and patch_outstanding:
-            folded, patches = self._preserving_split(m, buckets, m.num_buckets)
-            patch_files = self.write_data_files(
-                patches, f"{tag}-p", sort_columns=list(key)
+        wrote_colseq = 0
+        if patch_outstanding or colseq_out:
+            from pyspark.sql import Observation
+
+            folded, orphans = self._finalize_fold(m, buckets, m.num_buckets)
+            if patch_outstanding and not drop_orphan_patches:
+                patch_files = self.write_data_files(
+                    orphans, f"{tag}-p", sort_columns=list(key)
+                )
+                for f in patch_files:
+                    f["base"] = False
+                n_preserved = sum(f["rows"] for f in patch_files)
+            obs = Observation(f"compact-colseq-{m.version}")
+            folded = folded.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("_colseq").isNotNull(), 1).otherwise(0)
+                ).alias("n"),
             )
-            for f in patch_files:
-                f["base"] = False
-            n_preserved = sum(f["rows"] for f in patch_files)
         else:
-            # Finalizing mode (default): the read fold applies any patch
-            # generations into full rows — column-level LWW is FINALIZED
-            # here (run it only past the stream's bounded-lateness window,
-            # the standard lakehouse contract — a full image arriving later
-            # than an already-compacted patch would find the row seq
-            # coarsened to the patch's seq). preserve_patches=True keeps
-            # exactness under arbitrary lateness instead.
             folded = self.read(buckets=buckets, include_tombstones=True).withColumn(
                 "_bucket", m.bucket_expr()
             )
+            obs = None
         # base files come out key-sorted: partition-local sort (no extra
         # shuffle), and parquet row-group min/max stats then let key
         # lookups skip row groups — compaction doubles as clustering
         new_files = self.write_data_files(folded, tag, sort_columns=list(key))
         for f in new_files:
             f["base"] = True
+        # an all-orphan fold writes ZERO base rows: the write plan collapses
+        # to an empty scan with no tasks, no metrics row is ever observed,
+        # and Observation.get would trip a JVM assertion — gate on rows
+        if obs is not None and any(f["rows"] for f in new_files):
+            wrote_colseq = int(obs.get["n"] or 0)
+        # the colseq flag is STICKY across incremental rewrites: pid groups
+        # not touched by this compaction may still hold _colseq rows from an
+        # earlier finalize, so only a rewrite covering every file group can
+        # clear it. A stale flag costs one extra (all-NULL) read column,
+        # never correctness.
+        rewrote_all = delta_pids >= {f["pid"] for f in m.files}
+        colseq_flag = 1 if (wrote_colseq or (colseq_out and not rewrote_all)) else 0
         return self.commit(
             new_files + patch_files,
             replaced_pids=delta_pids,
@@ -929,10 +1055,16 @@ class LakeTable:
             properties={
                 "mor_appends": 1 if patch_files else 0,
                 "patch_deltas": n_preserved,
+                "colseq": colseq_flag,
             },
         )
 
-    def rebucket(self, new_buckets: int, preserve_patches: bool = False) -> Manifest:
+    def rebucket(
+        self,
+        new_buckets: int,
+        preserve_patches: bool = False,
+        drop_orphan_patches: bool = False,
+    ) -> Manifest:
         """Bucket-layout evolution: rewrite the table into a different
         bucket count in ONE commit (Iceberg analog: partition-spec
         evolution, `ALTER TABLE ... PARTITIONED BY bucket(B', key)` +
@@ -954,12 +1086,14 @@ class LakeTable:
         layout with no coordination. Logically a no-op — ``changes()``
         skips it exactly like ``compact``.
 
-        Like ``compact``, the default run FINALIZES outstanding
-        partial-image generations (row seq coarsened to the newest patch —
-        exact once the stream's bounded-lateness window has passed);
-        ``preserve_patches=True`` rewrites contested patch generations
-        under the new layout instead, keeping column-level LWW exact under
-        arbitrary lateness."""
+        Like ``compact``, the rewrite FINALIZES outstanding partial-image
+        generations exactly — contested patch columns collapse into the
+        per-column ``_colseq`` map under the new layout, orphan patches are
+        rewritten as generations (``drop_orphan_patches=True`` discards
+        them), and a full image arriving later than the rewrite still folds
+        per-column correctly. ``preserve_patches`` is a compatibility
+        alias: the exactness it used to buy is now unconditional."""
+        del preserve_patches  # superseded: finalization is always exact now
         m = self.snapshot()
         if new_buckets == m.num_buckets:
             return m
@@ -968,21 +1102,37 @@ class LakeTable:
         tag = f"rebucket-v{m.version:08d}"
         patch_files: list[dict] = []
         n_preserved = 0
-        if preserve_patches and int(m.properties.get("patch_deltas", 0)) > 0:
-            folded, patches = self._preserving_split(m, None, new_buckets)
-            patch_files = self.write_data_files(
-                repartition_for_write(patches, new_buckets, m.key_columns, m.layout),
-                f"{tag}-p",
-                bucket_aligned=True,
-                sort_columns=list(m.key_columns),
+        wrote_colseq = 0
+        patch_outstanding = int(m.properties.get("patch_deltas", 0)) > 0
+        colseq_out = int(m.properties.get("colseq", 0)) > 0
+        if patch_outstanding or colseq_out:
+            from pyspark.sql import Observation
+
+            folded, orphans = self._finalize_fold(m, None, new_buckets)
+            if patch_outstanding and not drop_orphan_patches:
+                patch_files = self.write_data_files(
+                    repartition_for_write(
+                        orphans, new_buckets, m.key_columns, m.layout
+                    ),
+                    f"{tag}-p",
+                    bucket_aligned=True,
+                    sort_columns=list(m.key_columns),
+                )
+                for f in patch_files:
+                    f["base"] = False
+                n_preserved = sum(f["rows"] for f in patch_files)
+            obs = Observation(f"rebucket-colseq-{m.version}")
+            folded = folded.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("_colseq").isNotNull(), 1).otherwise(0)
+                ).alias("n"),
             )
-            for f in patch_files:
-                f["base"] = False
-            n_preserved = sum(f["rows"] for f in patch_files)
         else:
             folded = self.read(include_tombstones=True).withColumn(
                 "_bucket", bucket_expr(m.key_columns, new_buckets, m.layout)
             )
+            obs = None
         folded = repartition_for_write(folded, new_buckets, m.key_columns, m.layout)
         new_files = self.write_data_files(
             folded,
@@ -992,6 +1142,9 @@ class LakeTable:
         )
         for f in new_files:
             f["base"] = True
+        # see compact(): an all-orphan fold observes no metrics row
+        if obs is not None and any(f["rows"] for f in new_files):
+            wrote_colseq = int(obs.get["n"] or 0)
         return self.commit(
             new_files + patch_files,
             replaced_pids={f["pid"] for f in m.files},
@@ -1000,6 +1153,8 @@ class LakeTable:
             properties={
                 "mor_appends": 1 if patch_files else 0,
                 "patch_deltas": n_preserved,
+                # rebucket rewrites the WHOLE table: the flag is exact here
+                "colseq": 1 if wrote_colseq else 0,
             },
             num_buckets=new_buckets,
         )
@@ -1057,6 +1212,7 @@ class LakeTable:
             properties={
                 "mor_appends": int(src.properties.get("mor_appends", 0)),
                 "patch_deltas": int(src.properties.get("patch_deltas", 0)),
+                "colseq": int(src.properties.get("colseq", 0)),
             },
         )
 

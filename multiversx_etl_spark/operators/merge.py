@@ -303,23 +303,32 @@ def merge_batch(
     # which would null out the columns they meant to keep — and the
     # read-time fold resolves them per COLUMN (lake/table.py). Exact
     # column-level LWW under arbitrary reordering requires keeping each
-    # patch's own seq, which only merge-on-read generations can represent;
-    # copy-on-write (and compact()) collapse to one row seq per key, so
-    # cow + patches is refused rather than silently coarsened.
+    # patch's own writer seq: merge-on-read generations carry it
+    # naturally, and compact() collapses it losslessly into the hidden
+    # _colseq map (lake/table.py _finalize_fold). Copy-on-write has no
+    # generation storage for ORPHAN patches (a patch to a key with no
+    # full image cannot become a row), so cow + incoming patches is
+    # refused rather than silently dropped.
     patch_outstanding = int(parent.properties.get("patch_deltas", 0)) > 0
+    # Finalized per-column state (compact's _colseq rows) is NOT patch debt:
+    # row-level decisions still compare full-image seqs, MOR appends new
+    # generations the read fold resolves per column, and COW takes the
+    # per-column-aware fold below — both stay exact.
+    cow_colseq = mode == "cow" and int(parent.properties.get("colseq", 0)) > 0
     patches = None
     if patch_count:
         if mode != "mor":
             raise ValueError(
                 "partial-image (op='patch') events require mode='mor': "
-                "copy-on-write collapses per-column seq state at rewrite"
+                "copy-on-write has no generation storage for orphan patches"
             )
         patches = changes.where(F.col("op") == "patch")
         changes = changes.where(F.col("op") != "patch")
     elif patch_outstanding and mode != "mor":
         raise ValueError(
             "table has outstanding patch generations (patch_deltas > 0): "
-            "run compact() to finalize them before a copy-on-write merge"
+            "run compact() to finalize them (drop_orphan_patches=True if "
+            "orphans remain) before a copy-on-write merge"
         )
 
     def aligned(df: DataFrame, is_change: bool) -> DataFrame:
@@ -343,6 +352,15 @@ def merge_batch(
             )
         else:
             cols.append(F.lit(False).alias("_is_patch"))
+        if cow_colseq:
+            # the cow fold needs each target row's per-column writer seqs;
+            # change images carry none (their seq covers every column)
+            if not is_change and "_colseq" in df.columns:
+                cols.append(F.col("_colseq"))
+            else:
+                cols.append(
+                    F.lit(None).cast("map<string,bigint>").alias("_colseq")
+                )
         cols.append(F.lit(is_change).alias("_is_change"))
         cols.append(F.col("_bucket"))
         return df.select(*cols)
@@ -409,30 +427,107 @@ def merge_batch(
                 changes = combine_partitions_latest(changes, key)
             both = aligned(target, False).unionByName(aligned(changes, True))
 
-            # -- 3. ONE shuffle, ONE aggregate (module docstring step 2).
-            #    Winner struct compares (seq, _is_change, ...): on a seq tie
-            #    the change row wins, carrying identical data (idempotent
-            #    replay). The separate _tw struct is the TARGET-side winner
-            #    — its deleted flag (not "any generation was live") decides
-            #    prior liveness, which matters when several MOR generations
-            #    of a key are present.
-            wstruct = F.struct("seq", "_is_change", "deleted", *payload, "_bucket")
-            not_patch = ~F.col("_is_patch")
-            merged = (
-                repartition_for_write(both, parent.num_buckets, key, parent.layout)
-                .groupBy(*key, "_bucket")
-                .agg(
-                    F.max(F.when(not_patch, wstruct)).alias("_w"),
-                    F.max(
-                        F.when(~F.col("_is_change") & not_patch, F.struct("seq", "deleted"))
-                    ).alias("_tw"),
-                    F.count(F.when(F.col("_is_change"), 1)).alias("_cn"),
+            if cow_colseq:
+                # -- 3''. Per-column COW fold: the target's finalized rows
+                #    may carry _colseq entries (columns last written by a
+                #    patch NEWER than the row's full-image seq). Row-level
+                #    winner and classification still compare full-image
+                #    seqs; each column independently takes its newest
+                #    writer, so a change image with seq between the
+                #    target's base seq and a patched column's seq updates
+                #    every OTHER column while the rewritten row keeps that
+                #    column's value and _colseq entry. No patch generations
+                #    can be present here (cow is refused while
+                #    patch_deltas > 0 and change-side patches require mor),
+                #    so every input row is a full image.
+                def _gseq(p: str):
+                    return F.coalesce(
+                        F.element_at(F.col("_colseq"), F.lit(p)), F.col("seq")
+                    )
+
+                agg = (
+                    repartition_for_write(
+                        both, parent.num_buckets, key, parent.layout
+                    )
+                    .groupBy(*key, "_bucket")
+                    .agg(
+                        F.max(F.struct("seq", "_is_change", "deleted")).alias("_bw"),
+                        F.max(
+                            F.when(
+                                ~F.col("_is_change"), F.struct("seq", "deleted")
+                            )
+                        ).alias("_tw"),
+                        F.count(F.when(F.col("_is_change"), 1)).alias("_cn"),
+                        *[
+                            F.max(
+                                F.struct(
+                                    _gseq(p).alias("s"),
+                                    F.col("_is_change").alias("c"),
+                                    F.col(p).alias("v"),
+                                )
+                            ).alias(f"_c_{p}")
+                            for p in payload
+                        ],
+                    )
                 )
-                # a key whose only generations are (orphan) patch partials
-                # has no full-image winner: nothing to classify or write —
-                # the read fold likewise drops such keys
-                .where(F.col("_w").isNotNull())
-            )
+                if payload:
+                    entries = F.filter(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(p).alias("key"),
+                                    F.col(f"_c_{p}.s").alias("value"),
+                                )
+                                for p in payload
+                            ]
+                        ),
+                        lambda e: e["value"] > F.col("_bw.seq"),
+                    )
+                    colseq = F.when(
+                        F.size(entries) > 0, F.map_from_entries(entries)
+                    )
+                else:
+                    colseq = F.lit(None).cast("map<string,bigint>")
+                merged = agg.select(
+                    *key,
+                    F.struct(
+                        F.col("_bw.seq").alias("seq"),
+                        F.col("_bw._is_change").alias("_is_change"),
+                        F.col("_bw.deleted").alias("deleted"),
+                        *[F.col(f"_c_{p}.v").alias(p) for p in payload],
+                    ).alias("_w"),
+                    F.col("_tw"),
+                    F.col("_cn"),
+                    colseq.alias("_colseq"),
+                    F.col("_bucket"),
+                )
+            else:
+                # -- 3. ONE shuffle, ONE aggregate (module docstring step
+                #    2). Winner struct compares (seq, _is_change, ...): on
+                #    a seq tie the change row wins, carrying identical data
+                #    (idempotent replay). The separate _tw struct is the
+                #    TARGET-side winner — its deleted flag (not "any
+                #    generation was live") decides prior liveness, which
+                #    matters when several MOR generations of a key are
+                #    present.
+                wstruct = F.struct("seq", "_is_change", "deleted", *payload, "_bucket")
+                not_patch = ~F.col("_is_patch")
+                merged = (
+                    repartition_for_write(both, parent.num_buckets, key, parent.layout)
+                    .groupBy(*key, "_bucket")
+                    .agg(
+                        F.max(F.when(not_patch, wstruct)).alias("_w"),
+                        F.max(
+                            F.when(~F.col("_is_change") & not_patch, F.struct("seq", "deleted"))
+                        ).alias("_tw"),
+                        F.count(F.when(F.col("_is_change"), 1)).alias("_cn"),
+                    )
+                    # a key whose only generations are (orphan) patch
+                    # partials has no full-image winner: nothing to
+                    # classify or write — the read fold likewise drops
+                    # such keys
+                    .where(F.col("_w").isNotNull())
+                )
             won_change = F.col("_w._is_change")
         was_live = F.col("_tw").isNotNull() & ~F.col("_tw.deleted")
         action = (
@@ -449,6 +544,7 @@ def merge_batch(
             F.col("_w.seq").alias("seq"),
             F.col("_w.deleted").alias("deleted"),
             *[F.col(f"_w.{p}").alias(p) for p in payload],
+            *([F.col("_colseq")] if cow_colseq else []),
             F.col("_bucket"),
             action.alias("_action"),
             F.col("_cn"),
@@ -465,6 +561,11 @@ def merge_batch(
         #    and the ledger is derived from the durable output itself
         #    (self-auditing).
         out_cols = [*key, *payload, "seq", "deleted", "_action", "_cn", "_bucket"]
+        if cow_colseq:
+            # rewritten groups keep per-column writer seqs (carries keep
+            # their entries verbatim; change winners keep only entries
+            # still newer than the new full-image seq)
+            out_cols.insert(out_cols.index("_action"), "_colseq")
         obs = Observation(f"merge-{stream_id}-{epoch_id}")
         merged = merged.observe(
             obs,

@@ -218,11 +218,13 @@ def replay(
 
     ``mode='mor'`` (default) appends delta files per epoch — O(batch) write
     cost; ``compact_every=K`` folds deltas into base files after every K run
-    epochs (read-amplification bound, like Iceberg maintenance cadence);
-    ``compact_preserve_patches=True`` makes those mid-stream compactions
-    keep contested partial-image generations (exact column-level LWW under
-    arbitrary lateness — use for patch streams whose full images may
-    arrive later than the compaction cadence).
+    epochs (read-amplification bound, like Iceberg maintenance cadence).
+    Mid-stream compactions finalize partial-image generations EXACTLY
+    (contested patch columns collapse into the per-column ``_colseq`` map —
+    lake/table.py ``_finalize_fold`` — so full images arriving later than
+    the compaction cadence still fold per-column correctly);
+    ``compact_preserve_patches`` is a compatibility alias, the exactness it
+    used to buy is now unconditional.
     ``normalizer`` overrides the per-table transformer (normalize.REGISTRY
     dispatch — the reference's per-index transformers); default is the
     ``change_events`` normalization.
@@ -546,8 +548,9 @@ def bootstrap_snapshot(
         epoch_info={"reseed": True, "rows": n_rows} if stream_id is not None else None,
         schema=evolved,
         expected_parent=m.version,
-        # full-state replacement: no delta or patch generations survive it
-        properties={"mor_appends": 0, "patch_deltas": 0},
+        # full-state replacement: no delta, patch, or per-column (colseq)
+        # generations survive it
+        properties={"mor_appends": 0, "patch_deltas": 0, "colseq": 0},
         marker_mode=marker_mode,
     )
     return n_rows

@@ -397,3 +397,57 @@ def test_stream_explicit_join_validates_sidecar_upfront(spark, tmp_path):
     write_log_parquet(log, plain, files=2)
     with pytest.raises(ValueError, match="no _bucket_spec.json"):
         stream_ingest(spark, plain, t, str(tmp_path / "ckpt2"), fold="join")
+
+
+def test_join_fold_over_colseq_rows_zero_exchange(spark, tmp_path):
+    """Finalized per-column state (_colseq rows) must NOT downgrade the
+    zero-exchange join fold — unlike patch-generation debt, which needs
+    the union machinery. The narrow (key, seq, deleted) target projection
+    stays row-level correct because a finalized row keeps its full-image
+    seq, and the appended change generation folds per-column at read."""
+    from multiversx_etl_spark.operators.merge import merge_batch
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), REPOS,
+        key_columns=["repo", "path"], num_buckets=B, layout="spark",
+    )
+    e0 = spark.createDataFrame(
+        [
+            (0, 0, "insert", "r1", "p1", "c0", "python", "body0", None),
+            (1, 9, "patch", "r1", "p1", None, "go", None, None),
+            (2, 0, "insert", "r2", "p2", "c0", "java", "jbody", None),
+        ],
+        CHANGE_EVENTS,
+    )
+    merge_batch(table, e0, "main", 0)  # patches take the union machinery
+    table.compact()
+    m = table.snapshot()
+    assert int(m.properties["colseq"]) == 1
+    assert int(m.properties["patch_deltas"]) == 0
+    # a full image BETWEEN r1/p1's base(0) and its patched lang(9), applied
+    # through the JOIN fold from a catalog-bucketed log
+    e1 = spark.createDataFrame(
+        [(3, 4, "update", "r1", "p1", "c4", "rust", "body4", None)],
+        CHANGE_EVENTS,
+    )
+    name = write_log_bucketed(
+        e1, str(tmp_path / "blog"), B, table_name="mxetl_colseq_log"
+    )
+    os.environ["MXETL_CAPTURE_PLAN"] = "1"
+    try:
+        merge_batch(table, spark.table(name), "main", 1, fold="join")
+    finally:
+        os.environ.pop("MXETL_CAPTURE_PLAN", None)
+        spark.sql("DROP TABLE IF EXISTS mxetl_colseq_log")
+    plan = merge_mod.LAST_WRITE_PLAN
+    assert plan is not None
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange RoundRobinPartitioning" not in plan, plan
+    got = {
+        r["path"]: (r["seq"], r["lang"], r["content"], r["commit"])
+        for r in table.read().collect()
+    }
+    assert got["p1"] == (9, "go", "body4", "c4")  # patched lang survives
+    assert got["p2"] == (0, "java", "jbody", "c0")

@@ -66,6 +66,27 @@ def table_state(table):
     }
 
 
+def orphan_patch_stats(log_path: str):
+    """(deduped orphan patch rows, orphan keys): patches whose key has no
+    full image anywhere in the log — the only patch debt finalization
+    cannot collapse into a row."""
+    con = duckdb.connect()
+    n_rows, n_keys = con.execute(
+        f"""
+        WITH ev AS (SELECT * FROM read_parquet('{log_path}/*.parquet')),
+        orph AS (
+          SELECT DISTINCT p.repo, p.path, p.seq FROM ev p
+          WHERE p.op = 'patch' AND NOT EXISTS (
+            SELECT 1 FROM ev f
+            WHERE f.op <> 'patch' AND f.repo = p.repo AND f.path = p.path)
+        )
+        SELECT count(*), count(DISTINCT (repo, path)) FROM orph
+        """
+    ).fetchone()
+    con.close()
+    return n_rows, n_keys
+
+
 def test_patch_replay_matches_per_column_oracle(spark, patch_log, tmp_path):
     log = spark.read.parquet(patch_log)
     table = ensure_table(spark, str(tmp_path / "t"), num_buckets=8)
@@ -97,28 +118,44 @@ def test_patch_epoching_invariance_and_idempotence(spark, patch_log, tmp_path):
 
 
 def test_patch_compact_finalizes(spark, patch_log, tmp_path):
+    """Finalizing compaction collapses contested patches into the hidden
+    per-column writer-seq map (_colseq) — exactly — and keeps orphan
+    patches (keys with no full image) as generations; they are the ONLY
+    remaining patch debt."""
     log = spark.read.parquet(patch_log)
     table = ensure_table(spark, str(tmp_path / "t"), num_buckets=8)
     replay(log, table, interval_size=600, mode="mor")
     want = oracle_state(patch_log)
     table.compact()
     m = table.snapshot()
-    assert int(m.properties["patch_deltas"]) == 0
-    assert int(m.properties["mor_appends"]) == 0
+    orphan_rows, _ = orphan_patch_stats(patch_log)
+    assert int(m.properties["patch_deltas"]) == orphan_rows > 0
+    assert int(m.properties["colseq"]) == 1
     assert table_state(table) == want
     assert "_action" not in table.read().columns
-    # periodic compaction mid-replay agrees too (pairs never straddle the
-    # even epoch boundaries, so the finalization contract holds)
+    assert "_colseq" not in table.read().columns
+    # the per-column state really lives in the map: contested rows exist
+    raw = table.read(raw=True, with_action=True)
+    assert raw.where(F.col("_colseq").isNotNull()).count() > 0
+    # dropping the orphans clears ALL patch debt (cow becomes legal again)
+    table.compact(drop_orphan_patches=True)
+    m2 = table.snapshot()
+    assert int(m2.properties["patch_deltas"]) == 0
+    assert int(m2.properties["mor_appends"]) == 0
+    assert table_state(table) == want
+    # periodic compaction mid-replay agrees too — and is now exact even
+    # when pairs straddle lateness (no bounded-lateness contract)
     t2 = ensure_table(spark, str(tmp_path / "t2"), num_buckets=8)
     replay(log, t2, interval_size=600, mode="mor", compact_every=2)
     assert table_state(t2) == want
 
 
-def test_patch_preserving_compaction_exact_under_lateness(spark, tmp_path):
-    """compact(preserve_patches=True) keeps contested patch generations:
-    a full image arriving LATER than an already-compacted patch still
-    folds per-column exactly (the finalizing default would coarsen the
-    row seq to the patch's and carry the late update)."""
+def test_finalizing_compaction_exact_under_lateness(spark, tmp_path):
+    """The headline _colseq property: a full image arriving LATER than an
+    already-FINALIZED patch — with a seq BETWEEN the base's and the
+    patched column's — still folds per-column exactly. (Before _colseq,
+    finalization coarsened the row seq to the patch's and would have
+    carried the late update; exactness needed preserve-mode debt.)"""
     from multiversx_etl_spark.schemas import CHANGE_EVENTS
     from multiversx_etl_spark.streaming.ingest import apply_epoch
 
@@ -128,35 +165,46 @@ def test_patch_preserving_compaction_exact_under_lateness(spark, tmp_path):
         (1, 5, "patch", "r1", "p1", None, "go", None, None),
     ]
     apply_epoch(table, spark.createDataFrame(e0, CHANGE_EVENTS), "main", 0, 0, 2)
-    m = table.compact(preserve_patches=True)
-    assert int(m.properties["patch_deltas"]) == 1  # contested patch kept
-    # late full image BETWEEN the base and the preserved patch
+    m = table.compact()
+    assert int(m.properties["patch_deltas"]) == 0  # contested patch ABSORBED
+    assert int(m.properties["colseq"]) == 1
+    row = table.read(raw=True).collect()[0]
+    assert row["seq"] == 0 and row["_colseq"] == {"lang": 5}  # base seq kept
+    # late full image BETWEEN the base and the finalized patch
     e1 = [(2, 3, "update", "r1", "p1", "c3", "rust", "body3", None)]
     apply_epoch(table, spark.createDataFrame(e1, CHANGE_EVENTS), "main", 1, 2, 3)
     r = table.read().collect()[0]
     assert (r["lang"], r["content"], r["commit"], r["seq"]) == ("go", "body3", "c3", 5)
-    # finalizing compact now absorbs everything; state unchanged
+    # re-finalize: the surviving entry is re-derived against the new base
     table.compact()
-    r2 = table.read().collect()[0]
+    r2 = table.read(raw=True).collect()[0]
+    assert r2["seq"] == 3 and r2["_colseq"] == {"lang": 5}
     assert (r2["lang"], r2["content"], r2["commit"]) == ("go", "body3", "c3")
+    # preserve_patches is accepted as a compatibility alias (same behavior)
+    table.compact(preserve_patches=True)
+    r3 = table.read().collect()[0]
+    assert (r3["lang"], r3["content"], r3["seq"]) == ("go", "body3", 5)
 
 
-def test_patch_preserving_compaction_roundtrip(spark, patch_log, tmp_path):
-    """Preserve-mode compaction over the generated mix: state identical to
-    the oracle before and after, and the preserved debt is exactly the
-    contested patches (superseded ones folded away)."""
+def test_patch_finalize_roundtrip(spark, patch_log, tmp_path):
+    """Finalization over the generated mix: state identical to the oracle
+    before and after, the kept debt is EXACTLY the orphan patches
+    (contested ones absorbed into _colseq, superseded ones folded away),
+    and re-compacting is stable."""
     log = spark.read.parquet(patch_log)
     table = ensure_table(spark, str(tmp_path / "t"), num_buckets=8)
     replay(log, table, interval_size=600, mode="mor")
     want = oracle_state(patch_log)
     before = int(table.snapshot().properties["patch_deltas"])
-    m = table.compact(preserve_patches=True)
+    m = table.compact()
     kept = int(m.properties["patch_deltas"])
-    assert 0 < kept <= before
+    orphan_rows, _ = orphan_patch_stats(patch_log)
+    assert kept == orphan_rows < before
     assert table_state(table) == want
-    # preserved files are deltas: a later finalizing compact clears them
-    table.compact()
-    assert int(table.snapshot().properties["patch_deltas"]) == 0
+    # orphans stay orphans across another compaction (no base arrived) and
+    # the state is a fixed point
+    m2 = table.compact()
+    assert int(m2.properties["patch_deltas"]) == orphan_rows
     assert table_state(table) == want
 
 
@@ -170,7 +218,14 @@ def test_patch_requires_mor(spark, patch_log, tmp_path):
     full_only = log.where(F.col("op") != "patch")
     with pytest.raises(ValueError, match="compact"):
         replay(full_only, table, interval_size=600, mode="cow")
-    table.compact()  # finalization clears the debt; cow is legal again
+    table.compact()  # finalization absorbs contested patches into _colseq…
+    if int(table.snapshot().properties["patch_deltas"]) > 0:
+        # …but orphans (no full image yet) remain generations and still
+        # block cow; the explicit escape hatch clears them
+        with pytest.raises(ValueError, match="compact"):
+            replay(full_only, table, interval_size=600, mode="cow")
+        table.compact(drop_orphan_patches=True)
+    # cow is legal again — and stays per-column exact over _colseq rows
     replay(full_only, table, interval_size=600, mode="cow")
 
 
@@ -196,22 +251,27 @@ def test_patch_replication_chain(spark, patch_log, tmp_path):
 
 def test_patch_rebucket_finalizes(spark, patch_log, tmp_path):
     """rebucket() with patch generations outstanding folds them exactly
-    like compact (same finalization contract) and the new layout carries
-    zero patch debt."""
+    like compact (contested patches into _colseq under the new layout,
+    orphans rewritten as generations)."""
     log = spark.read.parquet(patch_log)
     table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
     replay(log, table, interval_size=600, mode="mor")
     want = oracle_state(patch_log)
     assert int(table.snapshot().properties["patch_deltas"]) > 0
     m = table.rebucket(16)
-    assert int(m.properties["patch_deltas"]) == 0
+    orphan_rows, _ = orphan_patch_stats(patch_log)
+    assert int(m.properties["patch_deltas"]) == orphan_rows
+    assert int(m.properties["colseq"]) == 1
     assert table_state(table) == want
 
 
 def test_patch_orphan_is_noop(spark, tmp_path):
-    """Patches never create rows: a patch to a key with no full image is
-    dropped (and a later full image for OTHER keys doesn't resurrect it)."""
+    """Patches never create rows: a patch to a key with no full image stays
+    INVISIBLE (and a later full image for OTHER keys doesn't resurrect
+    it) — but finalization RETAINS it as a generation, so its own base
+    arriving later still picks it up."""
     from multiversx_etl_spark.schemas import CHANGE_EVENTS
+    from multiversx_etl_spark.streaming.ingest import apply_epoch
 
     rows = [
         (0, 0, "insert", "r1", "p1", "c0", "python", "body0", None),
@@ -232,6 +292,16 @@ def test_patch_orphan_is_noop(spark, tmp_path):
         for r in table.read().collect()
     }
     assert got2 == got
+    assert int(table.snapshot().properties["patch_deltas"]) == 1  # the orphan
+    # the orphan's base arrives AFTER finalization: the kept generation
+    # applies per-column (lang from the patch@5, content from the base)
+    e1 = [(3, 2, "insert", "r1", "p2", "c2", "c", "body2", None)]
+    apply_epoch(table, spark.createDataFrame(e1, CHANGE_EVENTS), "main", 1, 3, 4)
+    got3 = {
+        (r["repo"], r["path"]): (r["lang"], r["content"], r["seq"])
+        for r in table.read().collect()
+    }
+    assert got3[("r1", "p2")] == ("go", "body2", 5)
 
 
 def test_patch_with_schema_evolution(spark, tmp_path):
@@ -299,11 +369,11 @@ def test_patch_delete_interplay(spark, tmp_path):
     )
 
 
-def test_preserving_compaction_keeps_orphans(spark, tmp_path):
+def test_compaction_keeps_orphans(spark, tmp_path):
     """Arbitrary lateness, the hard case: a patch arrives BEFORE its key's
-    first full image, a preserve-mode compaction runs in between, and the
-    base lands only afterwards — the patch generation must survive the
-    rewrite and apply."""
+    first full image, a (default, finalizing) compaction runs in between,
+    and the base lands only afterwards — the patch generation must
+    survive the rewrite and apply."""
     from multiversx_etl_spark.schemas import CHANGE_EVENTS
     from multiversx_etl_spark.streaming.ingest import apply_epoch
 
@@ -313,7 +383,7 @@ def test_preserving_compaction_keeps_orphans(spark, tmp_path):
         (1, 0, "insert", "r1", "p2", "c0", "python", "body0", None),
     ]
     apply_epoch(table, spark.createDataFrame(e0, CHANGE_EVENTS), "main", 0, 0, 2)
-    m = table.compact(preserve_patches=True)
+    m = table.compact()
     assert int(m.properties["patch_deltas"]) == 1  # the orphan survived
     assert {r["path"] for r in table.read().collect()} == {"p2"}  # still hidden
     e1 = [(2, 5, "insert", "r1", "p1", "c5", "rust", "body5", None)]
@@ -322,10 +392,10 @@ def test_preserving_compaction_keeps_orphans(spark, tmp_path):
     assert got["p1"] == ("go", "body5", 9)  # late base + preserved patch
 
 
-def test_patch_rebucket_preserve_mode(spark, tmp_path):
-    """rebucket(preserve_patches=True): the layout changes, contested
-    patch generations survive under the new layout, and a late full image
-    still folds per-column exactly."""
+def test_patch_rebucket_exact_under_lateness(spark, tmp_path):
+    """rebucket finalizes contested patches into _colseq under the NEW
+    layout, and a late full image still folds per-column exactly
+    (preserve_patches accepted as a compatibility alias)."""
     from multiversx_etl_spark.schemas import CHANGE_EVENTS
     from multiversx_etl_spark.streaming.ingest import apply_epoch
 
@@ -337,7 +407,8 @@ def test_patch_rebucket_preserve_mode(spark, tmp_path):
     apply_epoch(table, spark.createDataFrame(e0, CHANGE_EVENTS), "main", 0, 0, 2)
     m = table.rebucket(16, preserve_patches=True)
     assert m.num_buckets == 16
-    assert int(m.properties["patch_deltas"]) == 1
+    assert int(m.properties["patch_deltas"]) == 0  # contested patch absorbed
+    assert int(m.properties["colseq"]) == 1
     e1 = [(2, 3, "update", "r1", "p1", "c3", "rust", "body3", None)]
     apply_epoch(table, spark.createDataFrame(e1, CHANGE_EVENTS), "main", 1, 2, 3)
     r = table.read().collect()[0]
@@ -345,3 +416,129 @@ def test_patch_rebucket_preserve_mode(spark, tmp_path):
     # lookup prunes with the new layout and finds the folded row
     got = table.lookup(repo="r1", path="p1").collect()
     assert len(got) == 1 and got[0]["lang"] == "go"
+
+
+def test_colseq_read_is_projection_only(spark, tmp_path):
+    """After finalization with no generations outstanding, the visible
+    read is a pure projection: no Exchange (shuffle) and no fold in the
+    plan — finalize-exact costs nothing at read time, unlike preserve-mode
+    debt which kept the per-column fold armed."""
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+    from multiversx_etl_spark.streaming.ingest import apply_epoch
+
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    e0 = [
+        (0, 0, "insert", "r1", "p1", "c0", "python", "body0", None),
+        (1, 5, "patch", "r1", "p1", None, "go", None, None),
+    ]
+    apply_epoch(table, spark.createDataFrame(e0, CHANGE_EVENTS), "main", 0, 0, 2)
+    table.compact()
+    df = table.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Aggregate" not in plan, plan
+    r = df.collect()[0]
+    assert (r["seq"], r["lang"], r["content"]) == (5, "go", "body0")
+    assert "_colseq" not in df.columns
+
+
+def test_colseq_cow_merge_exact(spark, tmp_path):
+    """Copy-on-write over finalized _colseq rows: the per-column COW fold
+    keeps a patched-newer column through a later full image, rewrites
+    carries verbatim (entries included), and classification/ledger stats
+    stay exact."""
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+    from multiversx_etl_spark.streaming.ingest import apply_epoch
+
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    e0 = [
+        (0, 0, "insert", "r1", "p1", "c0", "python", "body0", None),
+        (1, 9, "patch", "r1", "p1", None, "go", None, None),
+        (2, 0, "insert", "r1", "p2", "c0", "java", "jbody", None),
+    ]
+    apply_epoch(table, spark.createDataFrame(e0, CHANGE_EVENTS), "main", 0, 0, 3)
+    table.compact()
+    # cow update BETWEEN p1's base(0) and its patched lang(9); p2 plain
+    e1 = [
+        (3, 4, "update", "r1", "p1", "c4", "haskell", "body4", None),
+        (4, 6, "update", "r1", "p2", "c6", "kotlin", "kbody6", None),
+    ]
+    s = apply_epoch(
+        table, spark.createDataFrame(e1, CHANGE_EVENTS), "main", 1, 3, 5, mode="cow"
+    )
+    assert s.rows_updated == 2
+    got = {
+        r["path"]: (r["seq"], r["lang"], r["content"], r["commit"])
+        for r in table.read().collect()
+    }
+    assert got["p1"] == (9, "go", "body4", "c4")      # patched lang survives
+    assert got["p2"] == (6, "kotlin", "kbody6", "c6")
+    raw = {r["path"]: r["_colseq"] for r in table.read(raw=True).collect()}
+    assert raw["p1"] == {"lang": 9} and raw["p2"] is None
+    # a second cow batch where p1 CARRIES (lower seq): entry kept verbatim
+    e2 = [(5, 2, "update", "r1", "p1", "c2", "perl", "body2", None)]
+    s2 = apply_epoch(
+        table, spark.createDataFrame(e2, CHANGE_EVENTS), "main", 2, 5, 6, mode="cow"
+    )
+    assert s2.rows_updated == 0
+    raw2 = {r["path"]: r["_colseq"] for r in table.read(raw=True).collect()}
+    assert raw2["p1"] == {"lang": 9}
+    got2 = {r["path"]: (r["seq"], r["lang"], r["content"]) for r in table.read().collect()}
+    assert got2["p1"] == (9, "go", "body4")
+    # a cow full image NEWER than the patched column clears the entry
+    e3 = [(6, 11, "update", "r1", "p1", "c11", "zig", "body11", None)]
+    apply_epoch(
+        table, spark.createDataFrame(e3, CHANGE_EVENTS), "main", 3, 6, 7, mode="cow"
+    )
+    raw3 = {r["path"]: r["_colseq"] for r in table.read(raw=True).collect()}
+    assert raw3["p1"] is None
+    got3 = {r["path"]: (r["seq"], r["lang"]) for r in table.read().collect()}
+    assert got3["p1"] == (11, "zig")
+
+
+def test_colseq_replication_with_midchain_finalize(spark, patch_log, tmp_path):
+    """changes() skips compact commits, so finalizing the SOURCE mid-chain
+    never leaks _colseq rows into the feed — the replica converges on the
+    same per-column state via its own generations."""
+    from multiversx_etl_spark.streaming.replicate import replicate_changes
+
+    log = spark.read.parquet(patch_log)
+    src = ensure_table(spark, str(tmp_path / "src"), num_buckets=8)
+    dst = ensure_table(spark, str(tmp_path / "dst"), num_buckets=8)
+    for k in range(3):
+        replay(log, src, interval_size=1000, mode="mor", max_epochs=1 + k)
+        if k == 1:
+            src.compact()  # finalize mid-chain (colseq rows on src only)
+        replicate_changes(src, dst)
+    assert table_state(dst) == table_state(src) == oracle_state(patch_log)
+    assert int(src.snapshot().properties["colseq"]) == 1
+    assert int(dst.snapshot().properties.get("colseq", 0)) == 0
+
+
+def test_colseq_schema_evolution_after_finalize(spark, tmp_path):
+    """A column added AFTER finalization patches in per-column: old
+    _colseq rows read the new column as NULL with writer seq = base seq,
+    so the new patch wins it without disturbing finalized entries."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+    from multiversx_etl_spark.streaming.ingest import apply_epoch
+
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    e0 = [
+        (0, 0, "insert", "r1", "p1", "c0", "python", "body0", None),
+        (1, 7, "patch", "r1", "p1", None, "go", None, None),
+    ]
+    apply_epoch(table, spark.createDataFrame(e0, CHANGE_EVENTS), "main", 0, 0, 2)
+    table.compact()
+    evolved = StructType(
+        list(CHANGE_EVENTS.fields) + [StructField("stars", StringType(), True)]
+    )
+    e1 = [(2, 3, "patch", "r1", "p1", None, None, None, None, "42")]
+    apply_epoch(table, spark.createDataFrame(e1, evolved), "main", 1, 2, 3)
+    r = table.read().collect()[0]
+    assert (r["lang"], r["content"], r["stars"], r["seq"]) == ("go", "body0", "42", 7)
+    table.compact()
+    r2 = table.read(raw=True).collect()[0]
+    assert r2["_colseq"] == {"lang": 7, "stars": 3} and r2["seq"] == 0
+    r3 = table.read().collect()[0]
+    assert (r3["lang"], r3["stars"], r3["seq"]) == ("go", "42", 7)

@@ -251,8 +251,10 @@ def test_patch_column_lww_matches_python_oracle(
     """Adversarial partial-image interleavings (patches before their base,
     across epoch splits, duplicated deliveries, deletes between patches)
     must always fold to the reference per-column LWW — with no compaction,
-    with preserve-mode compaction mid-replay, and with a finalizing
-    compact after all events."""
+    with a FINALIZING compaction after EVERY epoch (the hard case: events
+    later in the shuffled order can carry seqs below an already-finalized
+    patch's — _colseq keeps the fold exact anyway), and with a single
+    finalizing compact after all events."""
     events_raw, rng = scenario
     events = list(enumerate(events_raw))
     order = list(events)
@@ -269,13 +271,13 @@ def test_patch_column_lww_matches_python_oracle(
         "offset long, seq long, op string, repo string, path string, "
         "commit string, lang string, content string"
     )
-    for variant in ("plain", "preserve_mid", "finalize_end"):
+    for variant in ("plain", "finalize_mid", "finalize_end"):
         t = ensure_table(spark, str(base / variant), num_buckets=4)
         for epoch, chunk in enumerate(chunks):
             df = spark.createDataFrame(chunk, schema)
             merge_batch(t, df, "prop", epoch, collect_per_bucket_stats=False)
-            if variant == "preserve_mid":
-                t.compact(preserve_patches=True)
+            if variant == "finalize_mid":
+                t.compact()
         if variant == "finalize_end":
             t.compact()
         got = {
