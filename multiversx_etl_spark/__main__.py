@@ -177,6 +177,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     rbk.add_argument("table")
     rbk.add_argument("--buckets", type=int, required=True)
+    rbk.add_argument(
+        "--drop-orphan-patches", action="store_true",
+        help="discard patches whose key has no full image yet instead of "
+        "rewriting them under the new layout",
+    )
 
     mt = sub.add_parser(
         "maintain",
@@ -192,6 +197,11 @@ def main(argv: list[str] | None = None) -> int:
         help="compatibility alias: compaction now always finalizes "
         "partial-image generations exactly (per-column _colseq state), so "
         "this flag changes nothing",
+    )
+    mt.add_argument(
+        "--drop-orphan-patches", action="store_true",
+        help="discard patches whose key has no full image yet (the only "
+        "patch debt a cron-driven maintain cannot otherwise clear)",
     )
 
     ex = sub.add_parser(
@@ -678,7 +688,9 @@ def _dispatch(spark, args) -> int:
     if args.cmd == "rebucket":
         table = LakeTable(spark, args.table)
         before = table.snapshot().num_buckets
-        m = table.rebucket(args.buckets)
+        m = table.rebucket(
+            args.buckets, drop_orphan_patches=args.drop_orphan_patches
+        )
         print(json.dumps(
             {"version": m.version, "buckets_before": before, "buckets_after": m.num_buckets}
         ))
@@ -687,7 +699,10 @@ def _dispatch(spark, args) -> int:
     if args.cmd == "maintain":
         table = LakeTable(spark, args.table)
         before = len(table.snapshot().files)
-        m = table.compact(preserve_patches=args.preserve_patches)
+        m = table.compact(
+            preserve_patches=args.preserve_patches,
+            drop_orphan_patches=args.drop_orphan_patches,
+        )
         expired = table.expire_snapshots(keep_last=args.keep_last)
         gc = table.gc_orphan_files(min_age_seconds=args.min_age)
         print(json.dumps({

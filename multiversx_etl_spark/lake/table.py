@@ -104,6 +104,47 @@ def bucket_expr(
     return F.pmod(F.xxhash64(*key_columns), F.lit(num_buckets)).cast("int")
 
 
+def per_column_writer_seq(
+    p: str, *, is_patch: Column | None, has_colseq: bool
+) -> Column:
+    """Writer seq of payload column ``p`` for ONE generation row — the
+    single definition of the per-column LWW clock, shared by the armed
+    read fold, ``_finalize_fold``, and the cow merge fold (operators/
+    merge.py): a patch generation's own seq; else the row's ``_colseq``
+    entry for the column (finalized rows record columns whose last writer
+    was a patch newer than the row's full-image seq); else the row seq.
+    ``is_patch=None`` declares the caller's input has no patch generations
+    (the cow fold, which is refused while patch debt is outstanding)."""
+    base = (
+        F.coalesce(F.element_at(F.col("_colseq"), F.lit(p)), F.col("seq"))
+        if has_colseq
+        else F.col("seq")
+    )
+    if is_patch is None:
+        return base
+    return F.when(is_patch, F.col("seq")).otherwise(base)
+
+
+def colseq_map_expr(payload: list[str], winner_seq: Column) -> Column:
+    """``_colseq`` map from per-column winner structs ``_c_<p>`` (fields
+    ``s`` = writer seq, ``v`` = value): one entry per column whose winner
+    seq exceeds the FULL-image winner's — i.e. exactly the columns a
+    single row seq cannot represent; NULL when none. Shared by
+    ``_finalize_fold`` and the cow merge fold."""
+    if not payload:
+        return F.lit(None).cast("map<string,bigint>")
+    entries = F.filter(
+        F.array(
+            *[
+                F.struct(F.lit(p).alias("key"), F.col(f"_c_{p}.s").alias("value"))
+                for p in payload
+            ]
+        ),
+        lambda e: e["value"] > winner_seq,
+    )
+    return F.when(F.size(entries) > 0, F.map_from_entries(entries))
+
+
 def repartition_for_write(
     df: DataFrame, num_buckets: int, key_columns: list[str], layout: str
 ) -> DataFrame:
@@ -410,20 +451,19 @@ class LakeTable:
                 if "_action" in df.columns
                 else F.lit(False)
             )
-            if colseq_out:
-                def _gseq(p: str) -> Column:
-                    return F.when(is_patch, F.col("seq")).otherwise(
-                        F.coalesce(
-                            F.element_at(F.col("_colseq"), F.lit(p)), F.col("seq")
-                        )
-                    )
-                rowmax = F.greatest(
+
+            def _gseq(p: str) -> Column:
+                return per_column_writer_seq(
+                    p, is_patch=is_patch, has_colseq=colseq_out
+                )
+
+            rowmax = (
+                F.greatest(
                     F.col("seq"), F.array_max(F.map_values(F.col("_colseq")))
                 )
-            else:
-                def _gseq(p: str) -> Column:
-                    return F.col("seq")
-                rowmax = F.col("seq")
+                if colseq_out
+                else F.col("seq")
+            )
             df = (
                 df.groupBy(*m.key_columns)
                 .agg(
@@ -546,13 +586,27 @@ class LakeTable:
             self.spark.sql(f"DROP TABLE IF EXISTS {name}")
             shutil.rmtree(stage, ignore_errors=True)
 
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        with_colseq: bool = False,
+    ) -> DataFrame:
         """Change feed (Iceberg analog: changelog scan / CDC read): the
         logical row changes committed in ``(from_version, to_version]``,
         with a ``change_type`` column (insert / update / delete /
         tombstone). The engine is thus a CDC *emitter* as well as a sink —
         a downstream consumer tails the table incrementally instead of
         re-reading it.
+
+        ``with_colseq=True`` additionally exposes the hidden ``_colseq``
+        map on rows rewritten by copy-on-write merges over finalized
+        per-column state: such a row's payload mixes writer seqs (the row
+        seq is the full-image winner's; patched columns are newer), which
+        a row-image consumer CANNOT apply exactly without it — replication
+        decomposes these rows into a full image plus synthetic patch
+        events (streaming/replicate.py). Rows without per-column state
+        read the column as NULL.
 
         Zero extra bookkeeping: MERGE already writes each delta row's
         ``_action`` into the data files (invisible to normal reads), so the
@@ -612,9 +666,14 @@ class LakeTable:
             ]
             prev_files = cur_files
         schema = to_m.schema
-        read_schema = StructType(
-            list(schema.fields) + [StructField("_action", StringType(), True)]
-        )
+        extra = [StructField("_action", StringType(), True)]
+        if with_colseq:
+            from pyspark.sql.types import LongType, MapType
+
+            extra.append(
+                StructField("_colseq", MapType(StringType(), LongType()), True)
+            )
+        read_schema = StructType(list(schema.fields) + extra)
         if not paths:
             return self.spark.createDataFrame([], read_schema).withColumnRenamed(
                 "_action", "change_type"
@@ -899,12 +958,14 @@ class LakeTable:
         ]
 
         def _gseq(p: str) -> Column:
-            if not has_colseq:
-                return F.col("seq")
-            return F.when(is_patch, F.col("seq")).otherwise(
-                F.coalesce(F.element_at(F.col("_colseq"), F.lit(p)), F.col("seq"))
-            )
+            return per_column_writer_seq(p, is_patch=is_patch, has_colseq=has_colseq)
 
+        # Scan economics: the folded write reads the touched groups once in
+        # full; the orphan branch re-reads only patch-generation row groups
+        # (pushed _action='patch' predicate — base files' all-NULL stats
+        # skip), and full_keys is a key-columns-only pruned scan — so the
+        # extra passes cost row-group metadata plus the (small) patch rows,
+        # not another full-group read.
         agg = raw.groupBy(*key).agg(
             F.max(F.when(~is_patch, F.struct("seq", "deleted"))).alias("_b"),
             *[
@@ -917,21 +978,7 @@ class LakeTable:
                 for p in payload
             ],
         )
-        if payload:
-            entries = F.filter(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(p).alias("key"), F.col(f"_c_{p}.s").alias("value")
-                        )
-                        for p in payload
-                    ]
-                ),
-                lambda e: e["value"] > F.col("_b.seq"),
-            )
-            colseq = F.when(F.size(entries) > 0, F.map_from_entries(entries))
-        else:
-            colseq = F.lit(None).cast("map<string,bigint>")
+        colseq = colseq_map_expr(payload, F.col("_b.seq"))
         folded = (
             agg.where(F.col("_b").isNotNull())
             .select(

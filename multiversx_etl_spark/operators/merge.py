@@ -440,10 +440,13 @@ def merge_batch(
                 #    can be present here (cow is refused while
                 #    patch_deltas > 0 and change-side patches require mor),
                 #    so every input row is a full image.
+                from multiversx_etl_spark.lake.table import (
+                    colseq_map_expr,
+                    per_column_writer_seq,
+                )
+
                 def _gseq(p: str):
-                    return F.coalesce(
-                        F.element_at(F.col("_colseq"), F.lit(p)), F.col("seq")
-                    )
+                    return per_column_writer_seq(p, is_patch=None, has_colseq=True)
 
                 agg = (
                     repartition_for_write(
@@ -470,24 +473,7 @@ def merge_batch(
                         ],
                     )
                 )
-                if payload:
-                    entries = F.filter(
-                        F.array(
-                            *[
-                                F.struct(
-                                    F.lit(p).alias("key"),
-                                    F.col(f"_c_{p}.s").alias("value"),
-                                )
-                                for p in payload
-                            ]
-                        ),
-                        lambda e: e["value"] > F.col("_bw.seq"),
-                    )
-                    colseq = F.when(
-                        F.size(entries) > 0, F.map_from_entries(entries)
-                    )
-                else:
-                    colseq = F.lit(None).cast("map<string,bigint>")
+                colseq = colseq_map_expr(payload, F.col("_bw.seq"))
                 merged = agg.select(
                     *key,
                     F.struct(

@@ -24,22 +24,85 @@ from multiversx_etl_spark.operators.merge import MergeStats, merge_batch
 
 
 def reseed_replica(src: LakeTable, dst: LakeTable, stream_id: str = "replica") -> MergeStats:
-    """Re-seed a replica from an upstream snapshot read: bootstrap the full
-    state and record the (stream, upstream-version) marker ATOMICALLY with
-    the seed commit, so tailing resumes from exactly the version the seed
-    captured — no crash window between seed and marker."""
-    from multiversx_etl_spark.streaming.ingest import bootstrap_snapshot
+    """Re-seed a replica with an EXACT per-key state clone of the upstream
+    snapshot, recording the (stream, upstream-version) marker ATOMICALLY
+    with the seed commit so tailing resumes from exactly the version the
+    seed captured — no crash window between seed and marker.
+
+    Exact means the clone preserves the upstream's LWW algebra, not just
+    its visible rows: row seqs stay the FULL-image winners' (a visible
+    read lifts them to the newest per-column writer — a replica seeded
+    from that would carry events the source applies), per-column writer
+    seqs ride along as ``_colseq``, TOMBSTONES keep their seqs (a visible
+    seed drops them, so a late update below a deleted key's seq would
+    resurrect on the replica while staying dead upstream), and orphan
+    patch generations are cloned as generations. The clone is
+    ``_finalize_fold`` re-hashed into the replica's own bucket layout —
+    i.e. the same rewrite a compact does, just landing in another table."""
+    from pyspark.sql import Observation
+
+    from multiversx_etl_spark.lake.table import bucket_expr, repartition_for_write
+    from multiversx_etl_spark.operators.merge import evolve_schema
 
     cur = src.current_version()
-    n = bootstrap_snapshot(
-        dst,
-        src.read(version=cur),
-        seq_column="seq",
+    sm = src.snapshot(cur)
+    dm = dst.snapshot()
+    if list(sm.key_columns) != list(dm.key_columns):
+        raise ValueError(
+            f"replica key columns {dm.key_columns} != upstream {sm.key_columns}"
+        )
+    key = list(dm.key_columns)
+    folded, orphans = src._finalize_fold(sm, None, dm.num_buckets)
+
+    def _rehash(df):
+        return repartition_for_write(
+            df.drop("_bucket").withColumn(
+                "_bucket", bucket_expr(key, dm.num_buckets, dm.layout)
+            ),
+            dm.num_buckets,
+            key,
+            dm.layout,
+        )
+
+    evolved = evolve_schema(dm.schema, folded.drop("_colseq", "_bucket"), key)
+    tag = f"reseed-v{dm.version:08d}"
+    patch_files: list[dict] = []
+    n_orphans = 0
+    if int(sm.properties.get("patch_deltas", 0)) > 0:
+        patch_files = dst.write_data_files(
+            _rehash(orphans), f"{tag}-p", bucket_aligned=True, sort_columns=key
+        )
+        for f in patch_files:
+            f["base"] = False
+        n_orphans = sum(f["rows"] for f in patch_files)
+    obs = Observation(f"reseed-colseq-{dm.version}")
+    observed = _rehash(folded).observe(
+        obs, F.sum(F.when(F.col("_colseq").isNotNull(), 1).otherwise(0)).alias("n")
+    )
+    base_files = dst.write_data_files(
+        observed, tag, bucket_aligned=True, sort_columns=key
+    )
+    for f in base_files:
+        f["base"] = True
+    n_rows = sum(f["rows"] for f in base_files)
+    wrote_colseq = int(obs.get["n"] or 0) if n_rows else 0
+    dst.commit(
+        base_files + patch_files,
+        replaced_pids=set(range(dm.num_buckets)),
+        operation="bootstrap",  # full-state replacement: downstreams resync
         stream_id=stream_id,
         epoch_id=cur,
+        epoch_info={"reseed": True, "rows": n_rows},
+        schema=evolved,
+        expected_parent=dm.version,
+        properties={
+            "mor_appends": 1 if patch_files else 0,
+            "patch_deltas": n_orphans,
+            "colseq": 1 if wrote_colseq else 0,
+        },
         marker_mode="latest_only",
     )
-    return MergeStats(rows_in=n, rows_inserted=n, reseeded=True)
+    return MergeStats(rows_in=n_rows, rows_inserted=n_rows, reseeded=True)
 
 
 def replicate_changes(
@@ -65,7 +128,7 @@ def replicate_changes(
     if start >= cur:
         return None
     try:
-        feed = src.changes(start, cur)
+        feed = src.changes(start, cur, with_colseq=True)
     except ValueError:
         if not auto_reseed:
             raise
@@ -79,6 +142,31 @@ def replicate_changes(
         .when(F.col("change_type") == "patch", F.lit("patch"))
         .otherwise(F.lit("update")),
     ).drop("change_type", "deleted")
+    # Rows rewritten by a copy-on-write merge over finalized per-column
+    # state mix writer seqs: the row seq is the full-image winner's while
+    # _colseq-listed columns were written at HIGHER seqs. Applying such a
+    # row as one full image at the row seq would let a later event with a
+    # seq between the two overwrite a column the source keeps — so
+    # DECOMPOSE it into the full image plus one synthetic patch event per
+    # entry (same column value at its writer seq): the replica's own
+    # per-column fold then reproduces the source algebra exactly.
+    key = list(dst.snapshot().key_columns)
+    payload = [c for c in batch.columns if c not in key and c not in ("seq", "op", "_colseq")]
+    contested = batch.where(F.col("_colseq").isNotNull())
+    synth = contested.select(
+        *key,
+        F.explode(F.col("_colseq")).alias("_pc", "_ps"),
+        *payload,
+    ).select(
+        *key,
+        F.col("_ps").alias("seq"),
+        F.lit("patch").alias("op"),
+        *[
+            F.when(F.col("_pc") == p, F.col(p)).otherwise(F.lit(None)).alias(p)
+            for p in payload
+        ],
+    )
+    batch = batch.drop("_colseq").unionByName(synth)
     return merge_batch(
         dst,
         batch,

@@ -219,12 +219,13 @@ def test_patch_requires_mor(spark, patch_log, tmp_path):
     with pytest.raises(ValueError, match="compact"):
         replay(full_only, table, interval_size=600, mode="cow")
     table.compact()  # finalization absorbs contested patches into _colseq…
-    if int(table.snapshot().properties["patch_deltas"]) > 0:
-        # …but orphans (no full image yet) remain generations and still
-        # block cow; the explicit escape hatch clears them
-        with pytest.raises(ValueError, match="compact"):
-            replay(full_only, table, interval_size=600, mode="cow")
-        table.compact(drop_orphan_patches=True)
+    # …but orphans (no full image yet) remain generations and still block
+    # cow; the fixture log is guaranteed to contain some
+    assert orphan_patch_stats(patch_log)[0] > 0
+    assert int(table.snapshot().properties["patch_deltas"]) > 0
+    with pytest.raises(ValueError, match="compact"):
+        replay(full_only, table, interval_size=600, mode="cow")
+    table.compact(drop_orphan_patches=True)  # the explicit escape hatch
     # cow is legal again — and stays per-column exact over _colseq rows
     replay(full_only, table, interval_size=600, mode="cow")
 

@@ -117,3 +117,77 @@ def test_replicate_after_upstream_expiry_auto_reseeds(spark, tmp_path):
     assert _state(dst) == _state(src)
     # idempotent: up to date after
     assert replicate_changes(src, dst) is None
+
+
+def test_reseed_preserves_tombstone_seqs(spark, tmp_path):
+    """An auto-reseed is an EXACT state clone, not a visible-row export:
+    tombstones keep their seqs on the replica, so a late lower-seq update
+    arriving through the chain after the reseed stays dead downstream
+    exactly as it does upstream."""
+    src = _mk(spark, tmp_path, "src")
+    dst = _mk(spark, tmp_path, "dst")
+    merge_batch(src, _batch(spark, [(0, 5, "insert", "r", "a.py", "c", "py", "v5"),
+                                    (1, 1, "insert", "r", "b.py", "c", "py", "b1")]), "m", 0, 0, 2)
+    merge_batch(src, _batch(spark, [(2, 9, "delete", "r", "a.py", None, None, None)]), "m", 1, 2, 3)
+    src.expire_snapshots(keep_last=1)
+    s = replicate_changes(src, dst)  # forced reseed (delta beyond retention)
+    assert s is not None and s.reseeded
+    assert _state(dst) == _state(src)
+    # late lower-seq update for the DELETED key flows through the chain:
+    # both sides must keep it dead (a visible-row reseed would have lost
+    # the tombstone and resurrected it on the replica)
+    merge_batch(src, _batch(spark, [(3, 7, "update", "r", "a.py", "c", "py", "late")]), "m", 9, 3, 4)
+    s2 = replicate_changes(src, dst)
+    assert s2 is None or not s2.reseeded  # incremental (carry-only rounds commit no files)
+    assert _state(dst) == _state(src)
+    assert not any(k[1] == "a.py" for k in _state(dst))
+
+
+def test_reseed_preserves_colseq_state(spark, tmp_path):
+    """An auto-reseed clones per-column writer seqs: an event replicated
+    AFTER the reseed with a seq between a row's base and a patched
+    column's writer seq must fold identically on both sides (a visible
+    export lifts the row seq, making the replica carry events the source
+    applies)."""
+    src = _mk(spark, tmp_path, "src")
+    dst = _mk(spark, tmp_path, "dst")
+    merge_batch(src, _batch(spark, [(0, 2, "insert", "r", "a.py", "c2", "py", "v2"),
+                                    (1, 9, "patch", "r", "a.py", None, "go", None)]), "m", 0, 0, 2)
+    src.compact()  # finalize: base seq 2, _colseq {lang: 9}
+    src.expire_snapshots(keep_last=1)
+    s = replicate_changes(src, dst)
+    assert s is not None and s.reseeded
+    assert int(dst.snapshot().properties["colseq"]) == 1
+    # full image BETWEEN base(2) and the patched lang(9)
+    merge_batch(src, _batch(spark, [(2, 5, "update", "r", "a.py", "c5", "rust", "v5")]), "m", 1, 2, 3)
+    replicate_changes(src, dst)
+    want = {("r", "a.py", 9, "go", "v5", "c5")}
+    got_src = {(r["repo"], r["path"], r["seq"], r["lang"], r["content"], r["commit"])
+               for r in src.read().collect()}
+    got_dst = {(r["repo"], r["path"], r["seq"], r["lang"], r["content"], r["commit"])
+               for r in dst.read().collect()}
+    assert got_src == got_dst == want
+
+
+def test_replicate_cow_colseq_rows_decomposed(spark, tmp_path):
+    """Feed rows rewritten by a copy-on-write merge over finalized
+    per-column state mix writer seqs; replication must decompose them
+    (full image + synthetic patches) or the replica diverges on the next
+    in-between event."""
+    src = _mk(spark, tmp_path, "src")
+    dst = _mk(spark, tmp_path, "dst")
+    merge_batch(src, _batch(spark, [(0, 0, "insert", "r", "a.py", "c0", "py", "v0")]), "m", 0, 0, 1)
+    merge_batch(src, _batch(spark, [(1, 9, "patch", "r", "a.py", None, "go", None)]), "m", 1, 1, 2)
+    replicate_changes(src, dst)
+    src.compact()  # colseq row on src (compact commits don't enter the feed)
+    # cow rewrite at seq 4: the written row has seq 4 but lang written @9
+    merge_batch(src, _batch(spark, [(2, 4, "update", "r", "a.py", "c4", "hs", "v4")]), "m", 2, 2, 3, mode="cow")
+    replicate_changes(src, dst)
+    # the divergence trigger: a full image between 4 and 9
+    merge_batch(src, _batch(spark, [(3, 6, "update", "r", "a.py", "c6", "rust", "v6")]), "m", 3, 3, 4)
+    replicate_changes(src, dst)
+    got_src = {(r["repo"], r["path"], r["seq"], r["lang"], r["content"], r["commit"])
+               for r in src.read().collect()}
+    got_dst = {(r["repo"], r["path"], r["seq"], r["lang"], r["content"], r["commit"])
+               for r in dst.read().collect()}
+    assert got_src == got_dst == {("r", "a.py", 9, "go", "v6", "c6")}
