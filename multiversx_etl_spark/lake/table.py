@@ -946,8 +946,16 @@ class LakeTable:
         still picks them up. Both outputs carry ``_bucket`` under
         ``target_buckets``."""
         key = m.key_columns
+        # pinned to the manifest the caller resolved: compact/rebucket pass
+        # the current one, but reseed_replica captures a version FIRST and
+        # must fold exactly that state (a concurrent upstream commit between
+        # capture and plan execution must not leak into the seed)
         raw = self.read(
-            buckets=buckets, include_tombstones=True, raw=True, with_action=True
+            version=m.version,
+            buckets=buckets,
+            include_tombstones=True,
+            raw=True,
+            with_action=True,
         )
         is_patch = F.coalesce(F.col("_action") == "patch", F.lit(False))
         has_colseq = "_colseq" in raw.columns
@@ -1000,6 +1008,56 @@ class LakeTable:
         )
         return folded, orphans
 
+    def _write_finalized(
+        self,
+        folded: DataFrame,
+        orphans: DataFrame,
+        tag: str,
+        *,
+        write_orphans: bool,
+        sort_columns: list[str],
+        bucket_aligned: bool = False,
+    ) -> tuple[list[dict], int, int]:
+        """Write a ``_finalize_fold`` output pair into THIS table's
+        directory — the one recipe shared by compact, rebucket, and
+        replica reseed: orphan patch generations first (``base: false``),
+        then the folded base rows (``base: true``) with the number of
+        ``_colseq``-carrying rows observed in the same pass. Returns
+        ``(files, n_orphan_rows, n_colseq_rows)``; callers pre-shape the
+        dataframes (re-hash / repartition) and derive their own manifest
+        properties from the counts."""
+        from pyspark.sql import Observation
+
+        patch_files: list[dict] = []
+        n_orphans = 0
+        if write_orphans:
+            patch_files = self.write_data_files(
+                orphans,
+                f"{tag}-p",
+                bucket_aligned=bucket_aligned,
+                sort_columns=sort_columns,
+            )
+            for f in patch_files:
+                f["base"] = False
+            n_orphans = sum(f["rows"] for f in patch_files)
+        obs = Observation(f"{tag}-colseq")
+        folded = folded.observe(
+            obs,
+            F.sum(F.when(F.col("_colseq").isNotNull(), 1).otherwise(0)).alias("n"),
+        )
+        base_files = self.write_data_files(
+            folded, tag, bucket_aligned=bucket_aligned, sort_columns=sort_columns
+        )
+        for f in base_files:
+            f["base"] = True
+        # an all-orphan fold writes ZERO base rows: the write plan collapses
+        # to an empty scan with no tasks, no metrics row is ever observed,
+        # and Observation.get would trip a JVM assertion — gate on rows
+        wrote_colseq = (
+            int(obs.get["n"] or 0) if any(f["rows"] for f in base_files) else 0
+        )
+        return base_files + patch_files, n_orphans, wrote_colseq
+
     def compact(
         self,
         full: bool = False,
@@ -1050,43 +1108,26 @@ class LakeTable:
         patch_outstanding = int(m.properties.get("patch_deltas", 0)) > 0
         colseq_out = int(m.properties.get("colseq", 0)) > 0
         tag = f"compact-v{m.version:08d}"
-        patch_files: list[dict] = []
-        n_preserved = 0
-        wrote_colseq = 0
+        # base files come out key-sorted: partition-local sort (no extra
+        # shuffle), and parquet row-group min/max stats then let key
+        # lookups skip row groups — compaction doubles as clustering
         if patch_outstanding or colseq_out:
-            from pyspark.sql import Observation
-
             folded, orphans = self._finalize_fold(m, buckets, m.num_buckets)
-            if patch_outstanding and not drop_orphan_patches:
-                patch_files = self.write_data_files(
-                    orphans, f"{tag}-p", sort_columns=list(key)
-                )
-                for f in patch_files:
-                    f["base"] = False
-                n_preserved = sum(f["rows"] for f in patch_files)
-            obs = Observation(f"compact-colseq-{m.version}")
-            folded = folded.observe(
-                obs,
-                F.sum(
-                    F.when(F.col("_colseq").isNotNull(), 1).otherwise(0)
-                ).alias("n"),
+            files, n_preserved, wrote_colseq = self._write_finalized(
+                folded,
+                orphans,
+                tag,
+                write_orphans=patch_outstanding and not drop_orphan_patches,
+                sort_columns=list(key),
             )
         else:
             folded = self.read(buckets=buckets, include_tombstones=True).withColumn(
                 "_bucket", m.bucket_expr()
             )
-            obs = None
-        # base files come out key-sorted: partition-local sort (no extra
-        # shuffle), and parquet row-group min/max stats then let key
-        # lookups skip row groups — compaction doubles as clustering
-        new_files = self.write_data_files(folded, tag, sort_columns=list(key))
-        for f in new_files:
-            f["base"] = True
-        # an all-orphan fold writes ZERO base rows: the write plan collapses
-        # to an empty scan with no tasks, no metrics row is ever observed,
-        # and Observation.get would trip a JVM assertion — gate on rows
-        if obs is not None and any(f["rows"] for f in new_files):
-            wrote_colseq = int(obs.get["n"] or 0)
+            files = self.write_data_files(folded, tag, sort_columns=list(key))
+            for f in files:
+                f["base"] = True
+            n_preserved = wrote_colseq = 0
         # the colseq flag is STICKY across incremental rewrites: pid groups
         # not touched by this compaction may still hold _colseq rows from an
         # earlier finalize, so only a rewrite covering every file group can
@@ -1095,12 +1136,12 @@ class LakeTable:
         rewrote_all = delta_pids >= {f["pid"] for f in m.files}
         colseq_flag = 1 if (wrote_colseq or (colseq_out and not rewrote_all)) else 0
         return self.commit(
-            new_files + patch_files,
+            files,
             replaced_pids=delta_pids,
             operation="compact",
             expected_parent=m.version,
             properties={
-                "mor_appends": 1 if patch_files else 0,
+                "mor_appends": 1 if n_preserved else 0,
                 "patch_deltas": n_preserved,
                 "colseq": colseq_flag,
             },
@@ -1147,58 +1188,39 @@ class LakeTable:
         if new_buckets < 1:
             raise ValueError(f"new_buckets must be >= 1, got {new_buckets}")
         tag = f"rebucket-v{m.version:08d}"
-        patch_files: list[dict] = []
-        n_preserved = 0
-        wrote_colseq = 0
+        key = list(m.key_columns)
         patch_outstanding = int(m.properties.get("patch_deltas", 0)) > 0
         colseq_out = int(m.properties.get("colseq", 0)) > 0
         if patch_outstanding or colseq_out:
-            from pyspark.sql import Observation
-
             folded, orphans = self._finalize_fold(m, None, new_buckets)
-            if patch_outstanding and not drop_orphan_patches:
-                patch_files = self.write_data_files(
-                    repartition_for_write(
-                        orphans, new_buckets, m.key_columns, m.layout
-                    ),
-                    f"{tag}-p",
-                    bucket_aligned=True,
-                    sort_columns=list(m.key_columns),
-                )
-                for f in patch_files:
-                    f["base"] = False
-                n_preserved = sum(f["rows"] for f in patch_files)
-            obs = Observation(f"rebucket-colseq-{m.version}")
-            folded = folded.observe(
-                obs,
-                F.sum(
-                    F.when(F.col("_colseq").isNotNull(), 1).otherwise(0)
-                ).alias("n"),
+            files, n_preserved, wrote_colseq = self._write_finalized(
+                repartition_for_write(folded, new_buckets, key, m.layout),
+                repartition_for_write(orphans, new_buckets, key, m.layout),
+                tag,
+                write_orphans=patch_outstanding and not drop_orphan_patches,
+                sort_columns=key,
+                bucket_aligned=True,
             )
         else:
             folded = self.read(include_tombstones=True).withColumn(
-                "_bucket", bucket_expr(m.key_columns, new_buckets, m.layout)
+                "_bucket", bucket_expr(key, new_buckets, m.layout)
             )
-            obs = None
-        folded = repartition_for_write(folded, new_buckets, m.key_columns, m.layout)
-        new_files = self.write_data_files(
-            folded,
-            tag,
-            bucket_aligned=True,
-            sort_columns=list(m.key_columns),
-        )
-        for f in new_files:
-            f["base"] = True
-        # see compact(): an all-orphan fold observes no metrics row
-        if obs is not None and any(f["rows"] for f in new_files):
-            wrote_colseq = int(obs.get["n"] or 0)
+            files = self.write_data_files(
+                repartition_for_write(folded, new_buckets, key, m.layout),
+                tag,
+                bucket_aligned=True,
+                sort_columns=key,
+            )
+            for f in files:
+                f["base"] = True
+            n_preserved = wrote_colseq = 0
         return self.commit(
-            new_files + patch_files,
+            files,
             replaced_pids={f["pid"] for f in m.files},
             operation="rebucket",
             expected_parent=m.version,
             properties={
-                "mor_appends": 1 if patch_files else 0,
+                "mor_appends": 1 if n_preserved else 0,
                 "patch_deltas": n_preserved,
                 # rebucket rewrites the WHOLE table: the flag is exact here
                 "colseq": 1 if wrote_colseq else 0,

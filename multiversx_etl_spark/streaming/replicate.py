@@ -37,10 +37,12 @@ def reseed_replica(src: LakeTable, dst: LakeTable, stream_id: str = "replica") -
     seed drops them, so a late update below a deleted key's seq would
     resurrect on the replica while staying dead upstream), and orphan
     patch generations are cloned as generations. The clone is
-    ``_finalize_fold`` re-hashed into the replica's own bucket layout —
-    i.e. the same rewrite a compact does, just landing in another table."""
-    from pyspark.sql import Observation
-
+    ``_finalize_fold`` pinned to the captured version, conformed to the
+    replica's DECLARED column types (every other write path casts to the
+    target schema — a raw file copy would poison later reads on a replica
+    whose declared type differs), re-hashed into the replica's own bucket
+    layout, and written via the same recipe a compact uses
+    (``LakeTable._write_finalized``), just landing in another table."""
     from multiversx_etl_spark.lake.table import bucket_expr, repartition_for_write
     from multiversx_etl_spark.operators.merge import evolve_schema
 
@@ -53,10 +55,20 @@ def reseed_replica(src: LakeTable, dst: LakeTable, stream_id: str = "replica") -
         )
     key = list(dm.key_columns)
     folded, orphans = src._finalize_fold(sm, None, dm.num_buckets)
+    evolved = evolve_schema(dm.schema, folded.drop("_colseq", "_bucket"), key)
 
-    def _rehash(df):
+    def _conform(df):
+        cols = [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in evolved.fields
+        ]
+        extras = [F.col(c) for c in ("_colseq", "_action") if c in df.columns]
         return repartition_for_write(
-            df.drop("_bucket").withColumn(
+            df.select(*cols, *extras).withColumn(
                 "_bucket", bucket_expr(key, dm.num_buckets, dm.layout)
             ),
             dm.num_buckets,
@@ -64,30 +76,17 @@ def reseed_replica(src: LakeTable, dst: LakeTable, stream_id: str = "replica") -
             dm.layout,
         )
 
-    evolved = evolve_schema(dm.schema, folded.drop("_colseq", "_bucket"), key)
-    tag = f"reseed-v{dm.version:08d}"
-    patch_files: list[dict] = []
-    n_orphans = 0
-    if int(sm.properties.get("patch_deltas", 0)) > 0:
-        patch_files = dst.write_data_files(
-            _rehash(orphans), f"{tag}-p", bucket_aligned=True, sort_columns=key
-        )
-        for f in patch_files:
-            f["base"] = False
-        n_orphans = sum(f["rows"] for f in patch_files)
-    obs = Observation(f"reseed-colseq-{dm.version}")
-    observed = _rehash(folded).observe(
-        obs, F.sum(F.when(F.col("_colseq").isNotNull(), 1).otherwise(0)).alias("n")
+    files, n_orphans, wrote_colseq = dst._write_finalized(
+        _conform(folded),
+        _conform(orphans),
+        f"reseed-v{dm.version:08d}",
+        write_orphans=int(sm.properties.get("patch_deltas", 0)) > 0,
+        sort_columns=key,
+        bucket_aligned=True,
     )
-    base_files = dst.write_data_files(
-        observed, tag, bucket_aligned=True, sort_columns=key
-    )
-    for f in base_files:
-        f["base"] = True
-    n_rows = sum(f["rows"] for f in base_files)
-    wrote_colseq = int(obs.get["n"] or 0) if n_rows else 0
+    n_rows = sum(f["rows"] for f in files if f.get("base"))
     dst.commit(
-        base_files + patch_files,
+        files,
         replaced_pids=set(range(dm.num_buckets)),
         operation="bootstrap",  # full-state replacement: downstreams resync
         stream_id=stream_id,
@@ -96,7 +95,7 @@ def reseed_replica(src: LakeTable, dst: LakeTable, stream_id: str = "replica") -
         schema=evolved,
         expected_parent=dm.version,
         properties={
-            "mor_appends": 1 if patch_files else 0,
+            "mor_appends": 1 if n_orphans else 0,
             "patch_deltas": n_orphans,
             "colseq": 1 if wrote_colseq else 0,
         },
@@ -148,21 +147,27 @@ def replicate_changes(
     # row as one full image at the row seq would let a later event with a
     # seq between the two overwrite a column the source keeps — so
     # DECOMPOSE it into the full image plus one synthetic patch event per
-    # entry (same column value at its writer seq): the replica's own
-    # per-column fold then reproduces the source algebra exactly.
+    # DISTINCT writer seq, carrying every column mapped to that seq (one
+    # event per entry would put two same-seq columns into separate rows at
+    # the same (key, seq), and the merge's redelivery dedup keeps only one
+    # of them): the replica's own per-column fold then reproduces the
+    # source algebra exactly.
     key = list(dst.snapshot().key_columns)
     payload = [c for c in batch.columns if c not in key and c not in ("seq", "op", "_colseq")]
     contested = batch.where(F.col("_colseq").isNotNull())
     synth = contested.select(
         *key,
-        F.explode(F.col("_colseq")).alias("_pc", "_ps"),
+        F.explode(F.array_distinct(F.map_values(F.col("_colseq")))).alias("_ps"),
+        F.col("_colseq"),
         *payload,
     ).select(
         *key,
         F.col("_ps").alias("seq"),
         F.lit("patch").alias("op"),
         *[
-            F.when(F.col("_pc") == p, F.col(p)).otherwise(F.lit(None)).alias(p)
+            F.when(
+                F.element_at(F.col("_colseq"), F.lit(p)) == F.col("_ps"), F.col(p)
+            ).alias(p)
             for p in payload
         ],
     )

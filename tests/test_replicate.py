@@ -191,3 +191,71 @@ def test_replicate_cow_colseq_rows_decomposed(spark, tmp_path):
     got_dst = {(r["repo"], r["path"], r["seq"], r["lang"], r["content"], r["commit"])
                for r in dst.read().collect()}
     assert got_src == got_dst == {("r", "a.py", 9, "go", "v6", "c6")}
+
+
+def test_replicate_decomposition_same_seq_columns(spark, tmp_path):
+    """Two columns last written by the SAME patch seq ride ONE synthetic
+    patch event: one event per _colseq entry would put them into separate
+    rows at the same (key, seq), which the merge's redelivery dedup
+    collapses to one. Internally that drop is masked by history redundancy
+    (the feed also delivers the original patch, or a reseed clone carries
+    _colseq), so this test pins the end-to-end scenario rather than
+    distinguishing the shapes — the single-event form is what makes the
+    decomposed feed a STANDALONE-exact contract for external consumers."""
+    src = _mk(spark, tmp_path, "src")
+    dst = _mk(spark, tmp_path, "dst")
+    merge_batch(src, _batch(spark, [(0, 0, "insert", "r", "a.py", "c0", "py", "v0")]), "m", 0, 0, 1)
+    # ONE patch @9 writing BOTH lang and content
+    merge_batch(src, _batch(spark, [(1, 9, "patch", "r", "a.py", None, "go", "v9")]), "m", 1, 1, 2)
+    replicate_changes(src, dst)
+    src.compact()  # colseq {lang: 9, content: 9}
+    merge_batch(src, _batch(spark, [(2, 4, "update", "r", "a.py", "c4", "hs", "v4")]), "m", 2, 2, 3, mode="cow")
+    replicate_changes(src, dst)
+    # divergence trigger for EITHER column: a full image between 4 and 9
+    merge_batch(src, _batch(spark, [(3, 6, "update", "r", "a.py", "c6", "rust", "v6")]), "m", 3, 3, 4)
+    replicate_changes(src, dst)
+    got_src = {(r["repo"], r["path"], r["seq"], r["lang"], r["content"], r["commit"])
+               for r in src.read().collect()}
+    got_dst = {(r["repo"], r["path"], r["seq"], r["lang"], r["content"], r["commit"])
+               for r in dst.read().collect()}
+    assert got_src == got_dst == {("r", "a.py", 9, "go", "v9", "c6")}
+
+
+def test_reseed_casts_to_replica_declared_types(spark, tmp_path):
+    """The reseed conforms cloned rows to the REPLICA's declared column
+    types (like every other write path) — a raw file copy from an upstream
+    with a wider physical type would poison later replica reads."""
+    from pyspark.sql.types import BooleanType, LongType, StringType
+    from pyspark.sql.types import StructField, StructType
+
+    def _schema(size_type):
+        return StructType([
+            StructField("repo", StringType(), False),
+            StructField("path", StringType(), False),
+            StructField("size", size_type, True),
+            StructField("seq", LongType(), False),
+            StructField("deleted", BooleanType(), False),
+        ])
+
+    src_schema = _schema(LongType())
+    dst_schema = _schema(StringType())
+    src = LakeTable.create(spark, str(tmp_path / "src"), src_schema,
+                           key_columns=["repo", "path"], num_buckets=2)
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), dst_schema,
+                           key_columns=["repo", "path"], num_buckets=2)
+    b = spark.createDataFrame(
+        [(0, 7, "insert", "r", "a.py", 123)],
+        "offset long, seq long, op string, repo string, path string, size long",
+    )
+    merge_batch(src, b, "m", 0, 0, 1)
+    src.expire_snapshots(keep_last=1)
+    merge_batch(src, spark.createDataFrame(
+        [(1, 8, "insert", "r", "b.py", 456)],
+        "offset long, seq long, op string, repo string, path string, size long",
+    ), "m", 1, 1, 2)
+    src.expire_snapshots(keep_last=1)
+    s = replicate_changes(src, dst)  # forced reseed past retention
+    assert s is not None and s.reseeded
+    rows = {(r["path"], r["size"]) for r in dst.read().collect()}
+    assert rows == {("a.py", "123"), ("b.py", "456")}
+    assert dict(dst.read().dtypes)["size"] == "string"
