@@ -169,6 +169,18 @@ def main(argv: list[str] | None = None) -> int:
         "remaining patch debt after an exact finalize; clears the way for "
         "copy-on-write merges)",
     )
+    c.add_argument(
+        "--sort-columns", default=None,
+        help="comma-separated clustering for the rewrite (default: the key "
+        "columns); the columns join the table's stat_columns so every "
+        "write keeps recording their manifest zone maps",
+    )
+    c.add_argument(
+        "--max-records-per-file", type=int, default=None,
+        help="split each bucket's rewrite into files of at most this many "
+        "rows — with --sort-columns the slices are range-disjoint and "
+        "stats-pruned reads skip whole files at plan time",
+    )
 
     rbk = sub.add_parser(
         "rebucket",
@@ -681,6 +693,12 @@ def _dispatch(spark, args) -> int:
             full=args.full,
             preserve_patches=args.preserve_patches,
             drop_orphan_patches=args.drop_orphan_patches,
+            sort_columns=(
+                [c.strip() for c in args.sort_columns.split(",") if c.strip()]
+                if args.sort_columns
+                else None
+            ),
+            max_records_per_file=args.max_records_per_file,
         )
         print(json.dumps({"version": m.version, "files_before": before, "files_after": len(m.files)}))
         return 0

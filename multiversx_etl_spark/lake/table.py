@@ -276,14 +276,24 @@ class LakeTable:
         key_columns: list[str],
         num_buckets: int = 16,
         layout: str = "xxhash",
+        stat_columns: list[str] | None = None,
     ) -> "LakeTable":
         """Iceberg analog: CREATE TABLE ... PARTITIONED BY (bucket(B, key)).
 
         ``layout='spark'`` uses Spark's own Murmur3 bucket function so the
         table's files double as a Spark catalog BUCKETED table (pid ==
-        bucket), unlocking the zero-exchange MERGE fold — see bucket_expr."""
+        bucket), unlocking the zero-exchange MERGE fold — see bucket_expr.
+
+        ``stat_columns`` picks the columns whose per-file zone maps every
+        write records in the manifest (see ``write_data_files``). Default
+        (None) is the key columns; ``[]`` disables collection."""
         if layout not in ("xxhash", "spark"):
             raise ValueError(f"unknown bucket layout {layout!r}")
+        if stat_columns is not None:
+            known = set(schema.fieldNames())
+            bad = [c for c in stat_columns if c not in known]
+            if bad:
+                raise ValueError(f"stat_columns not in schema: {bad}")
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         table = cls(spark, root)
         manifest = Manifest(
@@ -293,6 +303,9 @@ class LakeTable:
             key_columns=list(key_columns),
             committed_at=time.time(),
             layout=layout,
+            properties=(
+                {} if stat_columns is None else {"stat_columns": list(stat_columns)}
+            ),
         )
         table._write_manifest(manifest)
         return table
@@ -371,6 +384,7 @@ class LakeTable:
         include_tombstones: bool = False,
         raw: bool = False,
         with_action: bool = False,
+        prune_stats: dict[str, tuple[Any, Any]] | None = None,
     ) -> DataFrame:
         """Read a snapshot (optionally bucket-pruned / time-travelled).
 
@@ -394,6 +408,28 @@ class LakeTable:
         also carry the hidden ``_colseq`` map (column name -> writer seq
         for columns last written by a patch NEWER than the row's
         full-image seq — see ``_finalize_fold``).
+
+        ``prune_stats`` maps columns to inclusive ``(lo, hi)`` bounds
+        (either side None = unbounded). The EXACT predicate is always
+        applied to the visible rows, so results are identical with or
+        without pruning; the bounds additionally skip whole files via the
+        manifest zone maps wherever that is provably sound under
+        merge-on-read:
+
+        - key columns prune on both sides always (the fold groups by key,
+          so a file with no key in range contributes nothing to keys in
+          range);
+        - with NO fold debt outstanding, every column prunes on both sides
+          (one visible row per physical row) — except ``seq`` on a
+          finalized table, whose visible value is lifted by ``_colseq``;
+        - ``seq`` under plain full-image MOR debt prunes on the LOWER
+          bound only: the per-key winner is the max-seq row, so files
+          whose max seq < lo hold only shadowed or filtered-out rows
+          (upper-bound pruning would drop shadowing newer rows and
+          resurrect stale values — never done).
+
+        Raw reads reject ``prune_stats``: their contract is every physical
+        row.
         """
         from pyspark.sql.types import LongType, MapType, StringType, StructField
 
@@ -402,6 +438,29 @@ class LakeTable:
         schema = m.schema
         patch_outstanding = int(m.properties.get("patch_deltas", 0)) > 0
         colseq_out = int(m.properties.get("colseq", 0)) > 0
+        if prune_stats:
+            if raw:
+                raise ValueError("prune_stats is not supported on raw reads")
+            unknown = [c for c in prune_stats if c not in schema.fieldNames()]
+            if unknown:
+                raise ValueError(f"prune_stats columns not in schema: {unknown}")
+            mor_out = int(m.properties.get("mor_appends", 0)) > 0
+            debt = patch_outstanding or mor_out
+            sides: dict[str, tuple[bool, bool]] = {}
+            for col in prune_stats:
+                if col in m.key_columns:
+                    sides[col] = (True, True)
+                elif not debt:
+                    sides[col] = (False, False) if (col == "seq" and colseq_out) else (True, True)
+                elif col == "seq" and not patch_outstanding and not colseq_out:
+                    sides[col] = (True, False)
+                else:
+                    sides[col] = (False, False)
+            files = [
+                f
+                for f in files
+                if not self._zone_map_prunes(f.get("stats"), prune_stats, sides)
+            ]
         read_action = with_action or patch_outstanding
         extra_fields: list[StructField] = []
         if read_action:
@@ -528,9 +587,45 @@ class LakeTable:
                 # fold ran (consumers must not see fold state in the schema)
                 .select(*[f.name for f in schema.fields])
             )
+        if prune_stats:
+            # the exact predicate, applied to the VISIBLE rows — results
+            # are bound-identical whether or not any file was pruned
+            for col, (lo, hi) in prune_stats.items():
+                if lo is not None:
+                    df = df.where(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(col) <= F.lit(hi))
         if not include_tombstones and "deleted" in df.columns:
             df = df.where(~F.col("deleted"))
         return df
+
+    @staticmethod
+    def _zone_map_prunes(
+        stats: dict[str, list[Any]] | None,
+        bounds: dict[str, tuple[Any, Any]],
+        sides: dict[str, tuple[bool, bool]],
+    ) -> bool:
+        """True when a file's zone map proves it holds NO row matching the
+        bounds, restricted to the sides ``read`` established as sound for
+        each column. Missing stats (old manifests, unsupported types) and
+        incomparable bound types keep the file — pruning is only ever an
+        over-approximation of the matching file set."""
+        if not stats:
+            return False
+        for col, (lo, hi) in bounds.items():
+            rng = stats.get(col)
+            if not rng:
+                continue
+            lo_ok, hi_ok = sides[col]
+            fmin, fmax = rng
+            try:
+                if lo_ok and lo is not None and fmax < lo:
+                    return True
+                if hi_ok and hi is not None and fmin > hi:
+                    return True
+            except TypeError:
+                continue
+        return False
 
     @contextlib.contextmanager
     def staged_bucketed_target(
@@ -712,7 +807,16 @@ class LakeTable:
             )
             bucket = int(row.select(m.bucket_expr().alias("b")).collect()[0]["b"])
             _BUCKET_CACHE[cache_key] = bucket
-        df = self.read(buckets={int(bucket)})
+        # zone-map assist: a key equality is the degenerate range (v, v) —
+        # files whose manifest key stats exclude v are never even listed
+        # in the scan (on a compacted, key-sorted table the probe reads
+        # one file's one row group instead of the bucket's file group)
+        prune = {
+            k: (key[k], key[k])
+            for k in m.key_columns
+            if isinstance(key[k], (str, int, float))
+        }
+        df = self.read(buckets={int(bucket)}, prune_stats=prune or None)
         for k in m.key_columns:
             df = df.where(F.col(k) == key[k])
         return df
@@ -737,6 +841,75 @@ class LakeTable:
 
     # ---------- write ----------
 
+    @staticmethod
+    def _stat_scalar(v: Any) -> Any:
+        """Normalize a parquet footer statistic to a JSON-storable scalar
+        whose Python ordering matches Spark's column ordering — int/float/
+        bool directly, UTF-8 strings (Python compares code points, UTF-8
+        bytes preserve code-point order, and parquet string stats are
+        UTF8-ordered, so the three orders agree). Anything else (decimal,
+        timestamp, binary that is not UTF-8) returns None: the column just
+        records no zone map, which disables pruning, never correctness."""
+        if isinstance(v, bool) or isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            import math
+
+            return None if math.isnan(v) else v
+        if isinstance(v, str):
+            return v
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        return None
+
+    @classmethod
+    def _file_column_stats(cls, pf, cols: list[str]) -> dict[str, list[Any]]:
+        """Per-file zone map: ``{col: [min, max]}`` aggregated over the
+        footer's row-group statistics (the footer object is already in hand
+        from the row-count read — collection is pure metadata access, no
+        data bytes). A column drops out entirely when ANY row group lacks
+        usable stats (except all-NULL groups, which bound nothing but can
+        never match a range predicate either) — absent stats mean "never
+        prune", so the map is always a sound over-approximation. Top-level
+        scalar columns only: nested leaves have dotted paths that won't
+        match, and range predicates on them aren't file-prunable anyway."""
+        md = pf.metadata
+        if md.num_row_groups == 0 or not cols:
+            return {}
+        rg0 = md.row_group(0)
+        leaf = {rg0.column(i).path_in_schema: i for i in range(rg0.num_columns)}
+        out: dict[str, list[Any]] = {}
+        for col in cols:
+            i = leaf.get(col)
+            if i is None:
+                continue
+            lo = hi = None
+            usable = True
+            for rg in range(md.num_row_groups):
+                c = md.row_group(rg).column(i)
+                st = c.statistics
+                if st is None:
+                    usable = False
+                    break
+                if not st.has_min_max:
+                    if st.null_count == c.num_values:
+                        continue  # all-NULL group: bounds nothing, matches nothing
+                    usable = False
+                    break
+                mn = cls._stat_scalar(st.min)
+                mx = cls._stat_scalar(st.max)
+                if mn is None or mx is None:
+                    usable = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if usable and lo is not None:
+                out[col] = [lo, hi]
+        return out
+
     def write_data_files(
         self,
         df: DataFrame,
@@ -744,6 +917,8 @@ class LakeTable:
         bucket_aligned: bool = False,
         keep_bucket: bool = False,
         sort_columns: list[str] | None = None,
+        max_records_per_file: int | None = None,
+        stat_columns: list[str] | None = None,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (which must carry a ``_bucket`` column) under
         ``data/<commit_tag>/`` as ONE plain parquet file per shuffle
@@ -764,10 +939,30 @@ class LakeTable:
         (no extra shuffle — a partition-local sort): parquet row-group
         min/max statistics then make key point-lookups skip row groups, the
         clustering/data-skipping half of Iceberg's sorted rewrite.
+
+        ``max_records_per_file`` splits each partition's output into files
+        of at most that many rows; combined with ``sort_columns`` each file
+        covers a consecutive slice of the sort order, so the manifest zone
+        maps (below) become range-disjoint and file-level pruning bites.
+
+        Every file's manifest entry records a zone map (``stats``: per-
+        column min/max) for the table's stat columns — the manifest
+        property ``stat_columns``, defaulting to the key columns — plus any
+        ``stat_columns`` passed here. Collected from the parquet footer
+        already opened for the row count, so it costs no extra I/O;
+        ``read(prune_stats=...)`` then skips whole files at plan time
+        without touching any footer (Iceberg analog: per-file column
+        metrics in the manifest driving scan planning — at 10^6 files the
+        planner must not open 10^6 footers).
         """
         import pyarrow.parquet as pq
 
         m = self.snapshot()
+        stat_cols = m.properties.get("stat_columns")
+        stat_cols = list(m.key_columns) if stat_cols is None else list(stat_cols)
+        for extra in stat_columns or []:
+            if extra not in stat_cols:
+                stat_cols.append(extra)
         out_dir = os.path.join(self.root, "data", commit_tag)
         if not bucket_aligned:
             df = repartition_for_write(df, m.num_buckets, m.key_columns, m.layout)
@@ -775,7 +970,10 @@ class LakeTable:
             df = df.drop("_bucket")
         if sort_columns:
             df = df.sortWithinPartitions(*sort_columns)
-        df.write.mode("overwrite").parquet(out_dir)
+        writer = df.write.mode("overwrite")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.parquet(out_dir)
         entries: list[dict[str, Any]] = []
         for fname in sorted(os.listdir(out_dir)):
             if not fname.endswith(".parquet"):
@@ -802,7 +1000,11 @@ class LakeTable:
                 # footer's _bucket min/max (already in hand) makes the
                 # invariant airtight at ~zero cost.
                 self._assert_bucket_purity(pf, path, pid)
-            entries.append({"path": path, "pid": pid, "rows": n_rows})
+            entry: dict[str, Any] = {"path": path, "pid": pid, "rows": n_rows}
+            stats = self._file_column_stats(pf, stat_cols)
+            if stats:
+                entry["stats"] = stats
+            entries.append(entry)
         return entries
 
     @staticmethod
@@ -1017,6 +1219,8 @@ class LakeTable:
         write_orphans: bool,
         sort_columns: list[str],
         bucket_aligned: bool = False,
+        max_records_per_file: int | None = None,
+        stat_columns: list[str] | None = None,
     ) -> tuple[list[dict], int, int]:
         """Write a ``_finalize_fold`` output pair into THIS table's
         directory — the one recipe shared by compact, rebucket, and
@@ -1036,6 +1240,8 @@ class LakeTable:
                 f"{tag}-p",
                 bucket_aligned=bucket_aligned,
                 sort_columns=sort_columns,
+                max_records_per_file=max_records_per_file,
+                stat_columns=stat_columns,
             )
             for f in patch_files:
                 f["base"] = False
@@ -1046,7 +1252,12 @@ class LakeTable:
             F.sum(F.when(F.col("_colseq").isNotNull(), 1).otherwise(0)).alias("n"),
         )
         base_files = self.write_data_files(
-            folded, tag, bucket_aligned=bucket_aligned, sort_columns=sort_columns
+            folded,
+            tag,
+            bucket_aligned=bucket_aligned,
+            sort_columns=sort_columns,
+            max_records_per_file=max_records_per_file,
+            stat_columns=stat_columns,
         )
         for f in base_files:
             f["base"] = True
@@ -1063,6 +1274,8 @@ class LakeTable:
         full: bool = False,
         preserve_patches: bool = False,
         drop_orphan_patches: bool = False,
+        sort_columns: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> Manifest:
         """Fold outstanding merge-on-read deltas into base files (tombstones
         retained — a late lower-seq update must never resurrect a deleted
@@ -1092,9 +1305,26 @@ class LakeTable:
         the only remaining patch debt, and clearing it re-legalizes
         copy-on-write merges). ``preserve_patches`` is retained for
         compatibility: the exactness it used to buy is now unconditional,
-        so it is an alias for the default behavior."""
+        so it is an alias for the default behavior.
+
+        ``sort_columns`` declares the table's CLUSTERING (Iceberg analog:
+        ``ALTER TABLE ... WRITE ORDERED BY`` + a sorted rewrite). Default is
+        the key columns (point-lookup clustering); passing e.g. a timestamp
+        column instead clusters each bucket's rewrite by time, and with
+        ``max_records_per_file`` the bucket splits into range-disjoint
+        files whose manifest zone maps make ``read(prune_stats=...)``
+        time-range scans skip whole files at plan time. The sort columns
+        join the table's persistent ``stat_columns`` so every later write
+        keeps recording their zone maps. Incremental compaction clusters
+        only the rewritten file groups — pass ``full=True`` to re-cluster
+        the whole table."""
         del preserve_patches  # superseded: finalization is always exact now
         m = self.snapshot()
+        if sort_columns:
+            known = set(m.schema.fieldNames())
+            bad = [c for c in sort_columns if c not in known]
+            if bad:
+                raise ValueError(f"sort_columns not in schema: {bad}")
         delta_pids = {f["pid"] for f in m.files if not f.get("base", False)}
         if full:
             delta_pids = {f["pid"] for f in m.files}
@@ -1108,9 +1338,13 @@ class LakeTable:
         patch_outstanding = int(m.properties.get("patch_deltas", 0)) > 0
         colseq_out = int(m.properties.get("colseq", 0)) > 0
         tag = f"compact-v{m.version:08d}"
-        # base files come out key-sorted: partition-local sort (no extra
-        # shuffle), and parquet row-group min/max stats then let key
-        # lookups skip row groups — compaction doubles as clustering
+        sort = list(sort_columns) if sort_columns else list(key)
+        # sort columns beyond the key become persistent stat columns so the
+        # clustering keeps earning zone maps on every subsequent write
+        extra_stats = [c for c in sort if c not in key]
+        # base files come out sorted: partition-local sort (no extra
+        # shuffle), and parquet row-group min/max stats then let the sort
+        # columns skip row groups — compaction doubles as clustering
         if patch_outstanding or colseq_out:
             folded, orphans = self._finalize_fold(m, buckets, m.num_buckets)
             files, n_preserved, wrote_colseq = self._write_finalized(
@@ -1118,13 +1352,21 @@ class LakeTable:
                 orphans,
                 tag,
                 write_orphans=patch_outstanding and not drop_orphan_patches,
-                sort_columns=list(key),
+                sort_columns=sort,
+                max_records_per_file=max_records_per_file,
+                stat_columns=extra_stats,
             )
         else:
             folded = self.read(buckets=buckets, include_tombstones=True).withColumn(
                 "_bucket", m.bucket_expr()
             )
-            files = self.write_data_files(folded, tag, sort_columns=list(key))
+            files = self.write_data_files(
+                folded,
+                tag,
+                sort_columns=sort,
+                max_records_per_file=max_records_per_file,
+                stat_columns=extra_stats,
+            )
             for f in files:
                 f["base"] = True
             n_preserved = wrote_colseq = 0
@@ -1135,16 +1377,21 @@ class LakeTable:
         # never correctness.
         rewrote_all = delta_pids >= {f["pid"] for f in m.files}
         colseq_flag = 1 if (wrote_colseq or (colseq_out and not rewrote_all)) else 0
+        props: dict[str, Any] = {
+            "mor_appends": 1 if n_preserved else 0,
+            "patch_deltas": n_preserved,
+            "colseq": colseq_flag,
+        }
+        if extra_stats:
+            cur = m.properties.get("stat_columns")
+            cur = list(key) if cur is None else list(cur)
+            props["stat_columns"] = cur + [c for c in extra_stats if c not in cur]
         return self.commit(
             files,
             replaced_pids=delta_pids,
             operation="compact",
             expected_parent=m.version,
-            properties={
-                "mor_appends": 1 if n_preserved else 0,
-                "patch_deltas": n_preserved,
-                "colseq": colseq_flag,
-            },
+            properties=props,
         )
 
     def rebucket(
@@ -1264,14 +1511,15 @@ class LakeTable:
             # fresh or gc_orphan_files' min_age guard cannot protect this
             # not-yet-committed promotion from a concurrent GC run
             os.utime(dst)
-            new_files.append(
-                {
-                    "path": os.path.join("data", tag, name),
-                    "pid": f["pid"],
-                    "rows": f["rows"],
-                    "base": f.get("base", False),
-                }
-            )
+            entry = {
+                "path": os.path.join("data", tag, name),
+                "pid": f["pid"],
+                "rows": f["rows"],
+                "base": f.get("base", False),
+            }
+            if "stats" in f:
+                entry["stats"] = f["stats"]
+            new_files.append(entry)
         return self.commit(
             new_files,
             replaced_pids=set(range(cur.num_buckets)),
