@@ -910,6 +910,23 @@ class LakeTable:
                 out[col] = [lo, hi]
         return out
 
+    @staticmethod
+    def _resolved_stat_columns(
+        m: Manifest, extras: list[str] | None = None
+    ) -> list[str]:
+        """The columns whose zone maps a write against snapshot ``m``
+        records: the ``stat_columns`` manifest property (default: the key
+        columns) plus ``extras``, deduped in order. The ONE resolution
+        rule — both the file writer and the property compact persists go
+        through it, so the recorded stats and the declared set can't
+        drift."""
+        cols = m.properties.get("stat_columns")
+        cols = list(m.key_columns) if cols is None else list(cols)
+        for c in extras or []:
+            if c not in cols:
+                cols.append(c)
+        return cols
+
     def write_data_files(
         self,
         df: DataFrame,
@@ -958,11 +975,7 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         m = self.snapshot()
-        stat_cols = m.properties.get("stat_columns")
-        stat_cols = list(m.key_columns) if stat_cols is None else list(stat_cols)
-        for extra in stat_columns or []:
-            if extra not in stat_cols:
-                stat_cols.append(extra)
+        stat_cols = self._resolved_stat_columns(m, stat_columns)
         out_dir = os.path.join(self.root, "data", commit_tag)
         if not bucket_aligned:
             df = repartition_for_write(df, m.num_buckets, m.key_columns, m.layout)
@@ -1383,9 +1396,7 @@ class LakeTable:
             "colseq": colseq_flag,
         }
         if extra_stats:
-            cur = m.properties.get("stat_columns")
-            cur = list(key) if cur is None else list(cur)
-            props["stat_columns"] = cur + [c for c in extra_stats if c not in cur]
+            props["stat_columns"] = self._resolved_stat_columns(m, extra_stats)
         return self.commit(
             files,
             replaced_pids=delta_pids,
@@ -1530,6 +1541,14 @@ class LakeTable:
                 "mor_appends": int(src.properties.get("mor_appends", 0)),
                 "patch_deltas": int(src.properties.get("patch_deltas", 0)),
                 "colseq": int(src.properties.get("colseq", 0)),
+                # the promoted files' zone maps were recorded under the
+                # STAGING table's stat policy — carry it, or post-promote
+                # writes silently stop recording the non-default columns
+                **(
+                    {"stat_columns": list(src.properties["stat_columns"])}
+                    if "stat_columns" in src.properties
+                    else {}
+                ),
             },
         )
 

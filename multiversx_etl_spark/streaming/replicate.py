@@ -42,7 +42,12 @@ def reseed_replica(src: LakeTable, dst: LakeTable, stream_id: str = "replica") -
     target schema — a raw file copy would poison later reads on a replica
     whose declared type differs), re-hashed into the replica's own bucket
     layout, and written via the same recipe a compact uses
-    (``LakeTable._write_finalized``), just landing in another table."""
+    (``LakeTable._write_finalized``), just landing in another table.
+
+    The replica keeps its OWN ``stat_columns`` policy (like its own
+    ``num_buckets``/``layout`` — physical knobs are per-table): the seed's
+    zone maps are recorded under the replica's declared stat set, not the
+    upstream's."""
     from multiversx_etl_spark.lake.table import bucket_expr, repartition_for_write
     from multiversx_etl_spark.operators.merge import evolve_schema
 

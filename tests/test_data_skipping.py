@@ -195,11 +195,17 @@ def test_compact_cli_clustering_flags(spark, skip_log, tmp_path):
 
 def test_promotion_carries_zone_maps(spark, skip_log, tmp_path):
     log = spark.read.parquet(skip_log)
-    staging = _mktable(spark, tmp_path / "staging")
+    staging = _mktable(
+        spark, tmp_path / "staging", stat_columns=["repo", "path", "seq"]
+    )
     replay(log, staging, interval_size=1000)
     main = _mktable(spark, tmp_path / "main")
     main.promote_from(staging)
-    assert all(f.get("stats") for f in main.snapshot().files)
+    m = main.snapshot()
+    assert all(f.get("stats") for f in m.files)
+    # the stat POLICY carries too — post-promote writes keep recording
+    # the staging table's non-default columns
+    assert m.properties["stat_columns"] == ["repo", "path", "seq"]
     bounds = (0, 400)
     assert _rows(main.read(prune_stats={"seq": bounds})) == _rows(
         staging.read().where(F.col("seq").between(*bounds))
