@@ -215,6 +215,16 @@ def main(argv: list[str] | None = None) -> int:
         help="discard patches whose key has no full image yet (the only "
         "patch debt a cron-driven maintain cannot otherwise clear)",
     )
+    mt.add_argument(
+        "--sort-columns", default=None,
+        help="clustering for the compaction half of the pass (see "
+        "`compact --sort-columns`)",
+    )
+    mt.add_argument(
+        "--max-records-per-file", type=int, default=None,
+        help="file-slice size for the compaction half of the pass (see "
+        "`compact --max-records-per-file`)",
+    )
 
     ex = sub.add_parser(
         "expire",
@@ -720,6 +730,12 @@ def _dispatch(spark, args) -> int:
         m = table.compact(
             preserve_patches=args.preserve_patches,
             drop_orphan_patches=args.drop_orphan_patches,
+            sort_columns=(
+                [c.strip() for c in args.sort_columns.split(",") if c.strip()]
+                if args.sort_columns
+                else None
+            ),
+            max_records_per_file=args.max_records_per_file,
         )
         expired = table.expire_snapshots(keep_last=args.keep_last)
         gc = table.gc_orphan_files(min_age_seconds=args.min_age)

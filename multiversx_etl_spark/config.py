@@ -107,6 +107,13 @@ class WorkerConfig:
     #: The TransformSpec still resolves by table name (transformers are
     #: code, schemas are data — the reference's split).
     schema_folder: str | None = None
+    #: zone-map stat columns for NEW tables (lake/table.py
+    #: write_data_files): per-file min/max recorded in the manifest for
+    #: these columns on every write, driving read(prune_stats=...) file
+    #: skipping. None = the key columns; [] disables. Like num_buckets /
+    #: layout, a physical knob fixed at CREATE — an existing table keeps
+    #: its own policy (extend it via `compact --sort-columns`).
+    stat_columns: list[str] | None = None
 
     def erratum_for(self, table: str) -> int:
         """Accepted signed drift for a table (reference
@@ -147,7 +154,7 @@ _KNOWN = {
     "interval_size", "num_buckets", "mode", "compact_every",
     "compact_preserve_patches", "max_files_per_trigger", "trigger_interval",
     "fail_on_counts_mismatch", "counts_checks_errata", "layout", "fold",
-    "processing", "schema_folder",
+    "processing", "schema_folder", "stat_columns",
 }
 
 
@@ -217,6 +224,11 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
         raise ConfigError(
             "counts_checks_errata must be an object of signed integers"
         )
+    if cfg.stat_columns is not None and (
+        not isinstance(cfg.stat_columns, list)
+        or not all(isinstance(c, str) for c in cfg.stat_columns)
+    ):
+        raise ConfigError("stat_columns must be a list of column names")
     from multiversx_etl_spark.operators.normalize import REGISTRY
     from multiversx_etl_spark.schemas import TABLES
 
@@ -426,6 +438,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
         spark, cfg.table_root, num_buckets=cfg.num_buckets,
         schema=target_schema, key_columns=key_columns,
         layout=_resolved_layout(cfg, key_columns),
+        stat_columns=cfg.stat_columns,
     )
     if cfg.processing == "mutable":
         # the reference's mutable-index iteration: TRUNCATE + full reload

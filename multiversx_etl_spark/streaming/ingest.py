@@ -68,9 +68,12 @@ def ensure_table(
     schema=None,
     key_columns: list[str] | None = None,
     layout: str = "xxhash",
+    stat_columns: list[str] | None = None,
 ) -> LakeTable:
     """Open-or-create. ``schema``/``key_columns`` default to the ``repos``
-    table; other declared tables pass theirs (schemas.TABLES)."""
+    table; other declared tables pass theirs (schemas.TABLES). Physical
+    knobs (``num_buckets``/``layout``/``stat_columns``) apply to NEW
+    tables only — an existing table keeps its own."""
     if LakeTable.exists(root):
         return LakeTable(spark, root)
     return LakeTable.create(
@@ -80,6 +83,7 @@ def ensure_table(
         key_columns=key_columns or ["repo", "path"],
         num_buckets=num_buckets,
         layout=layout,
+        stat_columns=stat_columns,
     )
 
 

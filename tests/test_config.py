@@ -678,3 +678,35 @@ def test_thread_pool_first_failure_stops_and_reraises(spark, tmp_path):
     })
     with pytest.raises(CountsMismatchError):
         run_from_config(spark, cfg)
+
+
+def test_stat_columns_through_config(spark, tmp_path):
+    """The zone-map stat policy rides the worker-config surface: a NEW
+    table adopts the configured columns and every configured replay
+    records their per-file min/max."""
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_parquet,
+    )
+
+    with pytest.raises(ConfigError, match="stat_columns"):
+        worker_config_from_dict(
+            {"table_root": "/t", "log_path": "/l", "stat_columns": "seq"}
+        )
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_change_log(spark, 400, num_repos=5, paths_per_repo=10),
+        log_path, files=2,
+    )
+    cfg = worker_config_from_dict({
+        "table_root": str(tmp_path / "t"),
+        "log_path": log_path,
+        "interval_size": 200,
+        "num_buckets": 4,
+        "stat_columns": ["repo", "path", "seq"],
+    })
+    assert run_from_config(spark, cfg)["reconcile_ok"]
+    m = LakeTable(spark, str(tmp_path / "t")).snapshot()
+    assert m.properties["stat_columns"] == ["repo", "path", "seq"]
+    assert all("seq" in f.get("stats", {}) for f in m.files)

@@ -191,6 +191,21 @@ def test_compact_cli_clustering_flags(spark, skip_log, tmp_path):
     pruned = table.read(prune_stats={"seq": bounds})
     assert _rows(pruned) == _rows(table.read().where(F.col("seq").between(*bounds)))
     assert len(pruned.inputFiles()) < len(m.files)
+    # the cron-able `maintain` pass takes the same clustering flags; with
+    # nothing outstanding its compact half is a no-op and the flags must
+    # still parse and report cleanly
+    run = subprocess.run(
+        [
+            sys.executable, "-m", "multiversx_etl_spark", "--master", "local[2]",
+            "maintain", str(tmp_path / "t"),
+            "--sort-columns", "seq", "--max-records-per-file", "40",
+        ],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "PYTHONPATH": REPO}, cwd=REPO,
+    )
+    assert run.returncode == 0, run.stderr[-3000:]
+    out2 = json.loads(run.stdout.strip().splitlines()[-1])
+    assert out2["version"] == m.version  # no deltas: compact half no-ops
 
 
 def test_promotion_carries_zone_maps(spark, skip_log, tmp_path):
