@@ -208,6 +208,25 @@ def test_compact_cli_clustering_flags(spark, skip_log, tmp_path):
     assert out2["version"] == m.version  # no deltas: compact half no-ops
 
 
+def test_rebucket_rerecords_zone_maps(spark, skip_log, tmp_path):
+    """Layout evolution keeps the stat policy: a rebucket after a
+    clustered compact rewrites every file WITH zone maps for the
+    persisted stat set, and pruned reads stay exact under the new
+    layout."""
+    log = spark.read.parquet(skip_log)
+    table = _mktable(spark, tmp_path / "t")
+    replay(log, table, interval_size=500, mode="mor")
+    table.compact(full=True, sort_columns=["seq"], max_records_per_file=40)
+    table.rebucket(16)
+    m = table.snapshot()
+    assert m.num_buckets == 16
+    assert "seq" in (m.properties.get("stat_columns") or [])
+    assert all("seq" in f.get("stats", {}) for f in m.files)
+    bounds = (300, 700)
+    pruned = table.read(prune_stats={"seq": bounds})
+    assert _rows(pruned) == _rows(table.read().where(F.col("seq").between(*bounds)))
+
+
 def test_promotion_carries_zone_maps(spark, skip_log, tmp_path):
     log = spark.read.parquet(skip_log)
     staging = _mktable(
