@@ -226,6 +226,57 @@ def main(argv: list[str] | None = None) -> int:
         "`compact --max-records-per-file`)",
     )
 
+    us = sub.add_parser(
+        "update-schema",
+        help="apply an edited BQ-JSON schema file to a live table as a "
+        "metadata-only commit (additive/widening only) — the reference's "
+        "`bq update <table> schema/<index>.json` maintenance flow",
+    )
+    us.add_argument("table")
+    us.add_argument(
+        "--schema-file",
+        default=None,
+        help="path to one BQ JSON schema file (array of field objects); "
+        "the TransformSpec resolves from --index or the filename stem",
+    )
+    us.add_argument(
+        "--index",
+        default=None,
+        help="catalog index name; without --schema-file/--schema-folder the "
+        "packaged catalog schema applies",
+    )
+    us.add_argument(
+        "--schema-folder",
+        default=None,
+        help="resolve {folder}/{index}.json (the worker-config "
+        "schema_folder convention) instead of the packaged catalog",
+    )
+    us.add_argument(
+        "--description",
+        default=None,
+        help="table description stored as a manifest property (the "
+        "`bq update --description` twin)",
+    )
+
+    scl = sub.add_parser(
+        "set-clustering",
+        help="declare the durable clustering spec future compact/maintain "
+        "passes apply by default — the reference's `bq update "
+        "--clustering_fields` flow; follow with `compact --full` to "
+        "re-cluster existing rows",
+    )
+    scl.add_argument("table")
+    scl.add_argument(
+        "--sort-columns",
+        default=None,
+        help="comma-separated clustering columns (required unless --clear)",
+    )
+    scl.add_argument("--max-records-per-file", type=int, default=None)
+    scl.add_argument(
+        "--clear", action="store_true",
+        help="drop the declared spec (back to key-column clustering)",
+    )
+
     ex = sub.add_parser(
         "expire",
         help="drop manifests older than the newest N versions and GC data "
@@ -748,6 +799,55 @@ def _dispatch(spark, args) -> int:
         }))
         return 0
 
+    if args.cmd == "update-schema":
+        from multiversx_etl_spark.catalog import (
+            catalog_tables,
+            load_table_from_file,
+            load_table_from_folder,
+        )
+        from multiversx_etl_spark.sources.bq_schema import schema_added_paths
+
+        if args.schema_file:
+            ct = load_table_from_file(args.schema_file, name=args.index)
+        elif args.index and args.schema_folder:
+            ct = load_table_from_folder(args.schema_folder, args.index)
+        elif args.index:
+            ct = catalog_tables()[args.index]
+        else:
+            print("update-schema needs --schema-file or --index", file=sys.stderr)
+            return 2
+        table = LakeTable(spark, args.table)
+        old = table.snapshot()
+        m = table.update_schema(ct.target_schema, description=args.description)
+        print(json.dumps({
+            "version": m.version,
+            "changed": m.version != old.version,
+            "added": schema_added_paths(old.schema, m.schema),
+            "description": m.properties.get("description"),
+        }))
+        return 0
+
+    if args.cmd == "set-clustering":
+        if args.clear == bool(args.sort_columns):
+            print("set-clustering needs exactly one of --sort-columns / --clear",
+                  file=sys.stderr)
+            return 2
+        cols = (
+            []
+            if args.clear
+            else [c.strip() for c in args.sort_columns.split(",") if c.strip()]
+        )
+        table = LakeTable(spark, args.table)
+        m = table.set_clustering(cols, max_records_per_file=args.max_records_per_file)
+        print(json.dumps({
+            "version": m.version,
+            "clustering_sort_columns": m.properties.get("clustering_sort_columns", []),
+            "clustering_max_records_per_file": int(
+                m.properties.get("clustering_max_records_per_file", 0)
+            ) or None,
+        }))
+        return 0
+
     if args.cmd == "expire":
         table = LakeTable(spark, args.table)
         out = table.expire_snapshots(keep_last=args.keep_last)
@@ -781,6 +881,20 @@ def _dispatch(spark, args) -> int:
                     "operation": m.operation,
                     "files": len(m.files),
                     "buckets": m.num_buckets,
+                    "description": m.properties.get("description"),
+                    "clustering": (
+                        {
+                            "sort_columns": m.properties["clustering_sort_columns"],
+                            "max_records_per_file": int(
+                                m.properties.get(
+                                    "clustering_max_records_per_file", 0
+                                )
+                            )
+                            or None,
+                        }
+                        if m.properties.get("clustering_sort_columns")
+                        else None
+                    ),
                     "streams": {
                         k: {
                             "last_epoch": v.get("last_epoch"),

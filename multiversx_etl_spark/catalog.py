@@ -215,6 +215,23 @@ def load_table_from_folder(folder: str, name: str) -> CatalogTable:
     return _load_one(name, payload)
 
 
+def load_table_from_file(path: str, name: str | None = None) -> CatalogTable:
+    """Resolve a declared table from ONE schema file — the shape of the
+    reference's maintenance pushes, which name a file directly (``bq update
+    <table> schema/<index>.json``, maintenance/schemas.md:13-28). ``name``
+    picks the TransformSpec (default: the filename stem, exactly how the
+    folder/catalog paths resolve it)."""
+    import os
+
+    if name is None:
+        name = os.path.basename(path)
+        if name.endswith(".json"):
+            name = name[: -len(".json")]
+    with open(path) as fh:
+        payload = struct_type_from_bq_json(json.load(fh))
+    return _load_one(name, payload)
+
+
 def catalog_table_names() -> list[str]:
     root = _resources.files("multiversx_etl_spark").joinpath("bq_schemas")
     return sorted(

@@ -1351,7 +1351,15 @@ class LakeTable:
         patch_outstanding = int(m.properties.get("patch_deltas", 0)) > 0
         colseq_out = int(m.properties.get("colseq", 0)) > 0
         tag = f"compact-v{m.version:08d}"
-        sort = list(sort_columns) if sort_columns else list(key)
+        # explicit args win; else the table's declared clustering
+        # (set_clustering — the bq `--clustering_fields` analog); else the
+        # key columns (point-lookup clustering)
+        declared = [c for c in m.properties.get("clustering_sort_columns", []) if c]
+        sort = list(sort_columns) if sort_columns else (declared or list(key))
+        if max_records_per_file is None:
+            max_records_per_file = (
+                int(m.properties.get("clustering_max_records_per_file", 0)) or None
+            )
         # sort columns beyond the key become persistent stat columns so the
         # clustering keeps earning zone maps on every subsequent write
         extra_stats = [c for c in sort if c not in key]
@@ -1401,6 +1409,109 @@ class LakeTable:
             files,
             replaced_pids=delta_pids,
             operation="compact",
+            expected_parent=m.version,
+            properties=props,
+        )
+
+    def update_schema(
+        self,
+        new_schema: StructType,
+        description: str | None = None,
+    ) -> Manifest:
+        """Apply an edited declared schema to the LIVE table as a
+        metadata-only atomic commit — the reference's out-of-band ``bq
+        update <table> schema/<index>.json`` maintenance flow
+        (maintenance/schemas.md:13-28), where an operator pushes a widened
+        schema file onto a serving table without any data flowing.
+
+        The new schema must WIDEN the current one (``merge_widening``):
+        added nullable fields — top-level or nested arbitrarily deep —
+        and REQUIRED→NULLABLE relaxations commit; removals and type
+        changes raise. The commit carries the SAME file list: existing
+        files read the added fields as NULL immediately (top-level and
+        nested — Spark's parquet reader fills missing fields by name),
+        and the next MERGE/normalizer can start populating them. Added
+        top-level names must not collide with engine bookkeeping
+        (underscore-prefixed, or the log-only ``offset``/``op``).
+
+        ``description`` persists as a manifest property (the reference's
+        ``bq update --description`` twin, same maintenance doc).
+        Idempotent: re-pushing the already-live schema with no new
+        description returns the current snapshot without a commit."""
+        from multiversx_etl_spark.sources.bq_schema import (
+            merge_widening,
+            schema_added_paths,
+        )
+
+        m = self.snapshot()
+        merged = merge_widening(m.schema, new_schema)
+        reserved = [
+            p
+            for p in schema_added_paths(m.schema, merged)
+            if "." not in p and (p.startswith("_") or p in ("offset", "op"))
+        ]
+        if reserved:
+            raise ValueError(
+                f"schema update adds reserved top-level columns {reserved}: "
+                "underscore-prefixed names and the log bookkeeping columns "
+                "(offset, op) are engine-internal"
+            )
+        props = {"description": description} if description is not None else None
+        if merged.jsonValue() == m.schema.jsonValue() and (
+            props is None or m.properties.get("description") == description
+        ):
+            return m  # no-op push: cron-safe, no empty commit
+        return self.commit(
+            [],
+            replaced_pids=set(),
+            operation="update-schema",
+            schema=merged,
+            expected_parent=m.version,
+            properties=props,
+        )
+
+    def set_clustering(
+        self,
+        sort_columns: list[str],
+        max_records_per_file: int | None = None,
+    ) -> Manifest:
+        """Declare the table's DURABLE clustering spec — the reference's
+        ``bq update --clustering_fields=...`` maintenance flow
+        (maintenance/clustering.md:5-21): after this commit, every
+        ``compact``/``maintain`` invoked WITHOUT explicit ``sort_columns``
+        clusters rewrites by these columns (and slices files at
+        ``max_records_per_file``), so a cron-driven ``maintain`` keeps the
+        declared layout without re-passing flags. The clustering.md
+        "cluster all existing rows" rewrite is ``compact(full=True)``.
+
+        Non-key sort columns immediately join the persistent
+        ``stat_columns`` policy, so writes landing BETWEEN this commit and
+        the next compaction already record their zone maps. An empty
+        ``sort_columns`` clears the spec (back to key-column clustering).
+        Metadata-only, optimistic-concurrency commit like
+        ``update_schema``."""
+        m = self.snapshot()
+        known = set(m.schema.fieldNames())
+        bad = [c for c in sort_columns if c not in known]
+        if bad:
+            raise ValueError(f"sort_columns not in schema: {bad}")
+        if max_records_per_file is not None and max_records_per_file < 1:
+            raise ValueError(
+                f"max_records_per_file must be >= 1, got {max_records_per_file}"
+            )
+        props: dict[str, Any] = {
+            "clustering_sort_columns": list(sort_columns),
+            # properties merge over the parent's, so clearing uses the
+            # falsy sentinel the compact-side resolution treats as absent
+            "clustering_max_records_per_file": int(max_records_per_file or 0),
+        }
+        extra_stats = [c for c in sort_columns if c not in m.key_columns]
+        if extra_stats:
+            props["stat_columns"] = self._resolved_stat_columns(m, extra_stats)
+        return self.commit(
+            [],
+            replaced_pids=set(),
+            operation="set-clustering",
             expected_parent=m.version,
             properties=props,
         )
@@ -1547,6 +1658,22 @@ class LakeTable:
                 **(
                     {"stat_columns": list(src.properties["stat_columns"])}
                     if "stat_columns" in src.properties
+                    else {}
+                ),
+                # likewise the declared clustering (set_clustering): the
+                # promoted files were laid out under the STAGING spec, and
+                # post-promote maintenance should keep that layout
+                # (description is NOT carried — it names the main table)
+                **(
+                    {
+                        "clustering_sort_columns": list(
+                            src.properties["clustering_sort_columns"]
+                        ),
+                        "clustering_max_records_per_file": int(
+                            src.properties.get("clustering_max_records_per_file", 0)
+                        ),
+                    }
+                    if src.properties.get("clustering_sort_columns")
                     else {}
                 ),
             },

@@ -123,6 +123,128 @@ def drop_schema_field(schema: StructType, path: list[str]) -> StructType:
     return descend(schema, path)  # type: ignore[return-value]
 
 
+def _deep_nullable(dt: DataType) -> DataType:
+    """Deep-nullable copy: columns added out-of-band have no values in any
+    existing file, so they (and everything inside them) must read as NULL."""
+    from pyspark.sql.types import MapType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [StructField(f.name, _deep_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_deep_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(dt.keyType, _deep_nullable(dt.valueType), True)
+    return dt
+
+
+def merge_widening(old: StructType, new: StructType) -> StructType:
+    """Widened union of two schemas — the validation half of the reference's
+    out-of-band ``bq update <table> schema/<index>.json`` maintenance flow
+    (maintenance/schemas.md:13-28), which BigQuery accepts only when the
+    pushed schema is ADDITIVE (new nullable fields, anywhere in the nesting)
+    or RELAXING (REQUIRED → NULLABLE). Anything else raises with the
+    offending dotted path:
+
+    - a field the table has but ``new`` lacks (removals are not expressible
+      against immutable data files — drop it from NEW data with a normalizer
+      instead),
+    - a changed leaf type or a changed kind (struct vs array vs scalar).
+
+    Field order: ``old``'s fields first (existing readers see a stable
+    column order), new fields appended at each nesting level, deep-nullable
+    (existing files read them as NULL). Nullability widens monotonically —
+    once nullable, always nullable — so a ``new`` that tightens NULLABLE →
+    REQUIRED is silently kept nullable rather than rejected: lake files
+    already hold rows predating the tightening."""
+    from pyspark.sql.types import MapType
+
+    def merge_type(old_dt: DataType, new_dt: DataType, path: str) -> DataType:
+        if isinstance(old_dt, StructType) and isinstance(new_dt, StructType):
+            return merge_struct(old_dt, new_dt, path)
+        if isinstance(old_dt, ArrayType) and isinstance(new_dt, ArrayType):
+            return ArrayType(
+                merge_type(old_dt.elementType, new_dt.elementType, path + "[]"),
+                old_dt.containsNull or new_dt.containsNull,
+            )
+        if isinstance(old_dt, MapType) and isinstance(new_dt, MapType):
+            if old_dt.keyType != new_dt.keyType:
+                raise ValueError(
+                    f"schema update changes map key type at {path!r}: "
+                    f"{old_dt.keyType.simpleString()} -> "
+                    f"{new_dt.keyType.simpleString()}"
+                )
+            return MapType(
+                old_dt.keyType,
+                merge_type(old_dt.valueType, new_dt.valueType, path + "{}"),
+                old_dt.valueContainsNull or new_dt.valueContainsNull,
+            )
+        if old_dt != new_dt:
+            raise ValueError(
+                f"schema update changes the type at {path!r}: "
+                f"{old_dt.simpleString()} -> {new_dt.simpleString()} "
+                "(type changes cannot be applied over immutable data files)"
+            )
+        return old_dt
+
+    def merge_struct(o: StructType, n: StructType, path: str) -> StructType:
+        prefix = path + "." if path else ""
+        new_by_name = {f.name: f for f in n.fields}
+        out: list[StructField] = []
+        for f in o.fields:
+            nf = new_by_name.get(f.name)
+            if nf is None:
+                raise ValueError(
+                    f"schema update drops {prefix + f.name!r} — removals are "
+                    "not supported (existing files keep the column; strip it "
+                    "from new data with a normalizer drop instead)"
+                )
+            out.append(
+                StructField(
+                    f.name,
+                    merge_type(f.dataType, nf.dataType, prefix + f.name),
+                    f.nullable or nf.nullable,
+                )
+            )
+        old_names = {f.name for f in o.fields}
+        for f in n.fields:
+            if f.name not in old_names:
+                out.append(StructField(f.name, _deep_nullable(f.dataType), True))
+        return StructType(out)
+
+    return merge_struct(old, new, "")
+
+
+def schema_added_paths(old: StructType, new: StructType) -> list[str]:
+    """Dotted paths of fields present in ``new`` but not ``old``, descending
+    struct / array<struct> / map-value levels — the delta an out-of-band
+    schema push reports (and tests assert on)."""
+    from pyspark.sql.types import MapType
+
+    out: list[str] = []
+
+    def walk(o: DataType, n: DataType, path: str) -> None:
+        if isinstance(o, ArrayType) and isinstance(n, ArrayType):
+            walk(o.elementType, n.elementType, path)
+            return
+        if isinstance(o, MapType) and isinstance(n, MapType):
+            walk(o.valueType, n.valueType, path)
+            return
+        if not (isinstance(o, StructType) and isinstance(n, StructType)):
+            return
+        old_by_name = {f.name: f for f in o.fields}
+        prefix = path + "." if path else ""
+        for f in n.fields:
+            if f.name not in old_by_name:
+                out.append(prefix + f.name)
+            else:
+                walk(old_by_name[f.name].dataType, f.dataType, prefix + f.name)
+
+    walk(old, new, "")
+    return out
+
+
 def schema_has_path(schema: StructType, path: list[str]) -> bool:
     """True when ``path`` resolves in ``schema`` under the same descent
     rules as :func:`drop_schema_field` (structs and array<struct> levels).
