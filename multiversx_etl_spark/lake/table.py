@@ -706,9 +706,13 @@ class LakeTable:
         Zero extra bookkeeping: MERGE already writes each delta row's
         ``_action`` into the data files (invisible to normal reads), so the
         feed is just the files added by merge commits in the range, with
-        carries filtered (cow rewrites carry untouched rows). ``compact``
-        commits reorganize bytes but change nothing logically and are
-        skipped; ``bootstrap``/``promote``/``rollback`` REPLACE state
+        carries filtered (cow rewrites carry untouched rows). ``compact``/
+        ``rebucket`` commits reorganize bytes and ``update-schema``/
+        ``set-clustering`` commits change only metadata — nothing logical
+        either way, so all four are skipped (the feed projects
+        ``to_version``'s schema, so a mid-range widening reads older delta
+        files with the added columns as NULL);
+        ``bootstrap``/``promote``/``rollback`` REPLACE state
         wholesale and cannot be expressed as a row delta — the range
         raises and the consumer re-syncs from a snapshot (the same
         contract Iceberg's changelog scan has for overwrites)."""
@@ -745,9 +749,14 @@ class LakeTable:
                     "gone — re-sync from a snapshot read instead"
                 ) from None
             cur_files = {f["path"] for f in m.files}
-            if m.operation in ("compact", "rebucket"):
+            if m.operation in ("compact", "rebucket", "update-schema", "set-clustering"):
+                # compact/rebucket reorganize bytes; update-schema/
+                # set-clustering change only metadata — no logical row
+                # change either way (a mid-range widening still reads
+                # correctly: the feed projects to_version's schema, so
+                # pre-widening delta files fill the added columns as NULL)
                 prev_files = cur_files
-                continue  # physical reorganization, no logical change
+                continue
             if not m.operation.startswith("merge"):
                 raise ValueError(
                     f"version {v} is a '{m.operation}' commit (full state "

@@ -259,3 +259,43 @@ def test_reseed_casts_to_replica_declared_types(spark, tmp_path):
     rows = {(r["path"], r["size"]) for r in dst.read().collect()}
     assert rows == {("a.py", "123"), ("b.py", "456")}
     assert dict(dst.read().dtypes)["size"] == "string"
+
+
+def test_replicate_across_out_of_band_schema_push(spark, tmp_path):
+    """An upstream `update_schema` (metadata-only widening) must be a
+    logical no-op in the change feed — replication keeps flowing without a
+    reseed, and the widened column reaches the replica with the first data
+    that populates it."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = _mk(spark, tmp_path, "src")
+    dst = _mk(spark, tmp_path, "dst")
+    merge_batch(src, _batch(spark, [
+        (0, 1, "insert", "r", "a.py", "c", "py", "v1"),
+    ]), "m", 0, 0, 1)
+    assert replicate_changes(src, dst) is not None
+
+    widened = StructType(list(REPOS.fields) + [StructField("stars", LongType(), True)])
+    src.update_schema(widened, description="widened out of band")
+    src.set_clustering(["seq"])
+    # both metadata-only commits sit in the feed range: no raise, no reseed,
+    # zero rows moved
+    s = replicate_changes(src, dst)
+    assert s is not None and s.rows_in == 0 and not s.reseeded
+
+    # first upstream data with the new column flows into the replica
+    b = spark.createDataFrame(
+        [(1, 2, "update", "r", "a.py", "c", "py", "v2", 9)],
+        "offset long, seq long, op string, repo string, path string, "
+        "commit string, lang string, content string, stars long",
+    )
+    merge_batch(src, b, "m", 1, 1, 2)
+    s2 = replicate_changes(src, dst)
+    assert s2 is not None and s2.rows_in == 1 and not s2.reseeded
+    rows = {
+        (r["repo"], r["path"], r["seq"], r["content"], r["stars"])
+        for r in dst.read().collect()
+    }
+    assert rows == {("r", "a.py", 2, "v2", 9)}
+    assert src.read().exceptAll(dst.read()).count() == 0
+    assert dst.read().exceptAll(src.read()).count() == 0

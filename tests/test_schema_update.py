@@ -392,3 +392,33 @@ def test_promotion_carries_clustering(spark, tmp_path):
     assert m.properties["description"] == "Main serving table."
     # post-promote flagless maintenance keeps the staging layout
     assert all("seq" in f.get("stats", {}) for f in m.files if f["rows"])
+
+
+def test_changes_feed_spans_metadata_commits(spark, tmp_path):
+    """update-schema / set-clustering commits are logical no-ops in the CDC
+    change feed: a range spanning them neither raises nor emits rows, and
+    the feed projects the WIDENED (to_version) schema so pre-push delta
+    files read the added column as NULL."""
+    table = _build_repos_table(spark, tmp_path, n=100)
+    v0 = table.current_version()
+    widened = StructType(list(REPOS.fields) + [StructField("stars", LongType(), True)])
+    table.update_schema(widened)
+    table.set_clustering(["seq"])
+    feed = table.changes(v0)
+    assert feed.count() == 0 and "stars" in feed.columns
+
+    from multiversx_etl_spark.operators.merge import merge_batch
+
+    batch = spark.createDataFrame(
+        [(10_000, 10_000, "upsert", "r-new", "p-new", "c", "py", "body", None, 5)],
+        StructType(list(CHANGE_EVENTS.fields) + [StructField("stars", LongType(), True)]),
+    )
+    merge_batch(table, batch, "aux", 0)
+    # a range REACHING BACK over the metadata commits sees old (NULL-stars)
+    # and new (populated) delta rows under one widened schema
+    span = table.changes(v0 - 1)
+    rows = {(r["repo"], r["path"], r["stars"]) for r in span.collect()}
+    assert ("r-new", "p-new", 5) in rows
+    assert len(rows) > 1 and all(
+        s is None for (rp, _, s) in rows if rp != "r-new"
+    )
