@@ -114,6 +114,19 @@ class WorkerConfig:
     #: layout, a physical knob fixed at CREATE — an existing table keeps
     #: its own policy (extend it via `compact --sort-columns`).
     stat_columns: list[str] | None = None
+    #: table description, applied each run as an idempotent metadata-only
+    #: schema push (LakeTable.update_schema — the reference's ``bq update
+    #: --description`` maintenance flow run from config instead of a shell
+    #: script, maintenance/schemas.md). Setting it also re-pushes the
+    #: DECLARED schema, so an edited schema file widens the live table at
+    #: run START (out-of-band) instead of waiting for the first MERGE —
+    #: and a schema file that went NARROWER than the table fails loudly.
+    description: str | None = None
+    #: durable clustering spec, applied each run via the idempotent
+    #: LakeTable.set_clustering (the ``bq update --clustering_fields``
+    #: analog): ``{"sort_columns": [...], "max_records_per_file": N?}`` —
+    #: flagless maintenance keeps this layout from then on.
+    clustering: dict[str, Any] | None = None
 
     def erratum_for(self, table: str) -> int:
         """Accepted signed drift for a table (reference
@@ -154,7 +167,8 @@ _KNOWN = {
     "interval_size", "num_buckets", "mode", "compact_every",
     "compact_preserve_patches", "max_files_per_trigger", "trigger_interval",
     "fail_on_counts_mismatch", "counts_checks_errata", "layout", "fold",
-    "processing", "schema_folder", "stat_columns",
+    "processing", "schema_folder", "stat_columns", "description",
+    "clustering",
 }
 
 
@@ -229,6 +243,25 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
         or not all(isinstance(c, str) for c in cfg.stat_columns)
     ):
         raise ConfigError("stat_columns must be a list of column names")
+    if cfg.description is not None and not isinstance(cfg.description, str):
+        raise ConfigError("description must be a string")
+    if cfg.clustering is not None:
+        if not isinstance(cfg.clustering, dict) or set(cfg.clustering) - {
+            "sort_columns",
+            "max_records_per_file",
+        }:
+            raise ConfigError(
+                "clustering must be an object with sort_columns "
+                "(+ optional max_records_per_file)"
+            )
+        sc = cfg.clustering.get("sort_columns")
+        if not isinstance(sc, list) or not all(isinstance(c, str) for c in sc):
+            raise ConfigError("clustering.sort_columns must be a list of column names")
+        mrpf = cfg.clustering.get("max_records_per_file")
+        if mrpf is not None and (not isinstance(mrpf, int) or mrpf < 1):
+            raise ConfigError(
+                "clustering.max_records_per_file must be a positive integer"
+            )
     from multiversx_etl_spark.operators.normalize import REGISTRY
     from multiversx_etl_spark.schemas import TABLES
 
@@ -286,6 +319,22 @@ def _resolve_table(cfg: WorkerConfig):
         return cat.log_schema, cat.target_schema, list(cat.key_columns), normalizer
     log_schema, target_schema, key_columns = TABLES[cfg.schema]
     return log_schema, target_schema, key_columns, REGISTRY[cfg.normalizer]
+
+
+def _apply_table_metadata(table, cfg: WorkerConfig, target_schema) -> None:
+    """Config-declared table metadata, applied at run start through the
+    idempotent out-of-band maintenance commits: ``description`` pushes the
+    declared schema + description (so an edited schema file widens the
+    live table BEFORE any data flows — or fails loudly if it narrowed),
+    ``clustering`` declares the durable sort/slice spec. Re-running an
+    unchanged config commits nothing."""
+    if cfg.description is not None:
+        table.update_schema(target_schema, description=cfg.description)
+    if cfg.clustering is not None:
+        table.set_clustering(
+            list(cfg.clustering["sort_columns"]),
+            max_records_per_file=cfg.clustering.get("max_records_per_file"),
+        )
 
 
 def _resolved_layout(cfg: WorkerConfig, key_columns) -> str:
@@ -440,6 +489,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
         layout=_resolved_layout(cfg, key_columns),
         stat_columns=cfg.stat_columns,
     )
+    _apply_table_metadata(table, cfg, target_schema)
     if cfg.processing == "mutable":
         # the reference's mutable-index iteration: TRUNCATE + full reload
         # (app_controller.py:55-71). One bootstrap-snapshot commit replaces
@@ -628,6 +678,7 @@ def stream_with_config_reload(
             schema=target_schema, key_columns=key_columns,
             layout=_resolved_layout(cfg, key_columns),
         )
+        _apply_table_metadata(table, cfg, target_schema)
         applied.append(
             {
                 "max_files_per_trigger": cfg.max_files_per_trigger,

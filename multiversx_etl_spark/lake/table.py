@@ -1517,6 +1517,8 @@ class LakeTable:
         extra_stats = [c for c in sort_columns if c not in m.key_columns]
         if extra_stats:
             props["stat_columns"] = self._resolved_stat_columns(m, extra_stats)
+        if all(m.properties.get(k) == v for k, v in props.items()):
+            return m  # re-declaring the live spec: cron-safe, no empty commit
         return self.commit(
             [],
             replaced_pids=set(),

@@ -710,3 +710,66 @@ def test_stat_columns_through_config(spark, tmp_path):
     m = LakeTable(spark, str(tmp_path / "t")).snapshot()
     assert m.properties["stat_columns"] == ["repo", "path", "seq"]
     assert all("seq" in f.get("stats", {}) for f in m.files)
+
+
+def test_description_and_clustering_through_config(spark, tmp_path):
+    """Config-declared table metadata (the reference's out-of-band
+    `bq update` flows as config keys): description + clustering apply at
+    run start through the idempotent metadata commits — re-running an
+    unchanged config adds NO versions, and flagless maintenance keeps the
+    declared layout."""
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_parquet,
+    )
+
+    with pytest.raises(ConfigError, match="description must be a string"):
+        worker_config_from_dict(
+            {"table_root": "/t", "log_path": "/l", "description": 7}
+        )
+    with pytest.raises(ConfigError, match="clustering"):
+        worker_config_from_dict(
+            {"table_root": "/t", "log_path": "/l", "clustering": {"sort": ["x"]}}
+        )
+    with pytest.raises(ConfigError, match="max_records_per_file"):
+        worker_config_from_dict({
+            "table_root": "/t", "log_path": "/l",
+            "clustering": {"sort_columns": ["seq"], "max_records_per_file": 0},
+        })
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_change_log(spark, 400, num_repos=5, paths_per_repo=10),
+        log_path, files=2,
+    )
+    cfg = worker_config_from_dict({
+        "table_root": str(tmp_path / "t"),
+        "log_path": log_path,
+        "interval_size": 200,
+        "num_buckets": 4,
+        "description": "Source files of repositories.",
+        "clustering": {"sort_columns": ["seq"], "max_records_per_file": 10},
+    })
+    s1 = run_from_config(spark, cfg)
+    assert s1["reconcile_ok"]
+    table = LakeTable(spark, str(tmp_path / "t"))
+    m = table.snapshot()
+    assert m.properties["description"] == "Source files of repositories."
+    assert m.properties["clustering_sort_columns"] == ["seq"]
+    assert m.properties["clustering_max_records_per_file"] == 10
+    assert "seq" in m.properties["stat_columns"]
+
+    # unchanged config reruns add NO metadata versions (both ops no-op)
+    v1 = table.current_version()
+    s2 = run_from_config(spark, cfg)
+    assert s2["epochs_run"] == 0 and s2["reconcile_ok"]
+    assert table.current_version() == v1
+
+    # flagless maintenance honors the config-declared layout: vs an
+    # explicit unsliced rewrite, the declared 10-row slices multiply files
+    base = len(table.compact(full=True, sort_columns=["repo", "path"],
+                             max_records_per_file=10_000).files)
+    m2 = table.compact(full=True)
+    assert len(m2.files) > base
+    assert all("seq" in f.get("stats", {}) for f in m2.files)
