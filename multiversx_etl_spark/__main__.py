@@ -809,6 +809,25 @@ def _dispatch(spark, args) -> int:
 
         if args.schema_file:
             ct = load_table_from_file(args.schema_file, name=args.index)
+            if args.index is None:
+                # a renamed copy of a catalog schema (blocks_v2.json) would
+                # silently bind the IDENTITY spec and push the transformer's
+                # dropped fields (reserved, pubKeyBitmap...) onto the live
+                # table FOREVER (widenings can't be removed) — make the
+                # fallback loud so the operator binds the spec explicitly
+                import os as _os
+
+                from multiversx_etl_spark.catalog import SPECS, catalog_table_names
+
+                stem = _os.path.basename(args.schema_file)
+                stem = stem[:-5] if stem.endswith(".json") else stem
+                if stem not in SPECS and stem not in catalog_table_names():
+                    print(
+                        f"note: no TransformSpec or catalog entry named "
+                        f"{stem!r}; identity transform assumed — pass "
+                        "--index <name> to bind a declared table's spec",
+                        file=sys.stderr,
+                    )
         elif args.index and args.schema_folder:
             ct = load_table_from_folder(args.schema_folder, args.index)
         elif args.index:
@@ -837,6 +856,12 @@ def _dispatch(spark, args) -> int:
             if args.clear
             else [c.strip() for c in args.sort_columns.split(",") if c.strip()]
         )
+        if not args.clear and not cols:
+            # "--sort-columns ," parsing to [] must be a usage error, not a
+            # state-changing commit that silently clears the spec
+            print("--sort-columns named no columns (use --clear to clear)",
+                  file=sys.stderr)
+            return 2
         table = LakeTable(spark, args.table)
         m = table.set_clustering(cols, max_records_per_file=args.max_records_per_file)
         print(json.dumps({

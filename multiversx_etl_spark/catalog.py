@@ -209,10 +209,7 @@ def load_table_from_folder(folder: str, name: str) -> CatalogTable:
     MERGE."""
     import os
 
-    path = os.path.join(folder, f"{name}.json")
-    with open(path) as fh:
-        payload = struct_type_from_bq_json(json.load(fh))
-    return _load_one(name, payload)
+    return load_table_from_file(os.path.join(folder, f"{name}.json"), name)
 
 
 def load_table_from_file(path: str, name: str | None = None) -> CatalogTable:

@@ -331,8 +331,18 @@ def _apply_table_metadata(table, cfg: WorkerConfig, target_schema) -> None:
     if cfg.description is not None:
         table.update_schema(target_schema, description=cfg.description)
     if cfg.clustering is not None:
+        cols = list(cfg.clustering["sort_columns"])
+        live = set(table.snapshot().schema.fieldNames())
+        missing = [c for c in cols if c not in live]
+        if missing and all(c in target_schema.fieldNames() for c in missing):
+            # one config edit added a column to the schema file AND
+            # clustered on it: widen the live table first, or every run
+            # dies validating the spec before the widening MERGE executes.
+            # (Only then — an unconditional push would refuse tables that
+            # legitimately evolved beyond the declared file.)
+            table.update_schema(target_schema)
         table.set_clustering(
-            list(cfg.clustering["sort_columns"]),
+            cols,
             max_records_per_file=cfg.clustering.get("max_records_per_file"),
         )
 

@@ -920,6 +920,16 @@ class LakeTable:
         return out
 
     @staticmethod
+    def _declared_clustering(m: Manifest) -> tuple[list[str], int | None]:
+        """The snapshot's declared clustering spec (set_clustering), as
+        (sort_columns, max_records_per_file) — empty/None when undeclared.
+        The ONE resolution rule shared by compact and rebucket, so a layout
+        rewrite can never silently drop the declared clustering."""
+        cols = [c for c in m.properties.get("clustering_sort_columns", []) if c]
+        mrpf = int(m.properties.get("clustering_max_records_per_file", 0)) or None
+        return cols, mrpf
+
+    @staticmethod
     def _resolved_stat_columns(
         m: Manifest, extras: list[str] | None = None
     ) -> list[str]:
@@ -1362,13 +1372,14 @@ class LakeTable:
         tag = f"compact-v{m.version:08d}"
         # explicit args win; else the table's declared clustering
         # (set_clustering — the bq `--clustering_fields` analog); else the
-        # key columns (point-lookup clustering)
-        declared = [c for c in m.properties.get("clustering_sort_columns", []) if c]
+        # key columns (point-lookup clustering). An explicit sort override
+        # suspends the WHOLE declared spec: mixing an operator's one-off
+        # sort with the spec's file slicing would explode the rewrite into
+        # tiny files nobody asked for.
+        declared, declared_mrpf = self._declared_clustering(m)
         sort = list(sort_columns) if sort_columns else (declared or list(key))
-        if max_records_per_file is None:
-            max_records_per_file = (
-                int(m.properties.get("clustering_max_records_per_file", 0)) or None
-            )
+        if max_records_per_file is None and not sort_columns:
+            max_records_per_file = declared_mrpf
         # sort columns beyond the key become persistent stat columns so the
         # clustering keeps earning zone maps on every subsequent write
         extra_stats = [c for c in sort if c not in key]
@@ -1499,11 +1510,32 @@ class LakeTable:
         ``sort_columns`` clears the spec (back to key-column clustering).
         Metadata-only, optimistic-concurrency commit like
         ``update_schema``."""
+        from pyspark.sql.types import ArrayType, MapType
+
         m = self.snapshot()
         known = set(m.schema.fieldNames())
         bad = [c for c in sort_columns if c not in known]
         if bad:
             raise ValueError(f"sort_columns not in schema: {bad}")
+
+        def _has_map(dt) -> bool:
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _has_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_has_map(f.dataType) for f in dt.fields)
+            return False
+
+        # a spec that commits clean but crashes every later flagless
+        # compact/maintain (Spark cannot order map types) would be a
+        # cron crash-loop declared in one innocent command — refuse NOW
+        unordered = [c for c in sort_columns if _has_map(m.schema[c].dataType)]
+        if unordered:
+            raise ValueError(
+                f"sort_columns {unordered} contain map types, which Spark "
+                "cannot sort by — declare an orderable column instead"
+            )
         if max_records_per_file is not None and max_records_per_file < 1:
             raise ValueError(
                 f"max_records_per_file must be >= 1, got {max_records_per_file}"
@@ -1571,6 +1603,12 @@ class LakeTable:
         key = list(m.key_columns)
         patch_outstanding = int(m.properties.get("patch_deltas", 0)) > 0
         colseq_out = int(m.properties.get("colseq", 0)) > 0
+        # the declared clustering (set_clustering) survives layout
+        # evolution: a rebucket that reverted to key-sorted unsliced files
+        # would silently destroy the spec AND mark everything base, so no
+        # flagless maintenance could ever restore it
+        declared, declared_mrpf = self._declared_clustering(m)
+        sort = declared or key
         if patch_outstanding or colseq_out:
             folded, orphans = self._finalize_fold(m, None, new_buckets)
             files, n_preserved, wrote_colseq = self._write_finalized(
@@ -1578,7 +1616,8 @@ class LakeTable:
                 repartition_for_write(orphans, new_buckets, key, m.layout),
                 tag,
                 write_orphans=patch_outstanding and not drop_orphan_patches,
-                sort_columns=key,
+                sort_columns=sort,
+                max_records_per_file=declared_mrpf,
                 bucket_aligned=True,
             )
         else:
@@ -1589,7 +1628,8 @@ class LakeTable:
                 repartition_for_write(folded, new_buckets, key, m.layout),
                 tag,
                 bucket_aligned=True,
-                sort_columns=key,
+                sort_columns=sort,
+                max_records_per_file=declared_mrpf,
             )
             for f in files:
                 f["base"] = True
@@ -1663,29 +1703,19 @@ class LakeTable:
                 "mor_appends": int(src.properties.get("mor_appends", 0)),
                 "patch_deltas": int(src.properties.get("patch_deltas", 0)),
                 "colseq": int(src.properties.get("colseq", 0)),
-                # the promoted files' zone maps were recorded under the
-                # STAGING table's stat policy — carry it, or post-promote
-                # writes silently stop recording the non-default columns
-                **(
-                    {"stat_columns": list(src.properties["stat_columns"])}
-                    if "stat_columns" in src.properties
-                    else {}
+                # the promoted files were laid out and stat-mapped under
+                # the STAGING table's policies — adopt them WHOLESALE,
+                # defaults included: an unclustered staging must also
+                # clear the main's stale spec, or flagless maintenance
+                # keeps re-applying a layout the files no longer have
+                # (None-valued stat_columns = the default key policy;
+                # description is NOT carried — it names the main table)
+                "stat_columns": src.properties.get("stat_columns"),
+                "clustering_sort_columns": list(
+                    src.properties.get("clustering_sort_columns", [])
                 ),
-                # likewise the declared clustering (set_clustering): the
-                # promoted files were laid out under the STAGING spec, and
-                # post-promote maintenance should keep that layout
-                # (description is NOT carried — it names the main table)
-                **(
-                    {
-                        "clustering_sort_columns": list(
-                            src.properties["clustering_sort_columns"]
-                        ),
-                        "clustering_max_records_per_file": int(
-                            src.properties.get("clustering_max_records_per_file", 0)
-                        ),
-                    }
-                    if src.properties.get("clustering_sort_columns")
-                    else {}
+                "clustering_max_records_per_file": int(
+                    src.properties.get("clustering_max_records_per_file", 0)
                 ),
             },
         )

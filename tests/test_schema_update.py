@@ -295,6 +295,23 @@ def test_update_schema_cli(spark, tmp_path):
     m = table.snapshot()
     assert m.properties["description"] == "Blocks."
     assert "notarizedAt" in m.schema.fieldNames()
+    # a renamed schema file with no --index binds the IDENTITY spec — the
+    # fallback must be loud (stderr note) because a wrongly-unspecced push
+    # widens the table irreversibly
+    import shutil
+
+    shutil.copy(os.path.join(folder, "blocks.json"),
+                os.path.join(folder, "blocks_v2.json"))
+    noisy = subprocess.run(
+        [
+            sys.executable, "-m", "multiversx_etl_spark", "--master", "local[2]",
+            "update-schema", str(tmp_path / "missing"),
+            "--schema-file", os.path.join(folder, "blocks_v2.json"),
+        ],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "PYTHONPATH": REPO}, cwd=REPO,
+    )
+    assert "no TransformSpec or catalog entry named 'blocks_v2'" in noisy.stderr
 
 
 # ------------------------------------------------------- durable clustering
@@ -422,3 +439,92 @@ def test_changes_feed_spans_metadata_commits(spark, tmp_path):
     assert len(rows) > 1 and all(
         s is None for (rp, _, s) in rows if rp != "r-new"
     )
+
+
+def test_rebucket_preserves_declared_clustering(spark, tmp_path):
+    """Layout evolution must not silently destroy the declared clustering:
+    rebucket rewrites under the spec (sorted slices + zone maps), so the
+    'flagless maintenance keeps the layout' promise survives a bucket-count
+    change."""
+    table = _build_repos_table(spark, tmp_path)
+    table.set_clustering(["seq"], max_records_per_file=10)
+    table.compact(full=True)
+    m = table.rebucket(8)
+    assert m.num_buckets == 8
+    assert m.properties["clustering_sort_columns"] == ["seq"]
+    assert len(m.files) > 8, "rebucket dropped the declared file slicing"
+    assert all("seq" in f.get("stats", {}) for f in m.files)
+    # and the rewrite is still the exact same state
+    assert table.read().count() > 0
+
+
+def test_compact_explicit_sort_suspends_declared_slicing(spark, tmp_path):
+    """An explicit --sort-columns override suspends the WHOLE declared
+    spec: the declared max_records_per_file must not leak under an
+    operator's one-off re-sort (tiny-file explosion nobody asked for)."""
+    table = _build_repos_table(spark, tmp_path)
+    base = len(table.compact(full=True).files)  # key-clustered, unsliced
+    table.set_clustering(["seq"], max_records_per_file=10)
+    m = table.compact(full=True, sort_columns=["repo", "path"])
+    assert len(m.files) == base
+
+
+def test_promotion_clears_stale_policies(spark, tmp_path):
+    """Promoting an UNCLUSTERED staging onto a clustered main adopts the
+    staging policies wholesale — the main's stale spec (and custom stat
+    policy) must not keep re-applying a layout the files no longer have."""
+    staging = _build_repos_table(spark, tmp_path)
+    main = LakeTable.create(
+        spark, str(tmp_path / "main"), REPOS,
+        key_columns=["repo", "path"], num_buckets=4,
+        stat_columns=["repo", "path", "seq"],
+    )
+    main.set_clustering(["seq"], max_records_per_file=10)
+    m = main.promote_from(staging)
+    assert m.properties["clustering_sort_columns"] == []
+    assert m.properties["clustering_max_records_per_file"] == 0
+    assert m.properties["stat_columns"] is None  # back to the key default
+    # a flagless full rewrite shows no stale slicing: at most one file per
+    # occupied bucket group (the promoted MOR deltas consolidate)
+    assert len(main.compact(full=True).files) <= 4
+
+
+def test_set_clustering_rejects_map_columns(spark, tmp_path):
+    """A spec that commits clean but crashes every later flagless
+    compaction (Spark cannot sort by map types) must refuse at declare
+    time, not in the cron loop."""
+    from pyspark.sql.types import MapType
+
+    schema = StructType([
+        StructField("k", StringType(), False),
+        StructField("m", MapType(StringType(), LongType()), True),
+        StructField("seq", LongType(), False),
+        StructField("deleted", BooleanType(), False),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "mt"), schema, key_columns=["k"], num_buckets=2
+    )
+    with pytest.raises(ValueError, match="map types"):
+        table.set_clustering(["m"])
+
+
+def test_apply_table_metadata_widens_for_new_clustering_column(spark, tmp_path):
+    """One config edit that adds a column to the schema file AND clusters
+    on it must not crash-loop: the config path widens the live table before
+    validating the spec (and only then — tables that evolved beyond the
+    declared file stay accepted)."""
+    from multiversx_etl_spark.config import (
+        _apply_table_metadata,
+        worker_config_from_dict,
+    )
+
+    table = _build_repos_table(spark, tmp_path, n=100)
+    widened = StructType(list(REPOS.fields) + [StructField("stars", LongType(), True)])
+    cfg = worker_config_from_dict({
+        "table_root": str(tmp_path / "t"), "log_path": str(tmp_path / "log"),
+        "clustering": {"sort_columns": ["stars"]},
+    })
+    _apply_table_metadata(table, cfg, widened)
+    m = table.snapshot()
+    assert "stars" in m.schema.fieldNames()
+    assert m.properties["clustering_sort_columns"] == ["stars"]
