@@ -353,6 +353,26 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("out")
     ch.add_argument("--to-version", type=int, default=None)
 
+    exp = sub.add_parser(
+        "export",
+        help="write the table's folded LIVE state (optionally time-traveled)"
+        " as plain parquet any tool can read without the engine — the BQ "
+        "`EXPORT DATA` / Iceberg snapshot-export analog; the lake files "
+        "themselves need the MOR fold, this output does not",
+    )
+    exp.add_argument("table")
+    exp.add_argument("out")
+    exp.add_argument("--version", type=int, default=None,
+                     help="snapshot version to export (default: current)")
+    exp.add_argument("--as-of", type=float, default=None,
+                     help="epoch-seconds timestamp to export as of "
+                     "(resolves to the newest snapshot at or before it)")
+    exp.add_argument("--with-deleted", action="store_true",
+                     help="include tombstoned rows (deleted=true) — for "
+                     "downstream systems that apply deletes themselves")
+    exp.add_argument("--files", type=int, default=None,
+                     help="coalesce the export into this many files")
+
     rp = sub.add_parser(
         "replicate",
         help="apply all upstream changes since the last replicated version "
@@ -932,6 +952,26 @@ def _dispatch(spark, args) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "export":
+        table = LakeTable(spark, args.table)
+        if args.version is not None and args.as_of is not None:
+            print("export takes at most one of --version / --as-of",
+                  file=sys.stderr)
+            return 2
+        version = (
+            table.version_at(args.as_of)
+            if args.as_of is not None
+            else (args.version if args.version is not None
+                  else table.current_version())
+        )
+        df = table.read(version=version, include_tombstones=args.with_deleted)
+        if args.files is not None:
+            df = df.coalesce(args.files)
+        df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"rows": n, "out": args.out, "version": version}))
         return 0
 
     if args.cmd == "changes":
