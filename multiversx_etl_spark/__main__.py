@@ -446,6 +446,30 @@ def main(argv: list[str] | None = None) -> int:
         "app.py:82-86); requires trigger_interval in the config and "
         "--checkpoint; Ctrl-C stops gracefully",
     )
+    rcfg.add_argument(
+        "--sleep-between-iterations", type=float, default=None,
+        help="BATCH loop mode (the reference's process-*-indices loop and "
+        "docker-compose entrypoint flag): re-read the config and run one "
+        "batch iteration every N seconds; prints one JSON line per "
+        "iteration; Ctrl-C stops after the current iteration",
+    )
+    rcfg.add_argument(
+        "--max-iterations", type=int, default=None,
+        help="stop the --sleep-between-iterations loop after N iterations",
+    )
+
+    pm = sub.add_parser(
+        "promote",
+        help="staging→main promotion: atomically replace the MAIN table's "
+        "contents with the STAGING table's current snapshot (hard links, "
+        "O(files)) — the reference's staging-dataset → main-dataset "
+        "transfer (bq_client.py:103-116); creates the main table on first "
+        "promotion. Config twin: the per-table `promote_to` key transfers "
+        "automatically after each green iteration",
+    )
+    pm.add_argument("table", help="MAIN table root")
+    pm.add_argument("--from", dest="from_root", required=True,
+                    help="staging table root")
 
     dbp = sub.add_parser(
         "dashboards",
@@ -1155,8 +1179,62 @@ def _dispatch(spark, args) -> int:
         )
         return 0 if good is not None else 1
 
+    if args.cmd == "promote":
+        from multiversx_etl_spark.lake.table import LakeTable as _LT
+
+        staging = _LT(spark, args.from_root)
+        src = staging.snapshot()
+        if _LT.exists(args.table):
+            main = _LT(spark, args.table)
+        else:
+            main = _LT.create(
+                spark, args.table, src.schema,
+                key_columns=list(src.key_columns),
+                num_buckets=src.num_buckets, layout=src.layout,
+            )
+        m = main.promote_from(staging)
+        print(json.dumps({
+            "version": m.version,
+            "files": len(m.files),
+            "rows": int(sum(f["rows"] for f in m.files)),
+        }))
+        return 0
+
     if args.cmd == "run-config":
         from multiversx_etl_spark.config import load_worker_config, run_from_config
+
+        if args.sleep_between_iterations is not None:
+            import signal
+
+            from multiversx_etl_spark.config import run_loop_from_config
+
+            if args.streaming or args.watch:
+                raise SystemExit(
+                    "--sleep-between-iterations is the BATCH loop; use "
+                    "--watch for the continuous streaming supervisor"
+                )
+            interrupted = {"hit": False}
+
+            def _on_sigint_loop(signum, frame):
+                if interrupted["hit"]:
+                    signal.signal(signal.SIGINT, signal.default_int_handler)
+                    raise KeyboardInterrupt
+                interrupted["hit"] = True
+
+            signal.signal(signal.SIGINT, _on_sigint_loop)
+            summaries = run_loop_from_config(
+                spark, args.config, args.sleep_between_iterations,
+                max_iterations=args.max_iterations,
+                on_iteration=lambda i, s: print(
+                    json.dumps({"iteration": i, **s}), flush=True
+                ),
+                should_stop=lambda: interrupted["hit"],
+            )
+            print(json.dumps({
+                "iterations": len(summaries),
+                "stopped": interrupted["hit"],
+            }), flush=True)
+            return 0
 
         if args.watch:
             import signal

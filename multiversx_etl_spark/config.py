@@ -127,6 +127,13 @@ class WorkerConfig:
     #: analog): ``{"sort_columns": [...], "max_records_per_file": N?}`` —
     #: flagless maintenance keeps this layout from then on.
     clustering: dict[str, Any] | None = None
+    #: MAIN table root this (staging) table promotes into after a GREEN
+    #: iteration — the reference's staging-dataset → main-dataset transfer
+    #: (bq_client.py:103-116: load into ``<table>_staging``, then copy over
+    #: main; the README's "BigQuery Data Transfers" step). Promotion is
+    #: atomic + O(files) (hard links); it runs only when the iteration's
+    #: reconcile passed, so unverified staging data never reaches main.
+    promote_to: str | None = None
 
     def erratum_for(self, table: str) -> int:
         """Accepted signed drift for a table (reference
@@ -168,7 +175,7 @@ _KNOWN = {
     "compact_preserve_patches", "max_files_per_trigger", "trigger_interval",
     "fail_on_counts_mismatch", "counts_checks_errata", "layout", "fold",
     "processing", "schema_folder", "stat_columns", "description",
-    "clustering",
+    "clustering", "promote_to",
 }
 
 
@@ -261,6 +268,18 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
         if mrpf is not None and (not isinstance(mrpf, int) or mrpf < 1):
             raise ConfigError(
                 "clustering.max_records_per_file must be a positive integer"
+            )
+    if cfg.promote_to is not None:
+        if not isinstance(cfg.promote_to, str) or not cfg.promote_to:
+            raise ConfigError("promote_to must be a table root path")
+        if os.path.abspath(cfg.promote_to) == os.path.abspath(cfg.table_root):
+            raise ConfigError("promote_to must differ from table_root")
+        if cfg.trigger_interval is not None:
+            # a continuous query never finishes an "iteration", so there is
+            # no green-reconcile moment to promote at — refuse up front
+            raise ConfigError(
+                "promote_to requires batch or drain-to-idle iterations, "
+                "not a continuous trigger_interval stream"
             )
     from multiversx_etl_spark.operators.normalize import REGISTRY
     from multiversx_etl_spark.schemas import TABLES
@@ -551,7 +570,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
         summary["reconcile_ok"] = report.ok
         summary["missing"] = report.missing
         summary["unexpected"] = report.unexpected
-        return summary
+        return _maybe_promote(spark, cfg, table, summary)
     if streaming:
         if checkpoint_dir is None:
             raise ConfigError("streaming=True requires checkpoint_dir")
@@ -634,7 +653,78 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
     summary["reconcile_ok"] = report.ok
     summary["missing"] = report.missing
     summary["unexpected"] = report.unexpected
+    return _maybe_promote(spark, cfg, table, summary)
+
+
+def _maybe_promote(spark, cfg: WorkerConfig, staging, summary: dict[str, Any]):
+    """Staging→main transfer after a green iteration (the reference loads
+    ``<table>_staging`` then copies over main, bq_client.py:103-116; every
+    iteration transfers, like the reference's BQ Data Transfers step). The
+    main table is created on first promotion with the staging's physical
+    spec; a failed reconcile skips the transfer — unverified staging data
+    never reaches main — and reports it."""
+    if cfg.promote_to is None:
+        return summary
+    if not summary.get("reconcile_ok", False):
+        summary["promoted"] = False
+        return summary
+    from multiversx_etl_spark.lake.table import LakeTable
+
+    src = staging.snapshot()
+    if LakeTable.exists(cfg.promote_to):
+        main = LakeTable(spark, cfg.promote_to)
+    else:
+        main = LakeTable.create(
+            spark, cfg.promote_to, src.schema,
+            key_columns=list(src.key_columns),
+            num_buckets=src.num_buckets, layout=src.layout,
+        )
+    m = main.promote_from(staging)
+    summary["promoted"] = True
+    summary["promote_to"] = cfg.promote_to
+    summary["promote_version"] = m.version
     return summary
+
+
+def run_loop_from_config(
+    spark,
+    config_path: str,
+    sleep_between_iterations: float,
+    max_iterations: int | None = None,
+    on_iteration=None,
+    should_stop=None,
+) -> list[dict[str, Any]]:
+    """The reference's process-*-indices OUTER loop (app.py:74-106, shipped
+    as the docker-compose entrypoint ``--sleep-between-iterations 3600``):
+    re-READ the config file each pass — the per-iteration hot reload of
+    app.py:82-86, so ops edit knobs/errata/schema files live — run one
+    batch iteration (multi-table configs run all their tables), sleep,
+    repeat. ``should_stop()`` is polled during the sleep for a graceful
+    stop after the current iteration; ``max_iterations`` bounds test runs.
+    Returns every iteration's summary."""
+    import time as _time
+
+    out: list[dict[str, Any]] = []
+    i = 0
+    while True:
+        cfg = load_worker_config(config_path)
+        summary = run_from_config(spark, cfg)
+        out.append(summary)
+        i += 1
+        if on_iteration is not None:
+            on_iteration(i, summary)
+        if max_iterations is not None and i >= max_iterations:
+            break
+        deadline = _time.monotonic() + sleep_between_iterations
+        stopped = False
+        while _time.monotonic() < deadline:
+            if should_stop is not None and should_stop():
+                stopped = True
+                break
+            _time.sleep(min(0.2, max(0.0, deadline - _time.monotonic())))
+        if stopped or (should_stop is not None and should_stop()):
+            break
+    return out
 
 
 def stream_with_config_reload(

@@ -773,3 +773,150 @@ def test_description_and_clustering_through_config(spark, tmp_path):
     m2 = table.compact(full=True)
     assert len(m2.files) > base
     assert all("seq" in f.get("stats", {}) for f in m2.files)
+
+
+def test_promote_to_through_config(spark, tmp_path):
+    """The reference's staging → main transfer as a config key
+    (bq_client.py:103-116: load `<table>_staging`, copy over main): a green
+    iteration promotes atomically; the main table is created on first
+    promotion and byte-equals the staging fold."""
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_parquet,
+    )
+
+    with pytest.raises(ConfigError, match="differ from table_root"):
+        worker_config_from_dict(
+            {"table_root": "/t", "log_path": "/l", "promote_to": "/t"}
+        )
+    with pytest.raises(ConfigError, match="continuous"):
+        worker_config_from_dict({
+            "table_root": "/t", "log_path": "/l",
+            "promote_to": "/main", "trigger_interval": "1 second",
+        })
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_change_log(spark, 400, num_repos=5, paths_per_repo=10),
+        log_path, files=2,
+    )
+    cfg = worker_config_from_dict({
+        "table_root": str(tmp_path / "staging"),
+        "log_path": log_path,
+        "interval_size": 200,
+        "num_buckets": 4,
+        "promote_to": str(tmp_path / "main"),
+    })
+    s1 = run_from_config(spark, cfg)
+    assert s1["reconcile_ok"] and s1["promoted"]
+    staging = LakeTable(spark, str(tmp_path / "staging"))
+    main = LakeTable(spark, str(tmp_path / "main"))
+    assert main.read().exceptAll(staging.read()).count() == 0
+    assert staging.read().exceptAll(main.read()).count() == 0
+
+    # every green iteration transfers (the reference's cadence); state
+    # stays identical and the promotion is O(files), not O(bytes)
+    s2 = run_from_config(spark, cfg)
+    assert s2["epochs_run"] == 0 and s2["promoted"]
+    assert main.read().exceptAll(staging.read()).count() == 0
+
+
+def test_batch_loop_rereads_config_each_iteration(spark, tmp_path):
+    """The reference's process-*-indices OUTER loop: every iteration
+    re-reads the config file (app.py:82-86), so an edit between iterations
+    — here adding a description — lands without a restart."""
+    from multiversx_etl_spark.config import run_loop_from_config
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_parquet,
+    )
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_change_log(spark, 200, num_repos=5, paths_per_repo=10),
+        log_path, files=2,
+    )
+    cfg_path = tmp_path / "cfg.json"
+    body = {
+        "table_root": str(tmp_path / "t"),
+        "log_path": log_path,
+        "interval_size": 100,
+        "num_buckets": 4,
+    }
+    cfg_path.write_text(json.dumps(body))
+
+    def edit_mid_loop(i, summary):
+        assert summary["reconcile_ok"]
+        if i == 1:
+            cfg_path.write_text(
+                json.dumps({**body, "description": "edited mid-loop"})
+            )
+
+    summaries = run_loop_from_config(
+        spark, str(cfg_path), sleep_between_iterations=0.01,
+        max_iterations=2, on_iteration=edit_mid_loop,
+    )
+    assert len(summaries) == 2
+    assert summaries[1]["epochs_run"] == 0  # exactly-once across iterations
+    m = LakeTable(spark, str(tmp_path / "t")).snapshot()
+    assert m.properties["description"] == "edited mid-loop"
+
+
+def test_promote_and_loop_cli(spark, tmp_path):
+    """CLI wiring for the transfer + loop surfaces: `promote --from` creates
+    the main table and moves the state; `run-config
+    --sleep-between-iterations --max-iterations 1` runs one batch loop
+    iteration and prints per-iteration JSON."""
+    import os
+    import subprocess
+    import sys
+
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_parquet,
+    )
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_change_log(spark, 200, num_repos=5, paths_per_repo=10),
+        log_path, files=2,
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "table_root": str(tmp_path / "staging"),
+        "log_path": log_path,
+        "interval_size": 100,
+        "num_buckets": 4,
+    }))
+    env = {**os.environ, "PYTHONPATH": REPO}
+    loop = subprocess.run(
+        [
+            sys.executable, "-m", "multiversx_etl_spark", "--master", "local[2]",
+            "run-config", str(cfg_path),
+            "--sleep-between-iterations", "0.01", "--max-iterations", "1",
+        ],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert loop.returncode == 0, loop.stderr[-3000:]
+    lines = [json.loads(x) for x in loop.stdout.strip().splitlines() if x.startswith("{")]
+    assert lines[0]["iteration"] == 1 and lines[0]["reconcile_ok"]
+    assert lines[-1] == {"iterations": 1, "stopped": False}
+
+    prom = subprocess.run(
+        [
+            sys.executable, "-m", "multiversx_etl_spark", "--master", "local[2]",
+            "promote", str(tmp_path / "main"), "--from", str(tmp_path / "staging"),
+        ],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert prom.returncode == 0, prom.stderr[-3000:]
+    out = json.loads(prom.stdout.strip().splitlines()[-1])
+    main = LakeTable(spark, str(tmp_path / "main"))
+    staging = LakeTable(spark, str(tmp_path / "staging"))
+    assert out["version"] == main.current_version()
+    assert main.read().exceptAll(staging.read()).count() == 0
+    assert staging.read().exceptAll(main.read()).count() == 0
