@@ -920,3 +920,89 @@ def test_promote_and_loop_cli(spark, tmp_path):
     assert out["version"] == main.current_version()
     assert main.read().exceptAll(staging.read()).count() == 0
     assert staging.read().exceptAll(main.read()).count() == 0
+
+
+def test_deployment_loop_schema_push_promote_e2e(spark, tmp_path):
+    """The reference's production topology in one flow: the batch loop
+    (config re-read each pass) drives a schema_folder-declared staging
+    table with description+clustering; new data AND a schema-file edit
+    land between iterations; every green iteration promotes into main.
+    End state: main carries the widened schema, the staging fold exactly,
+    and the staging's clustering spec for its own flagless maintenance."""
+    from importlib import resources
+
+    import pyspark.sql.functions as F
+
+    from multiversx_etl_spark.catalog import load_table_from_folder
+    from multiversx_etl_spark.config import run_loop_from_config
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.sources.changelog import (
+        generate_catalog_log,
+        write_log_parquet,
+    )
+
+    folder = tmp_path / "schemas"
+    folder.mkdir()
+    base_fields = json.loads(
+        resources.files("multiversx_etl_spark")
+        .joinpath("bq_schemas/blocks.json").read_text()
+    )
+    (folder / "blocks.json").write_text(json.dumps(base_fields))
+    log_dir = str(tmp_path / "log")
+    ct1 = load_table_from_folder(str(folder), "blocks")
+    write_log_parquet(
+        generate_catalog_log(spark, 200, "blocks", num_keys=20,
+                             log_schema=ct1.log_schema),
+        log_dir, files=2,
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "name": "blocks",
+        "table_root": str(tmp_path / "staging"),
+        "log_path": log_dir,
+        "interval_size": 150,
+        "num_buckets": 4,
+        "schema": "blocks",
+        "normalizer": "blocks",
+        "schema_folder": str(folder),
+        "description": "Blocks.",
+        "clustering": {"sort_columns": ["seq"], "max_records_per_file": 50},
+        "promote_to": str(tmp_path / "main"),
+    }))
+
+    def ops_moment(i, summary):
+        assert summary["reconcile_ok"] and summary["promoted"], summary
+        if i == 1:
+            # between iterations: the schema file gains a field AND a second
+            # log generation carrying it lands (guard band past slice 1)
+            (folder / "blocks.json").write_text(json.dumps(
+                base_fields + [{"name": "notarizedAt", "type": "INTEGER"}]
+            ))
+            ct2 = load_table_from_folder(str(folder), "blocks")
+            generate_catalog_log(
+                spark, 150, "blocks", num_keys=6,
+                log_schema=ct2.log_schema, offset_base=300,
+            ).write.mode("append").parquet(log_dir)
+
+    summaries = run_loop_from_config(
+        spark, str(cfg_path), sleep_between_iterations=0.01, max_iterations=2,
+        on_iteration=ops_moment,
+    )
+    assert len(summaries) == 2 and summaries[1]["promoted"]
+
+    staging = LakeTable(spark, str(tmp_path / "staging"))
+    main = LakeTable(spark, str(tmp_path / "main"))
+    got = main.read()
+    # the widening reached main through the second promotion
+    assert "notarizedAt" in got.columns
+    assert got.where(F.col("notarizedAt").isNotNull()).count() > 0
+    assert got.where(F.col("notarizedAt").isNull()).count() > 0
+    # main == staging fold, both directions
+    assert got.exceptAll(staging.read()).count() == 0
+    assert staging.read().exceptAll(got).count() == 0
+    # staging's description + clustering rode along; flagless maintenance
+    # on MAIN keeps the declared layout
+    m = main.snapshot()
+    assert m.properties["clustering_sort_columns"] == ["seq"]
+    m2 = main.compact(full=True)
+    assert all("seq" in f.get("stats", {}) for f in m2.files)
