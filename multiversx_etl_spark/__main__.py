@@ -507,6 +507,20 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.cmd == "package":  # no Spark session needed
         return _package(args.out)
+    if (
+        args.cmd == "run-config"
+        and args.max_iterations is not None
+        and args.sleep_between_iterations is None
+    ):
+        # silently running ONE plain iteration when the operator asked for
+        # N looped ones is the bad outcome; refuse BEFORE the JVM spin-up,
+        # like the --streaming/--watch clash inside the dispatch
+        print(
+            "error: --max-iterations only applies to the "
+            "--sleep-between-iterations batch loop",
+            file=sys.stderr,
+        )
+        return 2
     if args.cmd == "user-query":
         # name validation (and 'list') before paying the JVM spin-up
         from multiversx_etl_spark.user_queries import CANNED_QUERIES
@@ -1183,16 +1197,7 @@ def _dispatch(spark, args) -> int:
         from multiversx_etl_spark.lake.table import LakeTable as _LT
 
         staging = _LT(spark, args.from_root)
-        src = staging.snapshot()
-        if _LT.exists(args.table):
-            main = _LT(spark, args.table)
-        else:
-            main = _LT.create(
-                spark, args.table, src.schema,
-                key_columns=list(src.key_columns),
-                num_buckets=src.num_buckets, layout=src.layout,
-            )
-        m = main.promote_from(staging)
+        m = _LT.promote_into(spark, args.table, staging)
         print(json.dumps({
             "version": m.version,
             "files": len(m.files),

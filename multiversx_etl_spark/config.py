@@ -211,6 +211,27 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
         roots = [j.table_root for j in jobs]
         if len(set(roots)) != len(roots):
             raise ConfigError(f"duplicate table_root in config: {sorted(roots)}")
+        # promote_to needs the same cross-entry protection as table_root: a
+        # top-level promote_to merged into every entry (or a copy-paste)
+        # makes every green iteration REPLACE main's whole contents with a
+        # different table's rows — last writer wins silently, and with
+        # num_threads>1 the concurrent commits race instead. A promote_to
+        # that equals another entry's table_root clobbers a live staging
+        # table mid-run. Both are plan-time misconfigurations.
+        root_set = {os.path.abspath(r) for r in roots}
+        promotes = [
+            os.path.abspath(j.promote_to) for j in jobs if j.promote_to is not None
+        ]
+        if len(set(promotes)) != len(promotes):
+            raise ConfigError(
+                f"duplicate promote_to in config: {sorted(promotes)} — "
+                "two tables promoting into one main overwrite each other"
+            )
+        clashes = sorted(set(promotes) & root_set)
+        if clashes:
+            raise ConfigError(
+                f"promote_to collides with a table_root in config: {clashes}"
+            )
         return MultiWorkerConfig(tables=jobs, num_threads=num_threads)
     unknown = set(data) - _KNOWN
     if unknown:
@@ -670,16 +691,7 @@ def _maybe_promote(spark, cfg: WorkerConfig, staging, summary: dict[str, Any]):
         return summary
     from multiversx_etl_spark.lake.table import LakeTable
 
-    src = staging.snapshot()
-    if LakeTable.exists(cfg.promote_to):
-        main = LakeTable(spark, cfg.promote_to)
-    else:
-        main = LakeTable.create(
-            spark, cfg.promote_to, src.schema,
-            key_columns=list(src.key_columns),
-            num_buckets=src.num_buckets, layout=src.layout,
-        )
-    m = main.promote_from(staging)
+    m = LakeTable.promote_into(spark, cfg.promote_to, staging)
     summary["promoted"] = True
     summary["promote_to"] = cfg.promote_to
     summary["promote_version"] = m.version
@@ -702,12 +714,33 @@ def run_loop_from_config(
     repeat. ``should_stop()`` is polled during the sleep for a graceful
     stop after the current iteration; ``max_iterations`` bounds test runs.
     Returns every iteration's summary."""
+    import sys as _sys
     import time as _time
 
     out: list[dict[str, Any]] = []
     i = 0
+    prev_cfg = None
     while True:
-        cfg = load_worker_config(config_path)
+        # the loop exists so ops can edit the file between iterations, and
+        # ops edits are not atomic: a delete-then-recreate save (vim,
+        # configmap updaters) or a partial write landing exactly when the
+        # sleep ends must not kill the supervisor. Same contract as
+        # stream_with_config_reload: a torn/invalid read keeps the PREVIOUS
+        # config for this iteration and retries the file next pass. The
+        # FIRST load still raises — there is no previous config to keep,
+        # and a typo'd path should fail at plan time.
+        try:
+            cfg = load_worker_config(config_path)
+        except (ConfigError, ValueError, OSError, KeyError) as e:
+            if prev_cfg is None:
+                raise
+            print(
+                f"[config-loop] ignoring unreadable edit, keeping previous "
+                f"config: {e}",
+                file=_sys.stderr,
+            )
+            cfg = prev_cfg
+        prev_cfg = cfg
         summary = run_from_config(spark, cfg)
         out.append(summary)
         i += 1

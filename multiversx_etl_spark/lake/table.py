@@ -42,10 +42,12 @@ every public method has a direct Iceberg equivalent (noted per method).
 from __future__ import annotations
 
 import contextlib
+import errno
 import fcntl
 import json
 import os
 import re
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -1648,6 +1650,26 @@ class LakeTable:
             num_buckets=new_buckets,
         )
 
+    @classmethod
+    def promote_into(
+        cls, spark: SparkSession, main_root: str, staging: "LakeTable"
+    ) -> Manifest:
+        """Open-or-create the MAIN table at ``main_root`` with the staging
+        table's physical spec, then :meth:`promote_from` the staging
+        snapshot into it. The single code path behind both the ``promote``
+        CLI command and the per-table ``promote_to`` config key, so the
+        first-promotion creation spec cannot diverge between them."""
+        src = staging.snapshot()
+        if cls.exists(main_root):
+            main = cls(spark, main_root)
+        else:
+            main = cls.create(
+                spark, main_root, src.schema,
+                key_columns=list(src.key_columns),
+                num_buckets=src.num_buckets, layout=src.layout,
+            )
+        return main.promote_from(staging)
+
     def promote_from(self, staging: "LakeTable") -> Manifest:
         """Staging→main promotion: atomically replace THIS table's contents
         with the staging table's current snapshot (the reference loads into
@@ -1655,7 +1677,10 @@ class LakeTable:
 
         Data files are hard-linked (same filesystem) — promotion is a
         metadata operation, O(files) not O(bytes), and the staging table
-        remains intact and readable. Stream epoch markers are NOT imported:
+        remains intact and readable. When main lives on a DIFFERENT
+        filesystem (or one that forbids links) the transfer degrades to a
+        per-file copy — O(bytes), still atomic at the manifest commit —
+        instead of failing with a raw EXDEV after the expensive load. Stream epoch markers are NOT imported:
         the promoted table keeps its own stream lineage (the reference
         likewise tracks worker state per target dataset)."""
         src = staging.snapshot()
@@ -1679,7 +1704,13 @@ class LakeTable:
             dst = os.path.join(out_dir, name)
             if os.path.exists(dst):
                 os.remove(dst)  # crashed earlier promotion attempt
-            os.link(os.path.join(staging.root, f["path"]), dst)
+            src_path = os.path.join(staging.root, f["path"])
+            try:
+                os.link(src_path, dst)
+            except OSError as e:
+                if e.errno not in (errno.EXDEV, errno.EPERM, errno.EOPNOTSUPP):
+                    raise
+                shutil.copy2(src_path, dst)
             # hard links share the source inode's (old) mtime; stamp them
             # fresh or gc_orphan_files' min_age guard cannot protect this
             # not-yet-committed promotion from a concurrent GC run

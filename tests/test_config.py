@@ -1006,3 +1006,113 @@ def test_deployment_loop_schema_push_promote_e2e(spark, tmp_path):
     assert m.properties["clustering_sort_columns"] == ["seq"]
     m2 = main.compact(full=True)
     assert all("seq" in f.get("stats", {}) for f in m2.files)
+
+
+def test_multi_table_promote_to_collisions_rejected():
+    """Two tables promoting into one main (a top-level promote_to merged
+    into every entry, or a copy-paste) silently overwrite each other's
+    promotions; a promote_to that equals another entry's table_root
+    clobbers a live staging table. Both must fail at plan time, like the
+    adjacent duplicate-table_root check."""
+    # top-level promote_to is merged into EVERY entry by the defaults
+    # machinery — exactly the dangerous shape
+    with pytest.raises(ConfigError, match="duplicate promote_to"):
+        worker_config_from_dict({
+            "promote_to": "/main",
+            "tables": [
+                {"name": "a", "table_root": "/a", "log_path": "/la"},
+                {"name": "b", "table_root": "/b", "log_path": "/lb"},
+            ],
+        })
+    with pytest.raises(ConfigError, match="collides with a table_root"):
+        worker_config_from_dict({
+            "tables": [
+                {"name": "a", "table_root": "/a", "log_path": "/la",
+                 "promote_to": "/b"},
+                {"name": "b", "table_root": "/b", "log_path": "/lb"},
+            ],
+        })
+    # distinct promote_to targets are fine
+    cfg = worker_config_from_dict({
+        "tables": [
+            {"name": "a", "table_root": "/a", "log_path": "/la",
+             "promote_to": "/main_a"},
+            {"name": "b", "table_root": "/b", "log_path": "/lb",
+             "promote_to": "/main_b"},
+        ],
+    })
+    assert [t.promote_to for t in cfg.tables] == ["/main_a", "/main_b"]
+
+
+def test_batch_loop_survives_torn_config_edit(spark, tmp_path):
+    """The loop exists so ops can edit the config between iterations, and
+    ops edits are not atomic: a torn/invalid read mid-loop must keep the
+    previous config for that iteration (same contract as the streaming
+    reload supervisor), while a bad FIRST load still fails at plan time."""
+    from multiversx_etl_spark.config import run_loop_from_config
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_parquet,
+    )
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_change_log(spark, 200, num_repos=5, paths_per_repo=10),
+        log_path, files=2,
+    )
+    cfg_path = tmp_path / "cfg.json"
+    body = {
+        "table_root": str(tmp_path / "t"),
+        "log_path": log_path,
+        "interval_size": 100,
+        "num_buckets": 4,
+    }
+
+    # first load of a torn file raises — no previous config to keep
+    cfg_path.write_text('{"table_root": "/t", "log_p')
+    with pytest.raises((ConfigError, ValueError)):
+        run_loop_from_config(
+            spark, str(cfg_path), sleep_between_iterations=0.01,
+            max_iterations=1,
+        )
+
+    cfg_path.write_text(json.dumps(body))
+
+    def corrupt_mid_loop(i, summary):
+        assert summary["reconcile_ok"]
+        if i == 1:
+            # half-written save landing exactly when the sleep ends
+            cfg_path.write_text('{"table_root": "/t", "log_p')
+
+    summaries = run_loop_from_config(
+        spark, str(cfg_path), sleep_between_iterations=0.01,
+        max_iterations=2, on_iteration=corrupt_mid_loop,
+    )
+    assert len(summaries) == 2
+    assert summaries[1]["reconcile_ok"]  # ran on the KEPT previous config
+    assert summaries[1]["epochs_run"] == 0  # exactly-once held across both
+    assert LakeTable(spark, str(tmp_path / "t")).read().count() > 0
+
+
+def test_max_iterations_requires_loop_flag(tmp_path):
+    """--max-iterations without --sleep-between-iterations used to be
+    silently ignored (one plain iteration ran); it must refuse loudly,
+    before the JVM spin-up."""
+    import os
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({"table_root": "/t", "log_path": "/l"}))
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "multiversx_etl_spark",
+            "run-config", str(cfg_path), "--max-iterations", "5",
+        ],
+        capture_output=True, text=True, timeout=60,
+        env={**os.environ, "PYTHONPATH": REPO}, cwd=REPO,
+    )
+    assert r.returncode == 2
+    assert "--sleep-between-iterations" in r.stderr

@@ -298,3 +298,58 @@ def test_compacted_base_files_are_key_sorted(spark, mor_log, tmp_path):
         assert keys == sorted(keys), f"{f['path']} not key-sorted"
         checked += 1
     assert checked > 0
+
+
+def test_promotion_falls_back_to_copy_across_filesystems(spark, tmp_path, monkeypatch):
+    """Hard links are the fast path; when main lives on a different
+    filesystem (or one forbidding links) os.link raises EXDEV and the
+    transfer must degrade to a per-file copy instead of dying with a raw
+    traceback after the whole load succeeded."""
+    import errno
+    import os as _os
+
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.operators.merge import merge_batch
+    from multiversx_etl_spark.schemas import REPOS
+
+    staging = LakeTable.create(
+        spark, str(tmp_path / "staging"), REPOS,
+        key_columns=["repo", "path"], num_buckets=4,
+    )
+    rows = [(0, 5, "insert", "r", "a.py", "c", "py", "v1"),
+            (1, 6, "insert", "r", "b.py", "c", "py", "v2")]
+    cols = ("offset long, seq long, op string, repo string, path string, "
+            "commit string, lang string, content string")
+    merge_batch(staging, spark.createDataFrame(rows, cols), "s", 0, 0, 2)
+
+    real_link = _os.link
+
+    def exdev_link(src, dst, *a, **kw):
+        raise OSError(errno.EXDEV, "Invalid cross-device link", src)
+
+    monkeypatch.setattr(_os, "link", exdev_link)
+    m = LakeTable.promote_into(spark, str(tmp_path / "main"), staging)
+    monkeypatch.setattr(_os, "link", real_link)
+
+    main = LakeTable(spark, str(tmp_path / "main"))
+    assert m.version == main.current_version()
+    assert {r["path"] for r in main.read().collect()} == {"a.py", "b.py"}
+    # copies, not links: distinct inodes from the staging files
+    staging_inodes = {
+        _os.stat(_os.path.join(staging.root, f["path"])).st_ino
+        for f in staging.snapshot().files
+    }
+    main_inodes = {
+        _os.stat(_os.path.join(main.root, f["path"])).st_ino
+        for f in main.snapshot().files
+    }
+    assert staging_inodes.isdisjoint(main_inodes)
+    # a non-EXDEV link failure still surfaces
+    def eio_link(src, dst, *a, **kw):
+        raise OSError(errno.EIO, "boom", src)
+
+    monkeypatch.setattr(_os, "link", eio_link)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="boom"):
+        main.promote_from(staging)
