@@ -240,6 +240,13 @@ def main() -> None:
     # progress bar writes \r-spam that interleaves with it under load
     # (VERDICT r03: the driver's BENCH_r03.json captured only a truncated
     # tail and recorded parsed:null) — disable it for the bench session.
+    # Belt-and-braces on top: park the REAL stdout on a private fd and point
+    # fd 1 at stderr for the whole run, BEFORE the JVM launches (it inherits
+    # fd 1), so no banner/progress/py4j noise can ever share the stream the
+    # JSON line goes to.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
     spark = get_spark(
         "bench",
         master=f"local[{CPUS}]",
@@ -323,14 +330,14 @@ def main() -> None:
             "cdc_join_stream_final_rows": jstream["final_rows"],
         }
         line = json.dumps(out)
-        # Sidecar copy survives even if something else pollutes stdout; the
-        # stdout line itself is preceded by a bare newline so any stray \r
-        # fragment from a third-party lib can't prepend garbage to the JSON.
+        # Sidecar copy survives even if something else pollutes stdout.
         sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.json")
         with open(sidecar, "w") as fh:
             fh.write(line + "\n")
-        sys.stdout.write("\n")
-        print(line, flush=True)
+        # the parked real stdout: the JSON line is its only content, ever
+        with os.fdopen(real_stdout, "w") as real:
+            real.write(line + "\n")
+            real.flush()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
