@@ -1,0 +1,249 @@
+"""Crash-point fuzz for the replay path's exactly-once contract.
+
+The verify recipe (.claude/skills/verify) demonstrates ONE mid-replay crash;
+this harness fuzzes the crash POINT: N cycles, each with a random interval
+size (so the epoch count varies), a SIGKILL delivered when a randomly chosen
+epoch commits (or mid-flight right after it), an optional SECOND crash during
+the resume, and after the final resume a DuckDB last-writer-wins oracle
+comparison of the full table state. Every cycle asserts:
+
+  1. the crash was REAL  — the manifest's epochs_through is read after the
+     child is dead and must be < the final epoch (a kill that raced the
+     finish is counted and reported, not silently passed);
+  2. resume is EXACT     — epochs_run + epochs_skipped == total epochs, and
+     epochs_skipped == manifest epochs_through + 1 (everything committed
+     before the crash is skipped, nothing committed is re-run);
+  3. state is EXACT      — per-key sha256(content) set equals DuckDB's
+     row_number()-over-seq fold of the raw log (delete-aware).
+
+The orchestrator is pure Python; Spark runs only in worker subprocesses
+(modes: gen / replay / verify), so kills hit the real JVM-owning process.
+
+Usage: python crashfuzz.py [--cycles 6] [--events 5000] [--seed 1]
+Prints one JSON line per cycle and a final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import random
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+# ---------------------------------------------------------------- workers
+def _spark(app: str):
+    sys.path.insert(0, REPO)
+    from multiversx_etl_spark.session import get_spark
+
+    spark = get_spark(app, master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def worker_gen(log_path: str, events: int) -> None:
+    from multiversx_etl_spark.sources.changelog import (
+        generate_change_log,
+        write_log_parquet,
+    )
+
+    spark = _spark("fuzz-gen")
+    write_log_parquet(
+        generate_change_log(spark, events, num_repos=30, paths_per_repo=40),
+        log_path, files=8,
+    )
+    df = spark.read.parquet(log_path)
+    row = df.selectExpr("count(*) AS n", "max(offset) AS mo").first()
+    print(f"GENERATED {row['n']} MAX_OFFSET {row['mo']}", flush=True)
+    spark.stop()
+
+
+def worker_replay(log_path: str, table_path: str, interval: int) -> None:
+    from multiversx_etl_spark.streaming.ingest import ensure_table, replay
+
+    spark = _spark("fuzz-replay")
+    table = ensure_table(spark, table_path, num_buckets=8)
+    s = replay(
+        spark.read.parquet(log_path), table, interval_size=interval,
+        on_epoch=lambda eid, stats: print(f"EPOCH_COMMITTED {eid}", flush=True),
+    )
+    print(f"DONE run={s.epochs_run} skipped={s.epochs_skipped}", flush=True)
+    spark.stop()
+
+
+def worker_verify(log_path: str, table_path: str) -> None:
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from multiversx_etl_spark.lake.table import LakeTable
+
+    spark = _spark("fuzz-verify")
+    got = {
+        (r["repo"], r["path"], r["s"])
+        for r in LakeTable(spark, table_path).read()
+        .select("repo", "path",
+                F.sha2(F.coalesce("content", F.lit("")), 256).alias("s"))
+        .collect()
+    }
+    want = set(
+        duckdb.connect().execute(
+            f"""
+            WITH ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY seq DESC) AS rn
+              FROM read_parquet('{log_path}/*.parquet'))
+            SELECT repo, path, sha256(coalesce(content, '')) FROM ranked
+            WHERE rn = 1 AND op <> 'delete'
+            """
+        ).fetchall()
+    )
+    print("SHA_MATCH", got == want, len(got), len(want), flush=True)
+    spark.stop()
+
+
+# ----------------------------------------------------------- orchestrator
+def _manifest_epochs_through(table_path: str) -> int:
+    """-1 if no manifest/stream state yet."""
+    paths = sorted(glob.glob(os.path.join(table_path, "_manifests", "v*.json")))
+    if not paths:
+        return -1
+    m = json.load(open(paths[-1]))
+    streams = m.get("streams") or {}
+    if not streams:
+        return -1
+    return max(v.get("epochs_through", -1) for v in streams.values())
+
+
+def _run_replay_until(log_path: str, table_path: str, interval: int,
+                      kill_epoch: int | None, grace: float) -> dict:
+    """Run a replay subprocess; SIGKILL it `grace` seconds after it prints
+    EPOCH_COMMITTED `kill_epoch` (None = let it finish). Returns what the
+    child printed + whether we killed it."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "replay",
+           "--log", log_path, "--table", table_path,
+           "--interval", str(interval)]
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                         text=True)
+    done_line, killed = None, False
+    for line in p.stdout:
+        line = line.strip()
+        if line.startswith("DONE"):
+            done_line = line
+        if kill_epoch is not None and line == f"EPOCH_COMMITTED {kill_epoch}":
+            # grace > 0 lands the kill MID-flight in the next epoch rather
+            # than exactly on the commit boundary — both points must hold
+            time.sleep(grace)
+            p.kill()
+            killed = True
+            break
+    p.wait()
+    return {"killed": killed, "done": done_line}
+
+
+def orchestrate(cycles: int, events: int, seed: int) -> int:
+    rng = random.Random(seed)
+    base = tempfile.mkdtemp(prefix="crashfuzz-")
+    log_path = os.path.join(base, "log")
+    g = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "gen",
+         "--log", log_path, "--events", str(events)],
+        check=True, capture_output=True, text=True,
+    )
+    gen_line = next(l for l in g.stdout.splitlines() if l.startswith("GENERATED"))
+    n_offsets = int(gen_line.split()[3]) + 1  # MAX_OFFSET + 1
+    failures, real_crashes = 0, 0
+    try:
+        for c in range(cycles):
+            interval = rng.choice([250, 500, 1000])
+            # total epochs = ceil(max_offset+1 / interval); offsets are
+            # 0..n_offsets-1 by construction of the generator
+            total = -(-n_offsets // interval)
+            kill_epoch = rng.randrange(0, max(1, total - 2))
+            grace = rng.choice([0.0, 0.2])
+            double = rng.random() < 0.4
+            table_path = os.path.join(base, f"t{c}")
+            rec = {"cycle": c, "interval": interval, "total_epochs": total,
+                   "kill_epoch": kill_epoch, "grace": grace, "double": double}
+
+            r1 = _run_replay_until(log_path, table_path, interval,
+                                   kill_epoch, grace)
+            et1 = _manifest_epochs_through(table_path)
+            # a kill that raced the finish (all epochs committed before the
+            # signal landed) is a degenerate cycle: reported, still held to
+            # the resume-exact + oracle assertions, but not a "real" crash
+            rec["crash1_real"] = r1["killed"] and et1 < total - 1
+            rec["epochs_through_after_crash1"] = et1
+            if rec["crash1_real"]:
+                real_crashes += 1
+
+            if double and et1 < total - 2:
+                k2 = rng.randrange(et1 + 1, total - 1)
+                r2 = _run_replay_until(log_path, table_path, interval, k2, 0.0)
+                et2 = _manifest_epochs_through(table_path)
+                rec["crash2_real"] = r2["killed"] and et2 < total - 1
+                rec["epochs_through_after_crash2"] = et2
+            else:
+                et2 = et1
+
+            r3 = _run_replay_until(log_path, table_path, interval, None, 0.0)
+            rec["resume"] = r3["done"]
+            ok = False
+            if r3["done"]:
+                parts = dict(kv.split("=") for kv in r3["done"].split()[1:])
+                run, skipped = int(parts["run"]), int(parts["skipped"])
+                ok = (run + skipped == total) and (skipped == et2 + 1)
+                rec["resume_exact"] = ok
+            v = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--mode", "verify",
+                 "--log", log_path, "--table", table_path],
+                capture_output=True, text=True,
+            )
+            sha_line = next((l for l in v.stdout.splitlines()
+                             if l.startswith("SHA_MATCH")), "SHA_MATCH False")
+            rec["sha_match"] = sha_line.split()[1] == "True"
+            rec["ok"] = bool(ok and rec["sha_match"])
+            if not rec["ok"]:
+                failures += 1
+            print(json.dumps(rec), flush=True)
+            shutil.rmtree(table_path, ignore_errors=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"cycles": cycles, "failures": failures,
+                      "real_crashes": real_crashes}), flush=True)
+    # the campaign is only evidence if the kills mostly landed mid-replay
+    return 1 if (failures or real_crashes < max(1, cycles // 2)) else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="fuzz",
+                    choices=["fuzz", "gen", "replay", "verify"])
+    ap.add_argument("--cycles", type=int, default=6)
+    ap.add_argument("--events", type=int, default=5000)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--log")
+    ap.add_argument("--table")
+    ap.add_argument("--interval", type=int, default=500)
+    a = ap.parse_args()
+    if a.mode == "gen":
+        worker_gen(a.log, a.events)
+        return 0
+    if a.mode == "replay":
+        worker_replay(a.log, a.table, a.interval)
+        return 0
+    if a.mode == "verify":
+        worker_verify(a.log, a.table)
+        return 0
+    return orchestrate(a.cycles, a.events, a.seed)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -4,13 +4,17 @@ oracle at sf0.01 — row count, column names, and exact values
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.01"
+# default = the driver's sf; override (e.g. ORACLE_SF_DIR=/root/testdata/sf0.1)
+# to re-run the whole value-exact gate at another scale
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
