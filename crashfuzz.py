@@ -79,6 +79,19 @@ def worker_replay(log_path: str, table_path: str, interval: int) -> None:
     spark.stop()
 
 
+def worker_stream(log_path: str, table_path: str, ckpt: str) -> None:
+    """availableNow checkpointed ingest, one log file per micro-batch so a
+    kill can land between batches or mid-batch."""
+    from multiversx_etl_spark.streaming.ingest import ensure_table, stream_ingest
+
+    spark = _spark("fuzz-stream")
+    table = ensure_table(spark, table_path, num_buckets=8)
+    stream_ingest(spark, log_path, table, ckpt, max_files_per_trigger=1)
+    print(f"VERSION {table.current_version()} ROWS {table.read().count()}",
+          flush=True)
+    spark.stop()
+
+
 def worker_verify(log_path: str, table_path: str) -> None:
     import duckdb
     import pyspark.sql.functions as F
@@ -148,7 +161,61 @@ def _run_replay_until(log_path: str, table_path: str, interval: int,
     return {"killed": killed, "done": done_line}
 
 
-def orchestrate(cycles: int, events: int, seed: int) -> int:
+def _stream_cycle(base: str, log_path: str, c: int, rng: random.Random) -> dict:
+    """One streaming crash cycle: kill the checkpointed availableNow ingest
+    once it has committed a random number of table versions, restart from
+    the same checkpoint, assert the final state matches the oracle and that
+    a THIRD run is a version no-op (replayed in-flight batches are no-ops
+    under the epoch markers)."""
+    table_path = os.path.join(base, f"s{c}")
+    ckpt = os.path.join(base, f"ck{c}")
+    kill_version = rng.randrange(2, 7)
+    rec = {"stream_cycle": c, "kill_at_version": kill_version}
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "stream",
+           "--log", log_path, "--table", table_path, "--ckpt", ckpt]
+    p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    deadline = time.monotonic() + 300
+    killed = False
+    while time.monotonic() < deadline:
+        if p.poll() is not None:
+            break  # finished before we could kill — degenerate, reported
+        n = len(glob.glob(os.path.join(table_path, "_manifests", "v*.json")))
+        if n >= kill_version:
+            p.kill()
+            killed = True
+            break
+        time.sleep(0.05)
+    p.wait()
+    et = _manifest_epochs_through(table_path)
+    rec["crash_real"] = killed and et >= 0
+    rec["epochs_through_after_crash"] = et
+
+    versions = []
+    for _ in range(2):  # resume, then a pure-idempotence rerun
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        line = next((l for l in r.stdout.splitlines()
+                     if l.startswith("VERSION")), None)
+        versions.append(int(line.split()[1]) if line else None)
+    rec["version_after_resume"] = versions[0]
+    rec["version_after_rerun"] = versions[1]
+    rec["rerun_noop"] = versions[0] is not None and versions[0] == versions[1]
+
+    v = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "verify",
+         "--log", log_path, "--table", table_path],
+        capture_output=True, text=True,
+    )
+    sha_line = next((l for l in v.stdout.splitlines()
+                     if l.startswith("SHA_MATCH")), "SHA_MATCH False")
+    rec["sha_match"] = sha_line.split()[1] == "True"
+    rec["ok"] = bool(rec["rerun_noop"] and rec["sha_match"])
+    shutil.rmtree(table_path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return rec
+
+
+def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int) -> int:
     rng = random.Random(seed)
     base = tempfile.mkdtemp(prefix="crashfuzz-")
     log_path = os.path.join(base, "log")
@@ -214,23 +281,37 @@ def orchestrate(cycles: int, events: int, seed: int) -> int:
                 failures += 1
             print(json.dumps(rec), flush=True)
             shutil.rmtree(table_path, ignore_errors=True)
+        stream_real = 0
+        for c in range(stream_cycles):
+            rec = _stream_cycle(base, log_path, c, rng)
+            if not rec["ok"]:
+                failures += 1
+            if rec["crash_real"]:
+                stream_real += 1
+            print(json.dumps(rec), flush=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    print(json.dumps({"cycles": cycles, "failures": failures,
-                      "real_crashes": real_crashes}), flush=True)
+    print(json.dumps({"cycles": cycles, "stream_cycles": stream_cycles,
+                      "failures": failures, "real_crashes": real_crashes,
+                      "stream_real_crashes": stream_real}), flush=True)
     # the campaign is only evidence if the kills mostly landed mid-replay
-    return 1 if (failures or real_crashes < max(1, cycles // 2)) else 0
+    weak = (cycles > 0 and real_crashes < max(1, cycles // 2)) or (
+        stream_cycles > 0 and stream_real < max(1, stream_cycles // 2)
+    )
+    return 1 if (failures or weak) else 0
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="fuzz",
-                    choices=["fuzz", "gen", "replay", "verify"])
+                    choices=["fuzz", "gen", "replay", "stream", "verify"])
     ap.add_argument("--cycles", type=int, default=6)
+    ap.add_argument("--stream-cycles", type=int, default=3)
     ap.add_argument("--events", type=int, default=5000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--log")
     ap.add_argument("--table")
+    ap.add_argument("--ckpt")
     ap.add_argument("--interval", type=int, default=500)
     a = ap.parse_args()
     if a.mode == "gen":
@@ -239,10 +320,13 @@ def main() -> int:
     if a.mode == "replay":
         worker_replay(a.log, a.table, a.interval)
         return 0
+    if a.mode == "stream":
+        worker_stream(a.log, a.table, a.ckpt)
+        return 0
     if a.mode == "verify":
         worker_verify(a.log, a.table)
         return 0
-    return orchestrate(a.cycles, a.events, a.seed)
+    return orchestrate(a.cycles, a.events, a.seed, a.stream_cycles)
 
 
 if __name__ == "__main__":
