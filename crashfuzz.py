@@ -16,8 +16,17 @@ comparison of the full table state. Every cycle asserts:
   3. state is EXACT      — per-key sha256(content) set equals DuckDB's
      row_number()-over-seq fold of the raw log (delete-aware).
 
+Streaming cycles (--stream-cycles) apply the same treatment to the
+checkpointed availableNow ingest (kill at a random committed version,
+restart from the checkpoint, third-run version no-op). Compaction cycles
+(--compact-cycles) SIGKILL a full compaction while its rewrite directory is
+being written: the manifest swap is the only commit point, so the table must
+still read oracle-exact after the crash, and a re-compaction must complete
+and stay exact.
+
 The orchestrator is pure Python; Spark runs only in worker subprocesses
-(modes: gen / replay / verify), so kills hit the real JVM-owning process.
+(modes: gen / replay / stream / compact / verify), so kills hit the real
+JVM-owning process.
 
 Usage: python crashfuzz.py [--cycles 6] [--events 5000] [--seed 1]
 Prints one JSON line per cycle and a final summary line.
@@ -89,6 +98,15 @@ def worker_stream(log_path: str, table_path: str, ckpt: str) -> None:
     stream_ingest(spark, log_path, table, ckpt, max_files_per_trigger=1)
     print(f"VERSION {table.current_version()} ROWS {table.read().count()}",
           flush=True)
+    spark.stop()
+
+
+def worker_compact(table_path: str) -> None:
+    from multiversx_etl_spark.lake.table import LakeTable
+
+    spark = _spark("fuzz-compact")
+    m = LakeTable(spark, table_path).compact(full=True)
+    print(f"COMPACTED {m.version} files={len(m.files)}", flush=True)
     spark.stop()
 
 
@@ -215,7 +233,74 @@ def _stream_cycle(base: str, log_path: str, c: int, rng: random.Random) -> dict:
     return rec
 
 
-def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int) -> int:
+def _manifest_version(table_path: str) -> int:
+    paths = sorted(glob.glob(os.path.join(table_path, "_manifests", "v*.json")))
+    return json.load(open(paths[-1]))["version"] if paths else -1
+
+
+def _compact_cycle(base: str, log_path: str, c: int, rng: random.Random) -> dict:
+    """One compaction crash cycle: fully replay, SIGKILL a full compaction
+    while it is writing its rewrite directory, assert the table still reads
+    oracle-exact (the manifest swap is the only commit point — a dead
+    rewrite leaves only orphan files), then compact to completion and
+    assert exactness again."""
+    table_path = os.path.join(base, f"c{c}")
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "replay",
+         "--log", log_path, "--table", table_path, "--interval", "500"],
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    v0 = _manifest_version(table_path)
+    rec = {"compact_cycle": c, "version_before": v0}
+    rewrite_dir = os.path.join(table_path, "data", f"compact-v{v0:08d}")
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "compact",
+           "--table", table_path]
+    p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    grace = rng.choice([0.0, 0.1, 0.3])
+    deadline = time.monotonic() + 300
+    killed = False
+    while time.monotonic() < deadline:
+        if p.poll() is not None:
+            break  # finished before the kill — raced, reported
+        if os.path.isdir(rewrite_dir):
+            time.sleep(grace)
+            p.kill()
+            killed = True
+            break
+        time.sleep(0.02)
+    p.wait()
+    v1 = _manifest_version(table_path)
+    rec["grace"] = grace
+    # real crash = killed while the rewrite dir existed but BEFORE the
+    # manifest swap landed; a kill after the swap is a raced cycle
+    rec["crash_real"] = killed and v1 == v0
+    rec["version_after_crash"] = v1
+
+    def sha_ok() -> bool:
+        v = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--mode", "verify",
+             "--log", log_path, "--table", table_path],
+            capture_output=True, text=True,
+        )
+        line = next((l for l in v.stdout.splitlines()
+                     if l.startswith("SHA_MATCH")), "SHA_MATCH False")
+        return line.split()[1] == "True"
+
+    rec["sha_after_crash"] = sha_ok()
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    done = next((l for l in r.stdout.splitlines()
+                 if l.startswith("COMPACTED")), None)
+    rec["recompact"] = done
+    rec["sha_after_recompact"] = sha_ok() if done else False
+    rec["ok"] = bool(rec["sha_after_crash"] and done
+                     and rec["sha_after_recompact"])
+    shutil.rmtree(table_path, ignore_errors=True)
+    return rec
+
+
+def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
+                compact_cycles: int) -> int:
     rng = random.Random(seed)
     base = tempfile.mkdtemp(prefix="crashfuzz-")
     log_path = os.path.join(base, "log")
@@ -289,11 +374,21 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int) -> int:
             if rec["crash_real"]:
                 stream_real += 1
             print(json.dumps(rec), flush=True)
+        compact_real = 0
+        for c in range(compact_cycles):
+            rec = _compact_cycle(base, log_path, c, rng)
+            if not rec["ok"]:
+                failures += 1
+            if rec["crash_real"]:
+                compact_real += 1
+            print(json.dumps(rec), flush=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     print(json.dumps({"cycles": cycles, "stream_cycles": stream_cycles,
+                      "compact_cycles": compact_cycles,
                       "failures": failures, "real_crashes": real_crashes,
-                      "stream_real_crashes": stream_real}), flush=True)
+                      "stream_real_crashes": stream_real,
+                      "compact_real_crashes": compact_real}), flush=True)
     # the campaign is only evidence if the kills mostly landed mid-replay
     weak = (cycles > 0 and real_crashes < max(1, cycles // 2)) or (
         stream_cycles > 0 and stream_real < max(1, stream_cycles // 2)
@@ -304,9 +399,11 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="fuzz",
-                    choices=["fuzz", "gen", "replay", "stream", "verify"])
+                    choices=["fuzz", "gen", "replay", "stream", "compact",
+                             "verify"])
     ap.add_argument("--cycles", type=int, default=6)
     ap.add_argument("--stream-cycles", type=int, default=3)
+    ap.add_argument("--compact-cycles", type=int, default=2)
     ap.add_argument("--events", type=int, default=5000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--log")
@@ -323,10 +420,14 @@ def main() -> int:
     if a.mode == "stream":
         worker_stream(a.log, a.table, a.ckpt)
         return 0
+    if a.mode == "compact":
+        worker_compact(a.table)
+        return 0
     if a.mode == "verify":
         worker_verify(a.log, a.table)
         return 0
-    return orchestrate(a.cycles, a.events, a.seed, a.stream_cycles)
+    return orchestrate(a.cycles, a.events, a.seed, a.stream_cycles,
+                       a.compact_cycles)
 
 
 if __name__ == "__main__":
