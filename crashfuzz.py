@@ -13,8 +13,12 @@ comparison of the full table state. Every cycle asserts:
   2. resume is EXACT     — epochs_run + epochs_skipped == total epochs, and
      epochs_skipped == manifest epochs_through + 1 (everything committed
      before the crash is skipped, nothing committed is re-run);
-  3. state is EXACT      — per-key sha256(content) set equals DuckDB's
-     row_number()-over-seq fold of the raw log (delete-aware).
+  3. state is EXACT      — the per-key (seq, commit, lang, content) tuple
+     set equals DuckDB's independent COLUMN-level last-writer-wins fold of
+     the raw log (delete-aware; with no patch events in the log this
+     degenerates to the whole-row max-seq fold, so one oracle covers both
+     log shapes). --patch-fraction > 0 makes the generator emit partial
+     images, fuzzing crash exactness of the _colseq machinery itself.
 
 Streaming cycles (--stream-cycles) apply the same treatment to the
 checkpointed availableNow ingest (kill at a random committed version,
@@ -22,11 +26,18 @@ restart from the checkpoint, third-run version no-op). Compaction cycles
 (--compact-cycles) SIGKILL a full compaction while its rewrite directory is
 being written: the manifest swap is the only commit point, so the table must
 still read oracle-exact after the crash, and a re-compaction must complete
-and stay exact.
+and stay exact. Rebucket cycles (--rebucket-cycles) do the same to the
+bucket-layout evolution rewrite — post-crash reads must stay exact under
+the OLD layout, and the retried rebucket must land the new bucket count
+exactly. Promote cycles (--promote-cycles) kill a staging→main promotion
+mid-linkfarm: main must afterwards read as either the complete promoted
+snapshot or a well-formed empty pre-promotion table (never a torn mix),
+the staging table must be untouched, and a re-promotion must converge to
+oracle-exact.
 
 The orchestrator is pure Python; Spark runs only in worker subprocesses
-(modes: gen / replay / stream / compact / verify), so kills hit the real
-JVM-owning process.
+(modes: gen / replay / stream / compact / rebucket / promote / count /
+verify), so kills hit the real JVM-owning process.
 
 Usage: python crashfuzz.py [--cycles 6] [--events 5000] [--seed 1]
 Prints one JSON line per cycle and a final summary line.
@@ -58,7 +69,7 @@ def _spark(app: str):
     return spark
 
 
-def worker_gen(log_path: str, events: int) -> None:
+def worker_gen(log_path: str, events: int, patch_fraction: float) -> None:
     from multiversx_etl_spark.sources.changelog import (
         generate_change_log,
         write_log_parquet,
@@ -66,7 +77,8 @@ def worker_gen(log_path: str, events: int) -> None:
 
     spark = _spark("fuzz-gen")
     write_log_parquet(
-        generate_change_log(spark, events, num_repos=30, paths_per_repo=40),
+        generate_change_log(spark, events, num_repos=30, paths_per_repo=40,
+                            patch_fraction=patch_fraction),
         log_path, files=8,
     )
     df = spark.read.parquet(log_path)
@@ -110,33 +122,81 @@ def worker_compact(table_path: str) -> None:
     spark.stop()
 
 
+def worker_rebucket(table_path: str, buckets: int) -> None:
+    from multiversx_etl_spark.lake.table import LakeTable
+
+    spark = _spark("fuzz-rebucket")
+    m = LakeTable(spark, table_path).rebucket(buckets)
+    print(f"REBUCKETED {m.version} buckets={m.num_buckets} "
+          f"files={len(m.files)}", flush=True)
+    spark.stop()
+
+
+def worker_promote(staging_path: str, main_path: str) -> None:
+    from multiversx_etl_spark.lake.table import LakeTable
+
+    spark = _spark("fuzz-promote")
+    m = LakeTable.promote_into(spark, main_path,
+                               LakeTable(spark, staging_path))
+    print(f"PROMOTED {m.version} files={len(m.files)}", flush=True)
+    spark.stop()
+
+
+def worker_count(table_path: str) -> None:
+    """Prove the table is READABLE (well-formed manifest + files) and
+    report its live row count — the post-crash check for tables whose
+    expected state is emptiness, where the state oracle can't apply."""
+    from multiversx_etl_spark.lake.table import LakeTable
+
+    spark = _spark("fuzz-count")
+    t = LakeTable(spark, table_path)
+    print(f"READ_OK {t.read().count()} VERSION {t.current_version()}",
+          flush=True)
+    spark.stop()
+
+
 def worker_verify(log_path: str, table_path: str) -> None:
+    """Independent DuckDB COLUMN-level LWW fold (tests/test_patch_events.py
+    oracle): full images set every column at their seq, patches set only
+    their non-null columns, liveness comes from the full-image winner
+    alone. With zero patch events this is exactly the whole-row max-seq
+    fold, so the same oracle verifies both log shapes."""
     import duckdb
-    import pyspark.sql.functions as F
 
     from multiversx_etl_spark.lake.table import LakeTable
 
     spark = _spark("fuzz-verify")
     got = {
-        (r["repo"], r["path"], r["s"])
+        (r["repo"], r["path"], r["seq"], r["commit"], r["lang"], r["content"])
         for r in LakeTable(spark, table_path).read()
-        .select("repo", "path",
-                F.sha2(F.coalesce("content", F.lit("")), 256).alias("s"))
+        .select("repo", "path", "seq", "commit", "lang", "content")
         .collect()
     }
     want = set(
         duckdb.connect().execute(
             f"""
-            WITH ranked AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY repo, path ORDER BY seq DESC) AS rn
-              FROM read_parquet('{log_path}/*.parquet'))
-            SELECT repo, path, sha256(coalesce(content, '')) FROM ranked
-            WHERE rn = 1 AND op <> 'delete'
+            WITH ev AS (SELECT * FROM read_parquet('{log_path}/*.parquet')),
+            agg AS (
+              SELECT repo, path,
+                max(CASE WHEN op <> 'patch'
+                    THEN {{'seq': seq, 'op': op}} END) AS b,
+                max(CASE WHEN op <> 'patch' OR "commit" IS NOT NULL
+                    THEN {{'seq': seq, 'v': "commit"}} END) AS c_commit,
+                max(CASE WHEN op <> 'patch' OR lang IS NOT NULL
+                    THEN {{'seq': seq, 'v': lang}} END) AS c_lang,
+                max(CASE WHEN op <> 'patch' OR content IS NOT NULL
+                    THEN {{'seq': seq, 'v': content}} END) AS c_content
+              FROM ev GROUP BY 1, 2
+            )
+            SELECT repo, path,
+                   greatest(b.seq, c_commit.seq, c_lang.seq,
+                            c_content.seq) AS seq,
+                   c_commit.v, c_lang.v, c_content.v
+            FROM agg WHERE b IS NOT NULL AND b.op <> 'delete'
             """
         ).fetchall()
     )
-    print("SHA_MATCH", got == want, len(got), len(want), flush=True)
+    print("STATE_MATCH", got == want, len(got), len(want), flush=True)
     spark.stop()
 
 
@@ -224,10 +284,10 @@ def _stream_cycle(base: str, log_path: str, c: int, rng: random.Random) -> dict:
          "--log", log_path, "--table", table_path],
         capture_output=True, text=True,
     )
-    sha_line = next((l for l in v.stdout.splitlines()
-                     if l.startswith("SHA_MATCH")), "SHA_MATCH False")
-    rec["sha_match"] = sha_line.split()[1] == "True"
-    rec["ok"] = bool(rec["rerun_noop"] and rec["sha_match"])
+    state_line = next((l for l in v.stdout.splitlines()
+                     if l.startswith("STATE_MATCH")), "STATE_MATCH False")
+    rec["state_match"] = state_line.split()[1] == "True"
+    rec["ok"] = bool(rec["rerun_noop"] and rec["state_match"])
     shutil.rmtree(table_path, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return rec
@@ -277,36 +337,172 @@ def _compact_cycle(base: str, log_path: str, c: int, rng: random.Random) -> dict
     rec["crash_real"] = killed and v1 == v0
     rec["version_after_crash"] = v1
 
-    def sha_ok() -> bool:
-        v = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--mode", "verify",
-             "--log", log_path, "--table", table_path],
-            capture_output=True, text=True,
-        )
-        line = next((l for l in v.stdout.splitlines()
-                     if l.startswith("SHA_MATCH")), "SHA_MATCH False")
-        return line.split()[1] == "True"
-
-    rec["sha_after_crash"] = sha_ok()
+    rec["state_after_crash"] = _state_ok(log_path, table_path)
     r = subprocess.run(cmd, capture_output=True, text=True)
     done = next((l for l in r.stdout.splitlines()
                  if l.startswith("COMPACTED")), None)
     rec["recompact"] = done
-    rec["sha_after_recompact"] = sha_ok() if done else False
-    rec["ok"] = bool(rec["sha_after_crash"] and done
-                     and rec["sha_after_recompact"])
+    rec["state_after_recompact"] = _state_ok(log_path, table_path) if done else False
+    rec["ok"] = bool(rec["state_after_crash"] and done
+                     and rec["state_after_recompact"])
     shutil.rmtree(table_path, ignore_errors=True)
     return rec
 
 
+def _state_ok(log_path: str, table_path: str) -> bool:
+    v = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "verify",
+         "--log", log_path, "--table", table_path],
+        capture_output=True, text=True,
+    )
+    line = next((l for l in v.stdout.splitlines()
+                 if l.startswith("STATE_MATCH")), "STATE_MATCH False")
+    return line.split()[1] == "True"
+
+
+def _kill_when_dir(p: subprocess.Popen, marker_dir: str, grace: float,
+                   timeout: float = 300.0, poll: float = 0.02) -> bool:
+    """Poll for ``marker_dir`` to appear while ``p`` runs; SIGKILL ``grace``
+    seconds after it does. Returns whether the kill was delivered (a child
+    that finished first is a raced cycle — reported, never hidden)."""
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if p.poll() is not None:
+            return False
+        if os.path.isdir(marker_dir):
+            time.sleep(grace)
+            p.kill()
+            p.wait()
+            return True
+        time.sleep(poll)
+    p.kill()
+    p.wait()
+    return True
+
+
+def _reader_version(table_path: str) -> int:
+    """The version a READER sees — the atomically-replaced ``_current``
+    pointer, not the highest manifest json on disk (a kill can land between
+    the two)."""
+    try:
+        with open(os.path.join(table_path, "_manifests", "_current")) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _rebucket_cycle(base: str, log_path: str, c: int,
+                    rng: random.Random) -> dict:
+    """One rebucket crash cycle: fully replay at 8 buckets, SIGKILL the
+    16-bucket layout-evolution rewrite mid-write, assert the table still
+    reads oracle-exact under the OLD layout, then re-run the rebucket and
+    assert both exactness and the landed bucket count."""
+    table_path = os.path.join(base, f"rb{c}")
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "replay",
+         "--log", log_path, "--table", table_path, "--interval", "250"],
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    v0 = _manifest_version(table_path)
+    rec = {"rebucket_cycle": c, "version_before": v0}
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "rebucket",
+           "--table", table_path, "--buckets", "16"]
+    p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    grace = rng.choice([0.0, 0.1, 0.3])
+    killed = _kill_when_dir(
+        p, os.path.join(table_path, "data", f"rebucket-v{v0:08d}"), grace)
+    v1 = _manifest_version(table_path)
+    rec["grace"] = grace
+    rec["crash_real"] = killed and v1 == v0
+    rec["version_after_crash"] = v1
+    rec["state_after_crash"] = _state_ok(log_path, table_path)
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    done = next((l for l in r.stdout.splitlines()
+                 if l.startswith("REBUCKETED")), None)
+    rec["rerebucket"] = done
+    rec["buckets_landed"] = (done or "").count("buckets=16") == 1
+    rec["state_after_rebucket"] = _state_ok(log_path, table_path) if done else False
+    rec["ok"] = bool(rec["state_after_crash"] and done
+                     and rec["buckets_landed"] and rec["state_after_rebucket"])
+    shutil.rmtree(table_path, ignore_errors=True)
+    return rec
+
+
+def _promote_cycle(base: str, log_path: str, c: int,
+                   rng: random.Random) -> dict:
+    """One promotion crash cycle: replay into a STAGING table, SIGKILL the
+    staging→main promotion while its hardlink farm is being built. The
+    manifest commit is the only publish point, so afterwards main must read
+    as either the full promoted snapshot (kill raced the commit) or a
+    well-formed EMPTY pre-promotion table — never a torn mix — and staging
+    must be untouched. A re-promotion must then converge to oracle-exact
+    on main (re-using/replacing the dead attempt's link farm)."""
+    staging = os.path.join(base, f"pstg{c}")
+    main = os.path.join(base, f"pmain{c}")
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "replay",
+         "--log", log_path, "--table", staging, "--interval", "250"],
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    rec = {"promote_cycle": c}
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "promote",
+           "--table", main, "--staging", staging]
+    p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    # the create-commit → link-farm → promote-commit window is
+    # milliseconds wide (pure file ops, no Spark jobs) — poll at 1 ms on
+    # the earliest marker (main's manifest dir) with a sub-10ms random
+    # grace so kills land across create / linking / commit
+    grace = rng.random() * 0.004
+    killed = _kill_when_dir(
+        p, os.path.join(main, "_manifests"), grace, poll=0.001)
+    committed = _reader_version(main) >= 1
+    rec["grace"] = grace
+    rec["crash_real"] = killed and not committed
+    rec["promote_committed_before_kill"] = committed
+    if committed:
+        rec["main_after_crash_exact"] = _state_ok(log_path, main)
+    else:
+        created = _reader_version(main) == 0
+        if created:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--mode",
+                 "count", "--table", main],
+                capture_output=True, text=True,
+            )
+            line = next((l for l in r.stdout.splitlines()
+                         if l.startswith("READ_OK")), None)
+            # created-but-not-promoted: must be readable and EMPTY
+            rec["main_after_crash_exact"] = (
+                line is not None and line.split()[1] == "0")
+        else:
+            # killed mid-create: no _current pointer was ever published,
+            # so no reader can open a torn table — acceptable by contract
+            rec["main_after_crash_exact"] = True
+    rec["staging_intact"] = _state_ok(log_path, staging)
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    done = next((l for l in r.stdout.splitlines()
+                 if l.startswith("PROMOTED")), None)
+    rec["repromote"] = done
+    rec["state_after_repromote"] = _state_ok(log_path, main) if done else False
+    rec["ok"] = bool(rec["main_after_crash_exact"] and rec["staging_intact"]
+                     and done and rec["state_after_repromote"])
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(main, ignore_errors=True)
+    return rec
+
+
 def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
-                compact_cycles: int) -> int:
+                compact_cycles: int, rebucket_cycles: int,
+                promote_cycles: int, patch_fraction: float) -> int:
     rng = random.Random(seed)
     base = tempfile.mkdtemp(prefix="crashfuzz-")
     log_path = os.path.join(base, "log")
     g = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--mode", "gen",
-         "--log", log_path, "--events", str(events)],
+         "--log", log_path, "--events", str(events),
+         "--patch-fraction", str(patch_fraction)],
         check=True, capture_output=True, text=True,
     )
     gen_line = next(l for l in g.stdout.splitlines() if l.startswith("GENERATED"))
@@ -358,10 +554,10 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
                  "--log", log_path, "--table", table_path],
                 capture_output=True, text=True,
             )
-            sha_line = next((l for l in v.stdout.splitlines()
-                             if l.startswith("SHA_MATCH")), "SHA_MATCH False")
-            rec["sha_match"] = sha_line.split()[1] == "True"
-            rec["ok"] = bool(ok and rec["sha_match"])
+            state_line = next((l for l in v.stdout.splitlines()
+                             if l.startswith("STATE_MATCH")), "STATE_MATCH False")
+            rec["state_match"] = state_line.split()[1] == "True"
+            rec["ok"] = bool(ok and rec["state_match"])
             if not rec["ok"]:
                 failures += 1
             print(json.dumps(rec), flush=True)
@@ -382,13 +578,34 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
             if rec["crash_real"]:
                 compact_real += 1
             print(json.dumps(rec), flush=True)
+        rebucket_real = 0
+        for c in range(rebucket_cycles):
+            rec = _rebucket_cycle(base, log_path, c, rng)
+            if not rec["ok"]:
+                failures += 1
+            if rec["crash_real"]:
+                rebucket_real += 1
+            print(json.dumps(rec), flush=True)
+        promote_real = 0
+        for c in range(promote_cycles):
+            rec = _promote_cycle(base, log_path, c, rng)
+            if not rec["ok"]:
+                failures += 1
+            if rec["crash_real"]:
+                promote_real += 1
+            print(json.dumps(rec), flush=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     print(json.dumps({"cycles": cycles, "stream_cycles": stream_cycles,
                       "compact_cycles": compact_cycles,
+                      "rebucket_cycles": rebucket_cycles,
+                      "promote_cycles": promote_cycles,
+                      "patch_fraction": patch_fraction,
                       "failures": failures, "real_crashes": real_crashes,
                       "stream_real_crashes": stream_real,
-                      "compact_real_crashes": compact_real}), flush=True)
+                      "compact_real_crashes": compact_real,
+                      "rebucket_real_crashes": rebucket_real,
+                      "promote_real_crashes": promote_real}), flush=True)
     # the campaign is only evidence if the kills mostly landed mid-replay
     weak = (cycles > 0 and real_crashes < max(1, cycles // 2)) or (
         stream_cycles > 0 and stream_real < max(1, stream_cycles // 2)
@@ -400,19 +617,24 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="fuzz",
                     choices=["fuzz", "gen", "replay", "stream", "compact",
-                             "verify"])
+                             "rebucket", "promote", "count", "verify"])
     ap.add_argument("--cycles", type=int, default=6)
     ap.add_argument("--stream-cycles", type=int, default=3)
     ap.add_argument("--compact-cycles", type=int, default=2)
+    ap.add_argument("--rebucket-cycles", type=int, default=2)
+    ap.add_argument("--promote-cycles", type=int, default=2)
     ap.add_argument("--events", type=int, default=5000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--log")
     ap.add_argument("--table")
+    ap.add_argument("--staging")
     ap.add_argument("--ckpt")
+    ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--interval", type=int, default=500)
+    ap.add_argument("--patch-fraction", type=float, default=0.0)
     a = ap.parse_args()
     if a.mode == "gen":
-        worker_gen(a.log, a.events)
+        worker_gen(a.log, a.events, a.patch_fraction)
         return 0
     if a.mode == "replay":
         worker_replay(a.log, a.table, a.interval)
@@ -423,11 +645,21 @@ def main() -> int:
     if a.mode == "compact":
         worker_compact(a.table)
         return 0
+    if a.mode == "rebucket":
+        worker_rebucket(a.table, a.buckets)
+        return 0
+    if a.mode == "promote":
+        worker_promote(a.staging, a.table)
+        return 0
+    if a.mode == "count":
+        worker_count(a.table)
+        return 0
     if a.mode == "verify":
         worker_verify(a.log, a.table)
         return 0
     return orchestrate(a.cycles, a.events, a.seed, a.stream_cycles,
-                       a.compact_cycles)
+                       a.compact_cycles, a.rebucket_cycles, a.promote_cycles,
+                       a.patch_fraction)
 
 
 if __name__ == "__main__":
