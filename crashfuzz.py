@@ -33,11 +33,26 @@ exactly. Promote cycles (--promote-cycles) kill a staging→main promotion
 mid-linkfarm: main must afterwards read as either the complete promoted
 snapshot or a well-formed empty pre-promotion table (never a torn mix),
 the staging table must be untouched, and a re-promotion must converge to
-oracle-exact.
+oracle-exact. Expire cycles (--expire-cycles) kill the retention GC
+mid-deletion (files-then-manifest order means debris is an expired
+manifest referencing deleted files): current reads must stay exact and
+the re-run must finish the sweep through the debris. Replicate cycles
+(--replicate-cycles) kill a replica's catch-up merge mid-write after the
+upstream advances: a pre-commit kill must be invisible (marker version
+unchanged), the re-run must converge, and the replica must end
+state-exact against the full-log oracle. Mutable cycles
+(--mutable-cycles) kill the reference-style truncate-and-reload
+(ONE bootstrap-snapshot commit) mid-write: the table must keep reading
+as exactly the pre-reload prefix state — never empty, never torn — and
+the re-run must land the full-log state. Lifecycle cycles
+(--lifecycle-cycles) chain ALL of it on one table — crash the replay,
+the compaction, the rebucket, the retention GC, and the promotion in
+sequence with recovery and a state check between every step — so later
+stages run over the accumulated debris of earlier crashes.
 
 The orchestrator is pure Python; Spark runs only in worker subprocesses
-(modes: gen / replay / stream / compact / rebucket / promote / count /
-verify), so kills hit the real JVM-owning process.
+(modes: gen / replay / stream / compact / rebucket / promote / expire /
+replicate / count / verify), so kills hit the real JVM-owning process.
 
 Usage: python crashfuzz.py [--cycles 6] [--events 5000] [--seed 1]
 Prints one JSON line per cycle and a final summary line.
@@ -87,13 +102,15 @@ def worker_gen(log_path: str, events: int, patch_fraction: float) -> None:
     spark.stop()
 
 
-def worker_replay(log_path: str, table_path: str, interval: int) -> None:
+def worker_replay(log_path: str, table_path: str, interval: int,
+                  max_epochs: int | None = None) -> None:
     from multiversx_etl_spark.streaming.ingest import ensure_table, replay
 
     spark = _spark("fuzz-replay")
     table = ensure_table(spark, table_path, num_buckets=8)
     s = replay(
         spark.read.parquet(log_path), table, interval_size=interval,
+        max_epochs=max_epochs,
         on_epoch=lambda eid, stats: print(f"EPOCH_COMMITTED {eid}", flush=True),
     )
     print(f"DONE run={s.epochs_run} skipped={s.epochs_skipped}", flush=True)
@@ -142,6 +159,50 @@ def worker_promote(staging_path: str, main_path: str) -> None:
     spark.stop()
 
 
+def worker_expire(table_path: str, keep_last: int) -> None:
+    from multiversx_etl_spark.lake.table import LakeTable
+
+    spark = _spark("fuzz-expire")
+    r = LakeTable(spark, table_path).expire_snapshots(keep_last=keep_last)
+    print(f"EXPIRED {r['expired_manifests']} deleted={r['deleted_files']}",
+          flush=True)
+    spark.stop()
+
+
+def worker_replicate(src_path: str, dst_path: str) -> None:
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.streaming.ingest import ensure_table
+    from multiversx_etl_spark.streaming.replicate import replicate_changes
+
+    spark = _spark("fuzz-replicate")
+    src = LakeTable(spark, src_path)
+    dst = ensure_table(spark, dst_path, num_buckets=4)  # replica's OWN layout
+    st = replicate_changes(src, dst)
+    print(f"REPLICATED {dst.current_version()} "
+          f"applied={'none' if st is None else 'delta'}", flush=True)
+    spark.stop()
+
+
+def worker_bootstrap(log_path: str, table_path: str) -> None:
+    """The mutable-index iteration (config.py processing='mutable'): fold
+    the ENTIRE raw log to its live state and replace the table with ONE
+    bootstrap-snapshot commit — readers must never observe a
+    truncated-but-unloaded window, even under SIGKILL."""
+    from multiversx_etl_spark.oracle import expected_state
+    from multiversx_etl_spark.streaming.ingest import (
+        bootstrap_snapshot,
+        ensure_table,
+    )
+
+    spark = _spark("fuzz-bootstrap")
+    table = ensure_table(spark, table_path, num_buckets=8)
+    live = expected_state(spark.read.parquet(log_path),
+                          key_columns=["repo", "path"])
+    rows = bootstrap_snapshot(table, live)
+    print(f"BOOTSTRAPPED {rows}", flush=True)
+    spark.stop()
+
+
 def worker_count(table_path: str) -> None:
     """Prove the table is READABLE (well-formed manifest + files) and
     report its live row count — the post-crash check for tables whose
@@ -155,7 +216,8 @@ def worker_count(table_path: str) -> None:
     spark.stop()
 
 
-def worker_verify(log_path: str, table_path: str) -> None:
+def worker_verify(log_path: str, table_path: str,
+                  max_offset: int | None = None) -> None:
     """Independent DuckDB COLUMN-level LWW fold (tests/test_patch_events.py
     oracle): full images set every column at their seq, patches set only
     their non-null columns, liveness comes from the full-image winner
@@ -175,7 +237,8 @@ def worker_verify(log_path: str, table_path: str) -> None:
     want = set(
         duckdb.connect().execute(
             f"""
-            WITH ev AS (SELECT * FROM read_parquet('{log_path}/*.parquet')),
+            WITH ev AS (SELECT * FROM read_parquet('{log_path}/*.parquet')
+                        {f'WHERE "offset" < {int(max_offset)}' if max_offset is not None else ""}),
             agg AS (
               SELECT repo, path,
                 max(CASE WHEN op <> 'patch'
@@ -349,12 +412,13 @@ def _compact_cycle(base: str, log_path: str, c: int, rng: random.Random) -> dict
     return rec
 
 
-def _state_ok(log_path: str, table_path: str) -> bool:
-    v = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--mode", "verify",
-         "--log", log_path, "--table", table_path],
-        capture_output=True, text=True,
-    )
+def _state_ok(log_path: str, table_path: str,
+              max_offset: int | None = None) -> bool:
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "verify",
+           "--log", log_path, "--table", table_path]
+    if max_offset is not None:
+        cmd += ["--max-offset", str(max_offset)]
+    v = subprocess.run(cmd, capture_output=True, text=True)
     line = next((l for l in v.stdout.splitlines()
                  if l.startswith("STATE_MATCH")), "STATE_MATCH False")
     return line.split()[1] == "True"
@@ -493,9 +557,360 @@ def _promote_cycle(base: str, log_path: str, c: int,
     return rec
 
 
+def _count_manifests(table_path: str) -> int:
+    return len(glob.glob(os.path.join(table_path, "_manifests", "v*.json")))
+
+
+def _expire_cycle(base: str, log_path: str, c: int,
+                  rng: random.Random) -> dict:
+    """One retention-GC crash cycle: replay at a small interval (many
+    manifests), compact (superseded generations on disk), then SIGKILL
+    expire_snapshots(keep_last=2) mid-deletion. Deletion order is
+    files-then-manifest per expired version, so a kill can leave an
+    expired manifest referencing deleted files — current reads must stay
+    exact regardless, and the re-run must tolerate the debris
+    (FileNotFoundError pass) and finish the retention sweep."""
+    table_path = os.path.join(base, f"x{c}")
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "replay",
+         "--log", log_path, "--table", table_path, "--interval", "250"],
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "compact",
+         "--table", table_path],
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    n0 = _count_manifests(table_path)
+    # land the kill a RANDOM depth into the sweep, not always at the first
+    # manifest removal — debris shape differs by how many versions the
+    # dead attempt got through
+    target_drop = rng.randrange(1, max(2, min(9, n0 - 2)))
+    rec = {"expire_cycle": c, "manifests_before": n0,
+           "kill_after_drop": target_drop}
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "expire",
+           "--table", table_path, "--keep-last", "2"]
+    p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    grace = rng.random() * 0.004
+    deadline = time.monotonic() + 300
+    killed = False
+    while time.monotonic() < deadline:
+        if p.poll() is not None:
+            break  # finished before the kill — raced, reported
+        if _count_manifests(table_path) <= n0 - target_drop:
+            time.sleep(grace)
+            p.kill()
+            killed = True
+            break
+        time.sleep(0.001)
+    p.wait()
+    n1 = _count_manifests(table_path)
+    rec["grace"] = grace
+    rec["manifests_after_crash"] = n1
+    rec["crash_real"] = killed and n1 > 2
+    rec["state_after_crash"] = _state_ok(log_path, table_path)
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    done = next((l for l in r.stdout.splitlines()
+                 if l.startswith("EXPIRED")), None)
+    rec["reexpire"] = done
+    rec["manifests_final"] = _count_manifests(table_path)
+    rec["state_after_reexpire"] = (
+        _state_ok(log_path, table_path) if done else False)
+    rec["ok"] = bool(rec["state_after_crash"] and done
+                     and rec["manifests_final"] == 2
+                     and rec["state_after_reexpire"])
+    shutil.rmtree(table_path, ignore_errors=True)
+    return rec
+
+
+def _replicate_cycle(base: str, log_path: str, c: int,
+                     rng: random.Random) -> dict:
+    """One replication crash cycle: replay PART of the log into an
+    upstream table, SIGKILL the replica's catch-up round while its merge
+    is writing data files (the replica's marker commit is the only
+    publish point), re-run to convergence, then advance the upstream with
+    the REST of the log and repeat. The replica must end state-exact
+    against the full-log oracle and every crashed round must be invisible
+    (marker version unchanged after a pre-commit kill)."""
+    src_path = os.path.join(base, f"rsrc{c}")
+    dst_path = os.path.join(base, f"rdst{c}")
+    rec = {"replicate_cycle": c, "rounds": []}
+    rep_cmd = [sys.executable, os.path.abspath(__file__), "--mode",
+               "replicate", "--table", dst_path, "--staging", src_path]
+
+    def _crash_round() -> dict:
+        rd = {}
+        before = _reader_version(dst_path)
+        data_dir = os.path.join(dst_path, "data")
+        seen = set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
+        p = subprocess.Popen(rep_cmd, stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+        grace = rng.choice([0.0, 0.1, 0.3])
+        deadline = time.monotonic() + 300
+        killed = False
+        while time.monotonic() < deadline:
+            if p.poll() is not None:
+                break
+            now = set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
+            if now - seen:
+                time.sleep(grace)
+                p.kill()
+                killed = True
+                break
+            time.sleep(0.005)
+        p.wait()
+        after = _reader_version(dst_path)
+        rd["grace"] = grace
+        rd["crash_real"] = killed and after == before
+        rd["marker_moved_during_crash"] = after != before
+        r = subprocess.run(rep_cmd, capture_output=True, text=True)
+        rd["rerun"] = next((l for l in r.stdout.splitlines()
+                            if l.startswith("REPLICATED")), None)
+        rd["state"] = _state_ok(log_path, dst_path)
+        return rd
+
+    # stage 1: partial upstream (first half of the epochs), crash a round
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "replay",
+         "--log", log_path, "--table", src_path, "--interval", "250",
+         "--max-epochs", "10"],
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    # seed the replica (create + first catch-up, uncrashed) so later
+    # rounds exercise incremental deltas, then crash a fresh round after
+    # the upstream advances
+    subprocess.run(rep_cmd, check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL)
+    # stage 2: advance the upstream to completion, crash the catch-up
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "replay",
+         "--log", log_path, "--table", src_path, "--interval", "250"],
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    rd = _crash_round()
+    rec["rounds"].append(rd)
+    rec["src_state"] = _state_ok(log_path, src_path)
+    rec["crash_real"] = rd["crash_real"]
+    rec["ok"] = bool(rd["state"] and rd["rerun"] and rec["src_state"])
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(dst_path, ignore_errors=True)
+    return rec
+
+
+def _mutable_cycle(base: str, log_path: str, c: int, rng: random.Random,
+                   n_offsets: int) -> dict:
+    """One mutable-reload crash cycle: replay only the FIRST 10 epochs (the
+    'old live state'), then SIGKILL a full truncate-and-reload while its
+    snapshot files are being written. The reload is ONE commit, so after
+    the crash the table must still read as exactly the old prefix state
+    (verified against the log-prefix oracle) — never empty, never a torn
+    mix — and a re-run must land the full-log state."""
+    table_path = os.path.join(base, f"mu{c}")
+    interval = 250
+    prefix_epochs = 10
+    cutoff = min(prefix_epochs * interval, n_offsets)
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "replay",
+         "--log", log_path, "--table", table_path, "--interval",
+         str(interval), "--max-epochs", str(prefix_epochs)],
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    v0 = _reader_version(table_path)
+    rec = {"mutable_cycle": c, "version_before": v0, "prefix_offsets": cutoff}
+    data_dir = os.path.join(table_path, "data")
+    seen = set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "bootstrap",
+           "--log", log_path, "--table", table_path]
+    p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    grace = rng.choice([0.0, 0.1, 0.3])
+    deadline = time.monotonic() + 300
+    killed = False
+    while time.monotonic() < deadline:
+        if p.poll() is not None:
+            break  # finished before the kill — raced, reported
+        now = set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
+        if now - seen:
+            time.sleep(grace)
+            p.kill()
+            killed = True
+            break
+        time.sleep(0.005)
+    p.wait()
+    v1 = _reader_version(table_path)
+    committed = v1 > v0
+    rec["grace"] = grace
+    rec["crash_real"] = killed and not committed
+    rec["reload_committed_before_kill"] = committed
+    # old prefix state if the reload never committed, full state if it did
+    rec["state_after_crash"] = (
+        _state_ok(log_path, table_path)
+        if committed
+        else _state_ok(log_path, table_path, max_offset=cutoff)
+    )
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    done = next((l for l in r.stdout.splitlines()
+                 if l.startswith("BOOTSTRAPPED")), None)
+    rec["rereload"] = done
+    rec["state_after_reload"] = (
+        _state_ok(log_path, table_path) if done else False)
+    rec["ok"] = bool(rec["state_after_crash"] and done
+                     and rec["state_after_reload"])
+    shutil.rmtree(table_path, ignore_errors=True)
+    return rec
+
+
+def _lifecycle_cycle(base: str, log_path: str, c: int, rng: random.Random,
+                     n_offsets: int) -> dict:
+    """One full table-lifetime chaos chain on a SINGLE table: crash the
+    replay, the compaction, the rebucket, the retention GC, and the
+    promotion IN SEQUENCE, re-running each to completion, with the state
+    oracle asserted after every crash AND after every recovery. Debris
+    from each dead rewrite stays on disk for the rest of the chain, so
+    later stages prove they tolerate accumulated crash scars on a table
+    that has already survived earlier ones — the compound case no
+    single-surface cycle covers."""
+    t = os.path.join(base, f"lc{c}")
+    main = os.path.join(base, f"lcmain{c}")
+    rec = {"lifecycle_cycle": c, "stages": {}}
+    oks, reals = [], 0
+
+    def stage(name: str, d: dict, ok: bool) -> None:
+        nonlocal reals
+        d["ok"] = ok
+        rec["stages"][name] = d
+        oks.append(ok)
+        if d.get("crash_real"):
+            reals += 1
+
+    # 1. replay: kill at a random committed epoch, resume to completion
+    interval = 250
+    total = -(-n_offsets // interval)
+    kill_epoch = rng.randrange(0, max(1, total - 2))
+    r1 = _run_replay_until(log_path, t, interval, kill_epoch,
+                           rng.choice([0.0, 0.2]))
+    et = _manifest_epochs_through(t)
+    r3 = _run_replay_until(log_path, t, interval, None, 0.0)
+    d = {"kill_epoch": kill_epoch, "crash_real": r1["killed"] and et < total - 1,
+         "resume": r3["done"]}
+    resume_exact = False
+    if r3["done"]:
+        parts = dict(kv.split("=") for kv in r3["done"].split()[1:])
+        resume_exact = (int(parts["run"]) + int(parts["skipped"]) == total
+                        and int(parts["skipped"]) == et + 1)
+    d["resume_exact"] = resume_exact
+    stage("replay", d, resume_exact and _state_ok(log_path, t))
+
+    # 2. + 3. crash a rewrite (compact, then rebucket), re-run it
+    for name, extra, tagfmt, doneword in (
+        ("compact", [], "compact-v{v:08d}", "COMPACTED"),
+        ("rebucket", ["--buckets", "16"], "rebucket-v{v:08d}", "REBUCKETED"),
+    ):
+        v0 = _manifest_version(t)
+        cmd = [sys.executable, os.path.abspath(__file__), "--mode", name,
+               "--table", t] + extra
+        p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+        killed = _kill_when_dir(
+            p, os.path.join(t, "data", tagfmt.format(v=v0)),
+            rng.choice([0.0, 0.1, 0.3]))
+        d = {"crash_real": killed and _manifest_version(t) == v0,
+             "state_after_crash": _state_ok(log_path, t)}
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        d["rerun"] = next((l for l in r.stdout.splitlines()
+                           if l.startswith(doneword)), None)
+        stage(name, d, bool(d["state_after_crash"] and d["rerun"]
+                            and _state_ok(log_path, t)))
+
+    # 4. retention GC: kill mid-sweep, re-run through the debris
+    n0 = _count_manifests(t)
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "expire",
+           "--table", t, "--keep-last", "2"]
+    p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    drop = rng.randrange(1, max(2, min(9, n0 - 2)))
+    deadline = time.monotonic() + 300
+    killed = False
+    while time.monotonic() < deadline:
+        if p.poll() is not None:
+            break
+        if _count_manifests(t) <= n0 - drop:
+            time.sleep(rng.random() * 0.004)
+            p.kill()
+            killed = True
+            break
+        time.sleep(0.001)
+    p.wait()
+    d = {"crash_real": killed and _count_manifests(t) > 2,
+         "state_after_crash": _state_ok(log_path, t)}
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    d["rerun"] = next((l for l in r.stdout.splitlines()
+                       if l.startswith("EXPIRED")), None)
+    stage("expire", d, bool(d["state_after_crash"] and d["rerun"]
+                            and _count_manifests(t) == 2
+                            and _state_ok(log_path, t)))
+
+    # 5. mutable reload: kill the truncate-and-reload mid-write over the
+    # already-scarred table (state is the full-log fold before AND after,
+    # so the oracle must hold across crash and re-run)
+    v0 = _reader_version(t)
+    data_dir = os.path.join(t, "data")
+    seen = set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "bootstrap",
+           "--log", log_path, "--table", t]
+    p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    deadline = time.monotonic() + 300
+    killed = False
+    while time.monotonic() < deadline:
+        if p.poll() is not None:
+            break
+        now = set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
+        if now - seen:
+            time.sleep(rng.choice([0.0, 0.1, 0.3]))
+            p.kill()
+            killed = True
+            break
+        time.sleep(0.005)
+    p.wait()
+    d = {"crash_real": killed and _reader_version(t) == v0,
+         "state_after_crash": _state_ok(log_path, t)}
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    d["rerun"] = next((l for l in r.stdout.splitlines()
+                       if l.startswith("BOOTSTRAPPED")), None)
+    stage("reload", d, bool(d["state_after_crash"] and d["rerun"]
+                            and _state_ok(log_path, t)))
+
+    # 6. promotion: kill mid-linkfarm, re-promote, verify MAIN
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "promote",
+           "--table", main, "--staging", t]
+    p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    killed = _kill_when_dir(p, os.path.join(main, "_manifests"),
+                            rng.random() * 0.004, poll=0.001)
+    committed = _reader_version(main) >= 1
+    d = {"crash_real": killed and not committed,
+         "promote_committed_before_kill": committed,
+         "staging_intact": _state_ok(log_path, t)}
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    d["rerun"] = next((l for l in r.stdout.splitlines()
+                       if l.startswith("PROMOTED")), None)
+    stage("promote", d, bool(d["staging_intact"] and d["rerun"]
+                             and _state_ok(log_path, main)))
+
+    rec["real_crashes"] = reals
+    rec["ok"] = all(oks)
+    shutil.rmtree(t, ignore_errors=True)
+    shutil.rmtree(main, ignore_errors=True)
+    return rec
+
+
 def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
                 compact_cycles: int, rebucket_cycles: int,
-                promote_cycles: int, patch_fraction: float) -> int:
+                promote_cycles: int, expire_cycles: int,
+                replicate_cycles: int, mutable_cycles: int,
+                lifecycle_cycles: int, patch_fraction: float) -> int:
     rng = random.Random(seed)
     base = tempfile.mkdtemp(prefix="crashfuzz-")
     log_path = os.path.join(base, "log")
@@ -594,18 +1009,57 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
             if rec["crash_real"]:
                 promote_real += 1
             print(json.dumps(rec), flush=True)
+        expire_real = 0
+        for c in range(expire_cycles):
+            rec = _expire_cycle(base, log_path, c, rng)
+            if not rec["ok"]:
+                failures += 1
+            if rec["crash_real"]:
+                expire_real += 1
+            print(json.dumps(rec), flush=True)
+        replicate_real = 0
+        for c in range(replicate_cycles):
+            rec = _replicate_cycle(base, log_path, c, rng)
+            if not rec["ok"]:
+                failures += 1
+            if rec["crash_real"]:
+                replicate_real += 1
+            print(json.dumps(rec), flush=True)
+        mutable_real = 0
+        for c in range(mutable_cycles):
+            rec = _mutable_cycle(base, log_path, c, rng, n_offsets)
+            if not rec["ok"]:
+                failures += 1
+            if rec["crash_real"]:
+                mutable_real += 1
+            print(json.dumps(rec), flush=True)
+        lifecycle_real = 0
+        for c in range(lifecycle_cycles):
+            rec = _lifecycle_cycle(base, log_path, c, rng, n_offsets)
+            if not rec["ok"]:
+                failures += 1
+            lifecycle_real += rec["real_crashes"]
+            print(json.dumps(rec), flush=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     print(json.dumps({"cycles": cycles, "stream_cycles": stream_cycles,
                       "compact_cycles": compact_cycles,
                       "rebucket_cycles": rebucket_cycles,
                       "promote_cycles": promote_cycles,
+                      "expire_cycles": expire_cycles,
+                      "replicate_cycles": replicate_cycles,
+                      "mutable_cycles": mutable_cycles,
+                      "lifecycle_cycles": lifecycle_cycles,
                       "patch_fraction": patch_fraction,
                       "failures": failures, "real_crashes": real_crashes,
                       "stream_real_crashes": stream_real,
                       "compact_real_crashes": compact_real,
                       "rebucket_real_crashes": rebucket_real,
-                      "promote_real_crashes": promote_real}), flush=True)
+                      "promote_real_crashes": promote_real,
+                      "expire_real_crashes": expire_real,
+                      "replicate_real_crashes": replicate_real,
+                      "mutable_real_crashes": mutable_real,
+                      "lifecycle_real_crashes": lifecycle_real}), flush=True)
     # the campaign is only evidence if the kills mostly landed mid-replay
     weak = (cycles > 0 and real_crashes < max(1, cycles // 2)) or (
         stream_cycles > 0 and stream_real < max(1, stream_cycles // 2)
@@ -617,12 +1071,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="fuzz",
                     choices=["fuzz", "gen", "replay", "stream", "compact",
-                             "rebucket", "promote", "count", "verify"])
+                             "rebucket", "promote", "expire", "replicate",
+                             "bootstrap", "count", "verify"])
     ap.add_argument("--cycles", type=int, default=6)
     ap.add_argument("--stream-cycles", type=int, default=3)
     ap.add_argument("--compact-cycles", type=int, default=2)
     ap.add_argument("--rebucket-cycles", type=int, default=2)
     ap.add_argument("--promote-cycles", type=int, default=2)
+    ap.add_argument("--expire-cycles", type=int, default=2)
+    ap.add_argument("--replicate-cycles", type=int, default=2)
+    ap.add_argument("--mutable-cycles", type=int, default=2)
+    ap.add_argument("--lifecycle-cycles", type=int, default=1)
     ap.add_argument("--events", type=int, default=5000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--log")
@@ -630,6 +1089,9 @@ def main() -> int:
     ap.add_argument("--staging")
     ap.add_argument("--ckpt")
     ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--keep-last", type=int, default=2)
+    ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--max-offset", type=int, default=None)
     ap.add_argument("--interval", type=int, default=500)
     ap.add_argument("--patch-fraction", type=float, default=0.0)
     a = ap.parse_args()
@@ -637,7 +1099,7 @@ def main() -> int:
         worker_gen(a.log, a.events, a.patch_fraction)
         return 0
     if a.mode == "replay":
-        worker_replay(a.log, a.table, a.interval)
+        worker_replay(a.log, a.table, a.interval, a.max_epochs)
         return 0
     if a.mode == "stream":
         worker_stream(a.log, a.table, a.ckpt)
@@ -651,14 +1113,25 @@ def main() -> int:
     if a.mode == "promote":
         worker_promote(a.staging, a.table)
         return 0
+    if a.mode == "expire":
+        worker_expire(a.table, a.keep_last)
+        return 0
+    if a.mode == "replicate":
+        worker_replicate(a.staging, a.table)
+        return 0
+    if a.mode == "bootstrap":
+        worker_bootstrap(a.log, a.table)
+        return 0
     if a.mode == "count":
         worker_count(a.table)
         return 0
     if a.mode == "verify":
-        worker_verify(a.log, a.table)
+        worker_verify(a.log, a.table, a.max_offset)
         return 0
     return orchestrate(a.cycles, a.events, a.seed, a.stream_cycles,
                        a.compact_cycles, a.rebucket_cycles, a.promote_cycles,
+                       a.expire_cycles, a.replicate_cycles,
+                       a.mutable_cycles, a.lifecycle_cycles,
                        a.patch_fraction)
 
 
