@@ -1658,16 +1658,26 @@ class LakeTable:
         table's physical spec, then :meth:`promote_from` the staging
         snapshot into it. The single code path behind both the ``promote``
         CLI command and the per-table ``promote_to`` config key, so the
-        first-promotion creation spec cannot diverge between them."""
+        first-promotion creation spec cannot diverge between them.
+
+        Losing the FIRST-creation race to a concurrent promoter is
+        tolerated (open the winner's table and promote into it — the
+        layout-equality guard in :meth:`promote_from` still applies);
+        losing the promote commit itself raises the usual conflict."""
         src = staging.snapshot()
         if cls.exists(main_root):
             main = cls(spark, main_root)
         else:
-            main = cls.create(
-                spark, main_root, src.schema,
-                key_columns=list(src.key_columns),
-                num_buckets=src.num_buckets, layout=src.layout,
-            )
+            try:
+                main = cls.create(
+                    spark, main_root, src.schema,
+                    key_columns=list(src.key_columns),
+                    num_buckets=src.num_buckets, layout=src.layout,
+                )
+            except RuntimeError:
+                if not cls.exists(main_root):
+                    raise
+                main = cls(spark, main_root)
         return main.promote_from(staging)
 
     def promote_from(self, staging: "LakeTable") -> Manifest:

@@ -73,18 +73,28 @@ def ensure_table(
     """Open-or-create. ``schema``/``key_columns`` default to the ``repos``
     table; other declared tables pass theirs (schemas.TABLES). Physical
     knobs (``num_buckets``/``layout``/``stat_columns``) apply to NEW
-    tables only — an existing table keeps its own."""
+    tables only — an existing table keeps its own.
+
+    Concurrent-safe: two workers racing the FIRST creation both succeed —
+    the loser of the v0 commit CAS (exists() probe raced create()) opens
+    the winner's table instead of dying on the conflict, exactly like an
+    open of a pre-existing table."""
     if LakeTable.exists(root):
         return LakeTable(spark, root)
-    return LakeTable.create(
-        spark,
-        root,
-        schema if schema is not None else REPOS,
-        key_columns=key_columns or ["repo", "path"],
-        num_buckets=num_buckets,
-        layout=layout,
-        stat_columns=stat_columns,
-    )
+    try:
+        return LakeTable.create(
+            spark,
+            root,
+            schema if schema is not None else REPOS,
+            key_columns=key_columns or ["repo", "path"],
+            num_buckets=num_buckets,
+            layout=layout,
+            stat_columns=stat_columns,
+        )
+    except RuntimeError:
+        if LakeTable.exists(root):
+            return LakeTable(spark, root)
+        raise
 
 
 def _write_lineage(

@@ -341,3 +341,48 @@ def test_same_epoch_rival_commit_is_noop_and_preserves_data(spark, tmp_path):
     assert table.is_epoch_committed("A", 0)
     rows = table.read().collect()  # winner's committed files intact & readable
     assert len(rows) == 1 and rows[0]["content"] == "winner"
+
+
+def test_ensure_table_tolerates_lost_creation_race(spark, tmp_path, monkeypatch):
+    """Two workers race the FIRST creation of a table: the loser's
+    exists() probe reads False, then its create() loses the v0 commit CAS
+    ('manifest v0 already live'). ensure_table must OPEN the winner's
+    table instead of dying — otherwise one of two concurrently started
+    ingest workers crashes at startup."""
+    root = str(tmp_path / "race")
+    winner = ensure_table(spark, root, num_buckets=4)
+    orig = LakeTable.exists
+    calls = {"n": 0}
+
+    def toctou_exists(r):
+        calls["n"] += 1
+        return False if calls["n"] == 1 else orig(r)
+
+    monkeypatch.setattr(LakeTable, "exists", toctou_exists)
+    loser = ensure_table(spark, root, num_buckets=8)
+    assert loser.current_version() == winner.current_version()
+    # the loser adopted the WINNER's physical spec — its own knobs are
+    # new-table-only and must not have landed anywhere
+    assert loser.snapshot().num_buckets == 4
+
+
+def test_promote_into_tolerates_lost_creation_race(spark, tmp_path, monkeypatch):
+    """Same TOCTOU for the promotion path: two promoters racing the first
+    creation of MAIN must both promote (second one replaces), not die on
+    the v0 conflict."""
+    stg = _mk_table(spark, tmp_path, "stg")
+    merge_batch(stg, _batch(spark, [(0, 0, "insert", "r", "a.py", "c", "py", "v0")]),
+                "main", 0, 0, 1)
+    main_root = str(tmp_path / "main")
+    LakeTable.promote_into(spark, main_root, stg)  # winner's promotion
+    orig = LakeTable.exists
+    calls = {"n": 0}
+
+    def toctou_exists(r):
+        calls["n"] += 1
+        return False if calls["n"] == 1 else orig(r)
+
+    monkeypatch.setattr(LakeTable, "exists", toctou_exists)
+    m = LakeTable.promote_into(spark, main_root, stg)  # loser's promotion
+    assert m.operation == "promote"
+    assert LakeTable(spark, main_root).read().count() == 1
