@@ -1088,6 +1088,7 @@ class LakeTable:
         properties: dict[str, Any] | None = None,
         marker_mode: str = "contiguous",
         num_buckets: int | None = None,
+        replaced_paths: set[str] | None = None,
     ) -> Manifest:
         """Commit new files, replacing ``replaced_pids`` file groups
         (copy-on-write) — or none (``set()``): a merge-on-read delta append.
@@ -1098,6 +1099,14 @@ class LakeTable:
         another writer advanced the table meanwhile. ``properties`` merge
         over the parent's (e.g. the ``mor_appends`` outstanding-delta
         counter).
+
+        ``replaced_paths`` replaces individual FILES instead of whole pid
+        groups (``replaced_pids`` is then ignored): the rebase mode online
+        compaction uses to land a rewrite on top of concurrent MOR appends —
+        delta files another writer added to the same pid groups meanwhile
+        must survive the commit. Every replaced path must still be live in
+        the parent, else the rewrite is stale and the commit refuses
+        (Iceberg analog: RewriteFiles validation on retry).
         """
         parent = self.snapshot()
         if expected_parent is not None and parent.version != expected_parent:
@@ -1105,7 +1114,17 @@ class LakeTable:
                 f"concurrent commit: expected parent {expected_parent}, "
                 f"found {parent.version}"
             )
-        kept = [f for f in parent.files if f["pid"] not in replaced_pids]
+        if replaced_paths is not None:
+            missing = replaced_paths - {f["path"] for f in parent.files}
+            if missing:
+                raise RuntimeError(
+                    f"concurrent commit: {len(missing)} replaced file(s) no "
+                    f"longer live in v{parent.version} "
+                    f"(e.g. {sorted(missing)[:2]})"
+                )
+            kept = [f for f in parent.files if f["path"] not in replaced_paths]
+        else:
+            kept = [f for f in parent.files if f["pid"] not in replaced_pids]
         streams = json.loads(json.dumps(parent.streams))  # deep copy
         if stream_id is not None and epoch_id is not None:
             entry = streams.setdefault(stream_id, {"epochs": {}, "last_epoch": None})
@@ -1303,6 +1322,93 @@ class LakeTable:
         )
         return base_files + patch_files, n_orphans, wrote_colseq
 
+    def _rebase_sound(
+        self, base: "Manifest", parent: "Manifest", replaced_paths: set[str]
+    ) -> bool:
+        """True iff landing a rewrite of ``replaced_paths`` (folded from the
+        ``base`` snapshot) on top of ``parent`` is provably exact — the
+        online-compaction rebase check (Iceberg analog: the conflict
+        validation a RewriteFiles commit runs on retry).
+
+        Sound when (a) ``parent`` descends from EXACTLY the ``base``
+        manifest through commits that only ADD logical rows or metadata
+        (``merge-*`` / ``update-schema`` / ``set-clustering`` — never a
+        compact/rebucket/bootstrap/promote, and never a rollback, which
+        repoints ``_current`` off the chain entirely, so the ancestor walk
+        refuses it structurally), (b) every file the rewrite replaces is
+        still live in ``parent`` (a cow merge that consumed one would make
+        the rewrite stale — it no longer folds those rows' latest state),
+        and (c) the physical layout is unchanged (the rewrite's files are
+        bucket-aligned under ``base``'s layout). Under those rules the
+        rebased state is file-for-file identical to the sequential order
+        "compact first, then the concurrent commits": MOR merge output
+        depends only on its batch, never on the table state it landed on.
+
+        Identity of the chain foot is checked by (version, committed_at) —
+        version alone could match a different-timeline manifest left by a
+        rollback-then-recommit overwrite."""
+        if (
+            parent.num_buckets != base.num_buckets
+            or parent.layout != base.layout
+        ):
+            return False
+        if replaced_paths - {f["path"] for f in parent.files}:
+            return False
+        cur = parent
+        try:
+            while cur.version > base.version:
+                op = cur.operation
+                if not (
+                    op.startswith("merge")
+                    or op in ("update-schema", "set-clustering")
+                ):
+                    return False
+                if cur.parent is None:
+                    return False
+                cur = self.snapshot(cur.parent)
+        except FileNotFoundError:
+            # a concurrent expire_snapshots dropped a mid-chain manifest:
+            # cannot prove the chain — full retry, never a guess
+            return False
+        return (
+            cur.version == base.version
+            and cur.committed_at == base.committed_at
+        )
+
+    def noop_descends_from(
+        self,
+        base: "Manifest",
+        parent: "Manifest",
+        allowed_ops: tuple[str, ...] = ("compact", "set-clustering", "update-schema"),
+    ) -> bool:
+        """True iff ``parent`` descends from exactly ``base`` through
+        commits that are LOGICAL NO-OPS under the same physical layout —
+        the cheap-rebase check a MERGE uses after losing its optimistic
+        race to maintenance: the fold's output was computed against
+        logical row state, which compaction / metadata commits do not
+        change, so the merge re-commits against the new parent without
+        recomputing anything. A rebucket changes the layout (the merge's
+        delta files are bucket-aligned under ``base``'s) and a rival merge
+        changes the rows, so neither is in ``allowed_ops`` — those races
+        surface to the caller's full-recompute retry (apply_epoch)."""
+        if (
+            parent.num_buckets != base.num_buckets
+            or parent.layout != base.layout
+        ):
+            return False
+        cur = parent
+        try:
+            while cur.version > base.version:
+                if cur.operation not in allowed_ops or cur.parent is None:
+                    return False
+                cur = self.snapshot(cur.parent)
+        except FileNotFoundError:
+            return False
+        return (
+            cur.version == base.version
+            and cur.committed_at == base.committed_at
+        )
+
     def compact(
         self,
         full: bool = False,
@@ -1351,8 +1457,49 @@ class LakeTable:
         join the table's persistent ``stat_columns`` so every later write
         keeps recording their zone maps. Incremental compaction clusters
         only the rewritten file groups — pass ``full=True`` to re-cluster
-        the whole table."""
+        the whole table.
+
+        ONLINE: safe to run against a live, continuously-ingesting table.
+        A merge committing while the rewrite runs no longer kills the
+        compaction — the commit REBASES onto the new snapshot when that is
+        provably exact (``_rebase_sound``: only row-adding / metadata
+        commits intervened and every folded file is still live), replacing
+        exactly the files the fold consumed and keeping the concurrent
+        delta appends on top of the new base (the MOR fold resolves them
+        by seq as always). When rebase is impossible (a rival compaction,
+        a cow merge over the same groups, a rollback), the whole rewrite
+        is redone from the fresh snapshot — at most 3 attempts, then the
+        caller is told to stand down. At 100 TB this is the difference
+        between maintenance you can cron and maintenance that needs an
+        ingest outage: a multi-minute rewrite will essentially always race
+        a micro-batch stream."""
         del preserve_patches  # superseded: finalization is always exact now
+        for _attempt in range(3):
+            out = self._compact_once(
+                full=full,
+                drop_orphan_patches=drop_orphan_patches,
+                sort_columns=sort_columns,
+                max_records_per_file=max_records_per_file,
+            )
+            if out is not None:
+                return out
+        raise RuntimeError(
+            "compact: rewrite went stale against concurrent non-append "
+            "commits 3 times in a row — retry when the rival maintenance "
+            "writer is done"
+        )
+
+    def _compact_once(
+        self,
+        full: bool,
+        drop_orphan_patches: bool,
+        sort_columns: list[str] | None,
+        max_records_per_file: int | None,
+    ) -> "Manifest | None":
+        """One compaction attempt: rewrite from the current snapshot, then
+        commit — fast-path pid-level replace, rebase on a lost race, or
+        ``None`` when the rewrite went stale and must be redone (see
+        :meth:`compact`)."""
         m = self.snapshot()
         if sort_columns:
             known = set(m.schema.fieldNames())
@@ -1427,13 +1574,67 @@ class LakeTable:
         }
         if extra_stats:
             props["stat_columns"] = self._resolved_stat_columns(m, extra_stats)
-        return self.commit(
-            files,
-            replaced_pids=delta_pids,
-            operation="compact",
-            expected_parent=m.version,
-            properties=props,
-        )
+        try:
+            return self.commit(
+                files,
+                replaced_pids=delta_pids,
+                operation="compact",
+                expected_parent=m.version,
+                properties=props,
+            )
+        except RuntimeError as e:
+            if "concurrent commit" not in str(e):
+                raise
+        # Lost the optimistic race: a writer committed while the rewrite
+        # ran. REBASE instead of discarding the rewrite: replace exactly
+        # the files the fold consumed and keep everything the concurrent
+        # commits appended on top — sound under the _rebase_sound rules,
+        # where the result is file-for-file what "compact, then the same
+        # merges" would have produced.
+        replaced_paths = {f["path"] for f in m.files if f["pid"] in delta_pids}
+        folded_patch_debt = int(m.properties.get("patch_deltas", 0))
+        for _ in range(10):
+            p = self.snapshot()
+            if not self._rebase_sound(m, p, replaced_paths):
+                return None  # stale rewrite: the caller redoes the compaction
+            kept_delta = any(
+                not f.get("base", False)
+                for f in p.files
+                if f["path"] not in replaced_paths
+            )
+            props = {
+                # concurrent MOR appends the rebase keeps re-arm the fold
+                "mor_appends": 1 if (n_preserved or kept_delta) else 0,
+                # concurrent merges may have appended NEW patch rows on top
+                # of the debt this rewrite folded (all of the base
+                # snapshot's patch rows lived in the replaced files — patch
+                # files are never base)
+                "patch_deltas": int(p.properties.get("patch_deltas", 0))
+                - folded_patch_debt
+                + n_preserved,
+                # the base-snapshot flag stays exact under rebase:
+                # concurrent MOR appends never write _colseq (only
+                # finalizing rewrites and cow-over-finalized merges do,
+                # and neither passes _rebase_sound)
+                "colseq": colseq_flag,
+            }
+            if extra_stats:
+                props["stat_columns"] = self._resolved_stat_columns(
+                    p, extra_stats
+                )
+            try:
+                return self.commit(
+                    files,
+                    replaced_pids=set(),
+                    operation="compact",
+                    expected_parent=p.version,
+                    properties=props,
+                    replaced_paths=replaced_paths,
+                )
+            except RuntimeError as e:
+                if "concurrent commit" not in str(e):
+                    raise
+        return None
 
     def update_schema(
         self,
@@ -1459,14 +1660,39 @@ class LakeTable:
         ``description`` persists as a manifest property (the reference's
         ``bq update --description`` twin, same maintenance doc).
         Idempotent: re-pushing the already-live schema with no new
-        description returns the current snapshot without a commit."""
+        description returns the current snapshot without a commit.
+
+        ONLINE: a lost optimistic race re-runs the whole push against the
+        fresh snapshot, REBASED (``merge_widening(...,
+        allow_missing_in_new=True)``): a field the fresh snapshot has but
+        the pushed file lacks is a rival commit's concurrent addition, not
+        an operator drop, and is kept — the first attempt stays strict so
+        a genuinely narrowed file still fails loudly. Up to 5 attempts."""
+        for attempt in range(5):
+            try:
+                return self._update_schema_once(
+                    new_schema, description, rebase=attempt > 0
+                )
+            except RuntimeError as e:
+                if "concurrent commit" not in str(e):
+                    raise
+        raise RuntimeError(
+            "update-schema: lost the concurrent-commit race 5 times in a row"
+        )
+
+    def _update_schema_once(
+        self,
+        new_schema: StructType,
+        description: str | None,
+        rebase: bool = False,
+    ) -> Manifest:
         from multiversx_etl_spark.sources.bq_schema import (
             merge_widening,
             schema_added_paths,
         )
 
         m = self.snapshot()
-        merged = merge_widening(m.schema, new_schema)
+        merged = merge_widening(m.schema, new_schema, allow_missing_in_new=rebase)
         reserved = [
             p
             for p in schema_added_paths(m.schema, merged)
@@ -1511,7 +1737,25 @@ class LakeTable:
         the next compaction already record their zone maps. An empty
         ``sort_columns`` clears the spec (back to key-column clustering).
         Metadata-only, optimistic-concurrency commit like
-        ``update_schema``."""
+        ``update_schema`` — and like it, ONLINE: a lost race re-validates
+        and re-commits against the fresh snapshot (up to 5 attempts)."""
+        for _ in range(5):
+            try:
+                return self._set_clustering_once(
+                    sort_columns, max_records_per_file
+                )
+            except RuntimeError as e:
+                if "concurrent commit" not in str(e):
+                    raise
+        raise RuntimeError(
+            "set-clustering: lost the concurrent-commit race 5 times in a row"
+        )
+
+    def _set_clustering_once(
+        self,
+        sort_columns: list[str],
+        max_records_per_file: int | None,
+    ) -> Manifest:
         from pyspark.sql.types import ArrayType, MapType
 
         m = self.snapshot()
@@ -1594,13 +1838,36 @@ class LakeTable:
         rewritten as generations (``drop_orphan_patches=True`` discards
         them), and a full image arriving later than the rewrite still folds
         per-column correctly. ``preserve_patches`` is a compatibility
-        alias: the exactness it used to buy is now unconditional."""
+        alias: the exactness it used to buy is now unconditional.
+
+        ONLINE like ``compact``, but by full retry, never rebase: a
+        concurrent merge's delta files are bucket-aligned under the OLD
+        layout, so keeping them on top of a re-bucketed base would make
+        every later bucket-pruned read (lookup, merge target staging) look
+        in the wrong group — the lost race re-runs the whole rewrite from
+        the fresh snapshot instead (at most 3 attempts). The abandoned
+        attempt's files are crash-orphan-shaped; ``gc_orphan_files``
+        reclaims them."""
         del preserve_patches  # superseded: finalization is always exact now
+        if new_buckets < 1:
+            raise ValueError(f"new_buckets must be >= 1, got {new_buckets}")
+        for _attempt in range(3):
+            out = self._rebucket_once(new_buckets, drop_orphan_patches)
+            if out is not None:
+                return out
+        raise RuntimeError(
+            "rebucket: lost the concurrent-commit race 3 times in a row — "
+            "retry when the table's writers pause"
+        )
+
+    def _rebucket_once(
+        self, new_buckets: int, drop_orphan_patches: bool
+    ) -> "Manifest | None":
+        """One rebucket attempt from the current snapshot; ``None`` on a
+        lost optimistic-concurrency race (see :meth:`rebucket`)."""
         m = self.snapshot()
         if new_buckets == m.num_buckets:
             return m
-        if new_buckets < 1:
-            raise ValueError(f"new_buckets must be >= 1, got {new_buckets}")
         tag = f"rebucket-v{m.version:08d}"
         key = list(m.key_columns)
         patch_outstanding = int(m.properties.get("patch_deltas", 0)) > 0
@@ -1636,19 +1903,24 @@ class LakeTable:
             for f in files:
                 f["base"] = True
             n_preserved = wrote_colseq = 0
-        return self.commit(
-            files,
-            replaced_pids={f["pid"] for f in m.files},
-            operation="rebucket",
-            expected_parent=m.version,
-            properties={
-                "mor_appends": 1 if n_preserved else 0,
-                "patch_deltas": n_preserved,
-                # rebucket rewrites the WHOLE table: the flag is exact here
-                "colseq": 1 if wrote_colseq else 0,
-            },
-            num_buckets=new_buckets,
-        )
+        try:
+            return self.commit(
+                files,
+                replaced_pids={f["pid"] for f in m.files},
+                operation="rebucket",
+                expected_parent=m.version,
+                properties={
+                    "mor_appends": 1 if n_preserved else 0,
+                    "patch_deltas": n_preserved,
+                    # rebucket rewrites the WHOLE table: the flag is exact here
+                    "colseq": 1 if wrote_colseq else 0,
+                },
+                num_buckets=new_buckets,
+            )
+        except RuntimeError as e:
+            if "concurrent commit" not in str(e):
+                raise
+            return None
 
     @classmethod
     def promote_into(

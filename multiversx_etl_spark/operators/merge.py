@@ -632,15 +632,8 @@ def merge_batch(
     stats.rows_updated = int(metrics["upd"] or 0)
     stats.rows_deleted = int(metrics["del"] or 0)
     stats.rows_deduped = int(metrics["dedup"] or 0)
-    # an all-carry MOR batch adds no delta files: don't arm the read-time
-    # fold for nothing (and COW never sets the counter)
-    props = None
-    if mode == "mor" and (new_files or patch_files):
-        props = {"mor_appends": int(parent.properties.get("mor_appends", 0)) + 1}
-        if patch_files:
-            props["patch_deltas"] = (
-                int(parent.properties.get("patch_deltas", 0)) + stats.rows_patched
-            )
+    # (fold-arming properties are computed inside the commit loop below —
+    # their arithmetic is relative to whichever parent the commit lands on)
 
     # Per-bucket ledger rows. NOTE on MOR semantics (ledger contract, see
     # schemas.LINEAGE): per-bucket counts are derived from WRITTEN delta
@@ -680,24 +673,70 @@ def merge_batch(
         pre_commit(stats)
 
     # -- 5. atomic commit: data files + epoch marker + evolved schema.
-    table.commit(
-        new_files + patch_files,
-        replaced_pids,
-        f"merge-{mode}",
-        stream_id,
-        epoch_id,
-        {
-            "offset_lo": offset_lo,
-            "offset_hi": offset_hi,
-            "rows_in": stats.rows_in,
-            "inserted": stats.rows_inserted,
-            "updated": stats.rows_updated,
-            "deleted": stats.rows_deleted,
-            "patched": stats.rows_patched,
-        },
-        schema=evolved,
-        expected_parent=parent.version,
-        properties=props,
-        marker_mode=marker_mode,
+    # A lost optimistic race against a LOGICAL NO-OP commit (compact /
+    # set-clustering / update-schema: same rows, same layout) rebases
+    # CHEAPLY: the fold's output depends on logical row state only, so the
+    # retry refreshes the expected parent and the fold-arming property
+    # arithmetic — never the fold itself. Without this, online compaction
+    # would starve a live ingest whose merge window exceeds the maintenance
+    # cadence (each lost race re-running the whole fold via apply_epoch).
+    # A rebucket (layout change — these delta files are bucket-aligned
+    # under the stale layout) or a rival MERGE (row change) still surfaces
+    # to the caller's full-recompute retry. When the batch evolves the
+    # schema, a concurrent update-schema cannot be rebased over (the
+    # evolved schema was merged against the stale parent and would clobber
+    # the rival's widening), so it too surfaces.
+    # schema=None when the batch evolved nothing: the commit then KEEPS the
+    # live parent's schema, which is what makes rebasing over a concurrent
+    # update-schema sound (committing the stale-parent schema verbatim
+    # would clobber the rival's widening even though it "changed nothing")
+    schema_changed = evolved.jsonValue() != parent.schema.jsonValue()
+    allowed = ("compact", "set-clustering") + (
+        () if schema_changed else ("update-schema",)
     )
-    return stats
+    commit_parent = parent
+    while True:
+        # an all-carry MOR batch adds no delta files: don't arm the
+        # read-time fold for nothing (and COW never sets the counter)
+        props = None
+        if mode == "mor" and (new_files or patch_files):
+            props = {
+                "mor_appends": int(
+                    commit_parent.properties.get("mor_appends", 0)
+                )
+                + 1
+            }
+            if patch_files:
+                props["patch_deltas"] = (
+                    int(commit_parent.properties.get("patch_deltas", 0))
+                    + stats.rows_patched
+                )
+        try:
+            table.commit(
+                new_files + patch_files,
+                replaced_pids,
+                f"merge-{mode}",
+                stream_id,
+                epoch_id,
+                {
+                    "offset_lo": offset_lo,
+                    "offset_hi": offset_hi,
+                    "rows_in": stats.rows_in,
+                    "inserted": stats.rows_inserted,
+                    "updated": stats.rows_updated,
+                    "deleted": stats.rows_deleted,
+                    "patched": stats.rows_patched,
+                },
+                schema=evolved if schema_changed else None,
+                expected_parent=commit_parent.version,
+                properties=props,
+                marker_mode=marker_mode,
+            )
+            return stats
+        except RuntimeError as e:
+            if "concurrent commit" not in str(e):
+                raise
+            p = table.snapshot()
+            if not table.noop_descends_from(commit_parent, p, allowed):
+                raise
+            commit_parent = p

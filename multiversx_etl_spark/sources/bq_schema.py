@@ -139,7 +139,9 @@ def _deep_nullable(dt: DataType) -> DataType:
     return dt
 
 
-def merge_widening(old: StructType, new: StructType) -> StructType:
+def merge_widening(
+    old: StructType, new: StructType, allow_missing_in_new: bool = False
+) -> StructType:
     """Widened union of two schemas — the validation half of the reference's
     out-of-band ``bq update <table> schema/<index>.json`` maintenance flow
     (maintenance/schemas.md:13-28), which BigQuery accepts only when the
@@ -157,7 +159,14 @@ def merge_widening(old: StructType, new: StructType) -> StructType:
     (existing files read them as NULL). Nullability widens monotonically —
     once nullable, always nullable — so a ``new`` that tightens NULLABLE →
     REQUIRED is silently kept nullable rather than rejected: lake files
-    already hold rows predating the tightening."""
+    already hold rows predating the tightening.
+
+    ``allow_missing_in_new=True`` switches the drop rule off: a field
+    ``old`` has but ``new`` lacks is KEPT (pure union). That is the REBASE
+    mode ``update_schema`` retries use after losing an optimistic race —
+    the field missing from the pushed file is a RIVAL commit's concurrent
+    addition, not an operator-requested removal, and must never be
+    clobbered. First attempts stay strict."""
     from pyspark.sql.types import MapType
 
     def merge_type(old_dt: DataType, new_dt: DataType, path: str) -> DataType:
@@ -195,6 +204,9 @@ def merge_widening(old: StructType, new: StructType) -> StructType:
         for f in o.fields:
             nf = new_by_name.get(f.name)
             if nf is None:
+                if allow_missing_in_new:
+                    out.append(f)  # rebase: keep the rival's addition
+                    continue
                 raise ValueError(
                     f"schema update drops {prefix + f.name!r} — removals are "
                     "not supported (existing files keep the column; strip it "
