@@ -48,7 +48,14 @@ the re-run must land the full-log state. Lifecycle cycles
 (--lifecycle-cycles) chain ALL of it on one table — crash the replay,
 the compaction, the rebucket, the retention GC, and the promotion in
 sequence with recovery and a state check between every step — so later
-stages run over the accumulated debris of earlier crashes.
+stages run over the accumulated debris of earlier crashes. Race cycles
+(--race-cycles) fuzz the ONLINE-maintenance surface with two real
+Spark-owning processes on one table: a replaying ingest and a
+maintenance cron (compact loop + one mid-stream rebucket) committing
+concurrently — half the cycles also SIGKILL the ingest mid-race and
+resume it while the cron keeps running; the cron must land >=1
+compaction during the ingest, resume accounting must stay exact, and
+the final state must match the oracle.
 
 The orchestrator is pure Python; Spark runs only in worker subprocesses
 (modes: gen / replay / stream / compact / rebucket / promote / expire /
@@ -146,6 +153,44 @@ def worker_rebucket(table_path: str, buckets: int) -> None:
     m = LakeTable(spark, table_path).rebucket(buckets)
     print(f"REBUCKETED {m.version} buckets={m.num_buckets} "
           f"files={len(m.files)}", flush=True)
+    spark.stop()
+
+
+def worker_maintain(table_path: str, stop_file: str, rebucket_to: int) -> None:
+    """Maintenance cron racing a live ingest (the online-maintenance
+    surface): compact in a loop until the stop file appears, plus ONE
+    bucket-layout evolution after the first couple of compactions.
+    Bounded-retry exhaustion ('went stale' / concurrent-commit race) is
+    documented behavior under a hot merge stream — tolerated and retried
+    on the next tick, never swallowed silently for other errors."""
+    from multiversx_etl_spark.lake.table import LakeTable
+
+    spark = _spark("fuzz-maintain")
+    while not glob.glob(os.path.join(table_path, "_manifests", "v*.json")):
+        if os.path.exists(stop_file):
+            print("MAINTAINED compactions=0 rebucketed=False", flush=True)
+            spark.stop()
+            return
+        time.sleep(0.1)
+    table = LakeTable(spark, table_path)
+    compactions, rebucketed = 0, False
+    while not os.path.exists(stop_file):
+        try:
+            table.compact()
+            compactions += 1
+        except RuntimeError as e:
+            if "went stale" not in str(e):
+                raise
+        if compactions >= 2 and not rebucketed:
+            try:
+                table.rebucket(rebucket_to)
+                rebucketed = True
+            except RuntimeError as e:
+                if "concurrent-commit race" not in str(e):
+                    raise
+        time.sleep(0.2)
+    print(f"MAINTAINED compactions={compactions} rebucketed={rebucketed}",
+          flush=True)
     spark.stop()
 
 
@@ -557,6 +602,98 @@ def _promote_cycle(base: str, log_path: str, c: int,
     return rec
 
 
+def _race_cycle(base: str, log_path: str, c: int, rng: random.Random,
+                n_offsets: int) -> dict:
+    """TWO real Spark-owning processes on one table: a replaying ingest and
+    a maintenance cron (compact loop + one mid-stream rebucket) — the
+    online-maintenance concurrency surface. Half the cycles also SIGKILL
+    the ingest mid-race and resume it WHILE the cron keeps committing.
+    Asserts: the cron landed >=1 compaction DURING the ingest, resume
+    accounting is exact despite the interleaved maintenance commits, and
+    the final state equals the independent DuckDB column-LWW oracle."""
+    interval = rng.choice([250, 500])
+    total = -(-n_offsets // interval)
+    kill_ingest = rng.random() < 0.5
+    kill_epoch = rng.randrange(1, max(2, total - 2)) if kill_ingest else None
+    grace = rng.choice([0.0, 0.2])
+    table_path = os.path.join(base, f"race{c}")
+    stop_file = table_path + ".stop"
+    rec = {"surface": "race", "cycle": c, "interval": interval,
+           "total_epochs": total, "kill_ingest": kill_ingest,
+           "kill_epoch": kill_epoch, "grace": grace}
+
+    maint = None
+
+    def start_maint() -> subprocess.Popen:
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--mode", "maintain",
+             "--table", table_path, "--stop-file", stop_file,
+             "--buckets", "16"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--mode", "replay",
+         "--log", log_path, "--table", table_path,
+         "--interval", str(interval)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    killed, done_line = False, None
+    try:
+        for line in p.stdout:
+            line = line.strip()
+            if line.startswith("EPOCH_COMMITTED") and maint is None:
+                maint = start_maint()  # table exists now: start the cron
+            if line.startswith("DONE"):
+                done_line = line
+            if kill_epoch is not None and line == f"EPOCH_COMMITTED {kill_epoch}":
+                time.sleep(grace)
+                p.kill()
+                killed = True
+                break
+        p.wait()
+        et1 = _manifest_epochs_through(table_path)
+        rec["crash_real"] = killed and et1 < total - 1
+        rec["epochs_through_after_crash"] = et1
+        if killed:
+            # resume in a fresh process WHILE the cron keeps running
+            r3 = _run_replay_until(log_path, table_path, interval, None, 0.0)
+            done_line = r3["done"]
+        rec["resume"] = done_line
+        resume_exact = False
+        if done_line:
+            parts = dict(kv.split("=") for kv in done_line.split()[1:])
+            run, skipped = int(parts["run"]), int(parts["skipped"])
+            resume_exact = (run + skipped == total) and (
+                not killed or skipped == et1 + 1
+            )
+        rec["resume_exact"] = resume_exact
+    finally:
+        open(stop_file, "w").close()
+    m_line = ""
+    if maint is not None:
+        m_out, _ = maint.communicate(timeout=600)
+        m_line = next((l for l in (m_out or "").splitlines()
+                       if l.startswith("MAINTAINED")), "")
+    rec["maintained"] = m_line
+    mkv = dict(kv.split("=") for kv in m_line.split()[1:]) if m_line else {}
+    compactions = int(mkv.get("compactions", 0))
+    rec["compactions"] = compactions
+    rec["rebucketed"] = mkv.get("rebucketed") == "True"
+    # settle (post-race finalize must also be exact), then the oracle
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "compact",
+         "--table", table_path],
+        capture_output=True, text=True,
+    )
+    rec["state_match"] = _state_ok(log_path, table_path)
+    rec["ok"] = bool(
+        rec["resume_exact"] and rec["state_match"] and compactions >= 1
+    )
+    shutil.rmtree(table_path, ignore_errors=True)
+    return rec
+
+
 def _count_manifests(table_path: str) -> int:
     return len(glob.glob(os.path.join(table_path, "_manifests", "v*.json")))
 
@@ -910,7 +1047,8 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
                 compact_cycles: int, rebucket_cycles: int,
                 promote_cycles: int, expire_cycles: int,
                 replicate_cycles: int, mutable_cycles: int,
-                lifecycle_cycles: int, patch_fraction: float) -> int:
+                lifecycle_cycles: int, patch_fraction: float,
+                race_cycles: int = 0) -> int:
     rng = random.Random(seed)
     base = tempfile.mkdtemp(prefix="crashfuzz-")
     log_path = os.path.join(base, "log")
@@ -1040,6 +1178,14 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
                 failures += 1
             lifecycle_real += rec["real_crashes"]
             print(json.dumps(rec), flush=True)
+        race_real = 0
+        for c in range(race_cycles):
+            rec = _race_cycle(base, log_path, c, rng, n_offsets)
+            if not rec["ok"]:
+                failures += 1
+            if rec.get("crash_real"):
+                race_real += 1
+            print(json.dumps(rec), flush=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     print(json.dumps({"cycles": cycles, "stream_cycles": stream_cycles,
@@ -1059,7 +1205,9 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
                       "expire_real_crashes": expire_real,
                       "replicate_real_crashes": replicate_real,
                       "mutable_real_crashes": mutable_real,
-                      "lifecycle_real_crashes": lifecycle_real}), flush=True)
+                      "lifecycle_real_crashes": lifecycle_real,
+                      "race_cycles": race_cycles,
+                      "race_real_crashes": race_real}), flush=True)
     # the campaign is only evidence if the kills mostly landed mid-replay
     weak = (cycles > 0 and real_crashes < max(1, cycles // 2)) or (
         stream_cycles > 0 and stream_real < max(1, stream_cycles // 2)
@@ -1072,7 +1220,7 @@ def main() -> int:
     ap.add_argument("--mode", default="fuzz",
                     choices=["fuzz", "gen", "replay", "stream", "compact",
                              "rebucket", "promote", "expire", "replicate",
-                             "bootstrap", "count", "verify"])
+                             "bootstrap", "count", "verify", "maintain"])
     ap.add_argument("--cycles", type=int, default=6)
     ap.add_argument("--stream-cycles", type=int, default=3)
     ap.add_argument("--compact-cycles", type=int, default=2)
@@ -1082,6 +1230,8 @@ def main() -> int:
     ap.add_argument("--replicate-cycles", type=int, default=2)
     ap.add_argument("--mutable-cycles", type=int, default=2)
     ap.add_argument("--lifecycle-cycles", type=int, default=1)
+    ap.add_argument("--race-cycles", type=int, default=2)
+    ap.add_argument("--stop-file")
     ap.add_argument("--events", type=int, default=5000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--log")
@@ -1128,11 +1278,14 @@ def main() -> int:
     if a.mode == "verify":
         worker_verify(a.log, a.table, a.max_offset)
         return 0
+    if a.mode == "maintain":
+        worker_maintain(a.table, a.stop_file, a.buckets)
+        return 0
     return orchestrate(a.cycles, a.events, a.seed, a.stream_cycles,
                        a.compact_cycles, a.rebucket_cycles, a.promote_cycles,
                        a.expire_cycles, a.replicate_cycles,
                        a.mutable_cycles, a.lifecycle_cycles,
-                       a.patch_fraction)
+                       a.patch_fraction, a.race_cycles)
 
 
 if __name__ == "__main__":
