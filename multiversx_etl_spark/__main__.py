@@ -152,7 +152,12 @@ def main(argv: list[str] | None = None) -> int:
         "for --fold join or an auto-detected bucketed log, xxhash otherwise)",
     )
 
-    c = sub.add_parser("compact", help="fold merge-on-read deltas into base files")
+    c = sub.add_parser(
+        "compact",
+        help="fold merge-on-read deltas into base files (ONLINE: safe to run "
+        "against a live ingest — a lost commit race rebases or redoes the "
+        "rewrite, never corrupts)",
+    )
     c.add_argument("table")
     c.add_argument(
         "--full", action="store_true",
@@ -198,7 +203,8 @@ def main(argv: list[str] | None = None) -> int:
     mt = sub.add_parser(
         "maintain",
         help="one cron-able maintenance pass: compact outstanding deltas, "
-        "expire old snapshots, GC orphan files",
+        "expire old snapshots, GC orphan files (ONLINE: safe to cron "
+        "against a live, continuously-ingesting table)",
     )
     mt.add_argument("table")
     mt.add_argument("--keep-last", type=int, default=10)

@@ -695,7 +695,7 @@ def merge_batch(
         () if schema_changed else ("update-schema",)
     )
     commit_parent = parent
-    while True:
+    for _rebase_attempt in range(20):  # each retry needs a NEW rival commit
         # an all-carry MOR batch adds no delta files: don't arm the
         # read-time fold for nothing (and COW never sets the counter)
         props = None
@@ -740,3 +740,7 @@ def merge_batch(
             if not table.noop_descends_from(commit_parent, p, allowed):
                 raise
             commit_parent = p
+    raise RuntimeError(
+        "concurrent commit: lost 20 consecutive races to no-op commits — "
+        "a maintenance writer is committing pathologically fast"
+    )

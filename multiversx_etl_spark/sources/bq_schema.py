@@ -139,6 +139,36 @@ def _deep_nullable(dt: DataType) -> DataType:
     return dt
 
 
+def is_type_promotion(frm: DataType, to: DataType) -> bool:
+    """Iceberg-legal widening type promotions, restricted to the set the
+    Spark 4 parquet reader provably upcasts IN PLACE (probed empirically:
+    existing files read under the widened schema with no rewrite, nested
+    levels included): byte -> short -> int -> long, float -> double, and
+    decimal(p, s) -> decimal(p', s) with p' > p (same scale — rescaling
+    would change stored values, so it is not a metadata-only change).
+    Anything else (string <-> numeric, long -> int, scale changes,
+    date -> timestamp) is NOT a promotion."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    order = {ByteType: 0, ShortType: 1, IntegerType: 2, LongType: 3}
+    fi, ti = order.get(type(frm)), order.get(type(to))
+    if fi is not None and ti is not None:
+        return fi < ti
+    if isinstance(frm, FloatType) and isinstance(to, DoubleType):
+        return True
+    if isinstance(frm, DecimalType) and isinstance(to, DecimalType):
+        return to.scale == frm.scale and to.precision > frm.precision
+    return False
+
+
 def merge_widening(
     old: StructType, new: StructType, allow_missing_in_new: bool = False
 ) -> StructType:
@@ -152,7 +182,11 @@ def merge_widening(
     - a field the table has but ``new`` lacks (removals are not expressible
       against immutable data files — drop it from NEW data with a normalizer
       instead),
-    - a changed leaf type or a changed kind (struct vs array vs scalar).
+    - a changed leaf type or a changed kind (struct vs array vs scalar) —
+      EXCEPT Iceberg-legal widening promotions (``is_type_promotion``:
+      byte/short/int -> long, float -> double, decimal precision growth at
+      the same scale), which commit as metadata only: the parquet reader
+      upcasts existing files in place.
 
     Field order: ``old``'s fields first (existing readers see a stable
     column order), new fields appended at each nesting level, deep-nullable
@@ -190,10 +224,21 @@ def merge_widening(
                 old_dt.valueContainsNull or new_dt.valueContainsNull,
             )
         if old_dt != new_dt:
+            # Iceberg-legal type PROMOTIONS are metadata-only: the parquet
+            # reader upcasts existing files in place (is_type_promotion
+            # lists exactly the probed-safe set)
+            if is_type_promotion(old_dt, new_dt):
+                return new_dt
+            if allow_missing_in_new and is_type_promotion(new_dt, old_dt):
+                # rebase: a rival commit already promoted PAST the pushed
+                # file's type — keep the wider live type, never narrow
+                return old_dt
             raise ValueError(
                 f"schema update changes the type at {path!r}: "
                 f"{old_dt.simpleString()} -> {new_dt.simpleString()} "
-                "(type changes cannot be applied over immutable data files)"
+                "(only widening promotions — byte/short/int -> long, "
+                "float -> double, decimal precision growth at the same "
+                "scale — can be applied over immutable data files)"
             )
         return old_dt
 

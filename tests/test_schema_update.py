@@ -528,3 +528,148 @@ def test_apply_table_metadata_widens_for_new_clustering_column(spark, tmp_path):
     m = table.snapshot()
     assert "stars" in m.schema.fieldNames()
     assert m.properties["clustering_sort_columns"] == ["stars"]
+
+
+# ---------------------------------------------------------- type promotion
+
+
+def test_is_type_promotion_matrix():
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        FloatType,
+        IntegerType,
+        ShortType,
+    )
+
+    from multiversx_etl_spark.sources.bq_schema import is_type_promotion
+
+    assert is_type_promotion(IntegerType(), LongType())
+    assert is_type_promotion(ByteType(), ShortType())
+    assert is_type_promotion(ShortType(), LongType())
+    assert is_type_promotion(FloatType(), DoubleType())
+    assert is_type_promotion(DecimalType(10, 2), DecimalType(20, 2))
+    # never narrowing, never cross-kind, never scale changes
+    assert not is_type_promotion(LongType(), IntegerType())
+    assert not is_type_promotion(DoubleType(), FloatType())
+    assert not is_type_promotion(IntegerType(), DoubleType())
+    assert not is_type_promotion(StringType(), LongType())
+    assert not is_type_promotion(DecimalType(10, 2), DecimalType(20, 4))
+    assert not is_type_promotion(DecimalType(20, 2), DecimalType(10, 2))
+
+
+def test_merge_widening_accepts_promotions_rejects_narrowing():
+    from pyspark.sql.types import IntegerType
+
+    old = _st(
+        StructField("k", StringType(), False),
+        StructField("n", IntegerType(), True),
+        StructField(
+            "a", ArrayType(_st(StructField("x", IntegerType(), True))), True
+        ),
+    )
+    new = _st(
+        StructField("k", StringType(), False),
+        StructField("n", LongType(), True),
+        StructField(
+            "a", ArrayType(_st(StructField("x", LongType(), True))), True
+        ),
+    )
+    merged = merge_widening(old, new)
+    assert isinstance(merged["n"].dataType, LongType)
+    assert isinstance(merged["a"].dataType.elementType["x"].dataType, LongType)
+    # narrowing raises with the dotted path, strict AND rebase mode
+    with pytest.raises(ValueError, match="'n'"):
+        merge_widening(new, old)
+    # rebase mode keeps the WIDER live type when the pushed file is behind
+    rebased = merge_widening(new, old, allow_missing_in_new=True)
+    assert isinstance(rebased["n"].dataType, LongType)
+    assert isinstance(rebased["a"].dataType.elementType["x"].dataType, LongType)
+
+
+def test_type_promotion_e2e_over_live_table(spark, tmp_path):
+    """Push int->long / float->double promotions onto a table with existing
+    parquet files: a metadata-only commit, existing rows read upcast with
+    no rewrite, later merges land wide values, and compaction (which DOES
+    rewrite) preserves everything exactly."""
+    from pyspark.sql.types import IntegerType
+
+    from multiversx_etl_spark.operators.merge import merge_batch
+    from multiversx_etl_spark.streaming.ingest import ensure_table
+
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    b1 = spark.createDataFrame(
+        [(0, 0, "insert", "r1", "a.py", "c0", "py", "v0", 7, 1.5)],
+        "offset long, seq long, op string, repo string, path string, "
+        "commit string, lang string, content string, stars int, score float",
+    )
+    merge_batch(table, b1, "main", 0, 0, 1)
+    assert isinstance(table.snapshot().schema["stars"].dataType, IntegerType)
+    v_before = table.current_version()
+
+    wide = StructType([
+        StructField(
+            f.name,
+            LongType() if f.name == "stars"
+            else DoubleType() if f.name == "score"
+            else f.dataType,
+            f.nullable,
+        )
+        for f in table.snapshot().schema.fields
+    ])
+    m = table.update_schema(wide)
+    # metadata-only: same files, one commit, widened schema
+    assert m.version == v_before + 1
+    assert isinstance(m.schema["stars"].dataType, LongType)
+    assert isinstance(m.schema["score"].dataType, DoubleType)
+    assert {f["path"] for f in m.files} == {
+        f["path"] for f in table.snapshot(v_before).files
+    }
+    row = table.read().select("stars", "score").first()
+    assert row["stars"] == 7 and abs(row["score"] - 1.5) < 1e-9
+    assert dict(table.read().dtypes)["stars"] == "bigint"
+
+    # a post-promotion merge lands values only the WIDE type can hold
+    big = 2**40
+    b2 = spark.createDataFrame(
+        [(1, 1, "insert", "r2", "b.py", "c1", "py", "v1", big, 2.25)],
+        "offset long, seq long, op string, repo string, path string, "
+        "commit string, lang string, content string, stars long, score double",
+    )
+    merge_batch(table, b2, "main", 1, 1, 2)
+    got = {
+        r["repo"]: (r["stars"], r["score"])
+        for r in table.read().select("repo", "stars", "score").collect()
+    }
+    assert got == {"r1": (7, 1.5), "r2": (big, 2.25)}
+    # the rewrite path (compaction) preserves the promoted values exactly
+    table.compact(full=True)
+    got2 = {
+        r["repo"]: (r["stars"], r["score"])
+        for r in table.read().select("repo", "stars", "score").collect()
+    }
+    assert got2 == got
+    assert dict(table.read().dtypes)["stars"] == "bigint"
+
+
+def test_type_promotion_via_update_schema_rejects_narrowing_live(spark, tmp_path):
+    from multiversx_etl_spark.operators.merge import merge_batch
+    from multiversx_etl_spark.streaming.ingest import ensure_table
+
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    b1 = spark.createDataFrame(
+        [(0, 0, "insert", "r1", "a.py", "c0", "py", "v0", 7)],
+        "offset long, seq long, op string, repo string, path string, "
+        "commit string, lang string, content string, stars long",
+    )
+    merge_batch(table, b1, "main", 0, 0, 1)
+    narrow = StructType([
+        StructField(
+            f.name,
+            StringType() if f.name == "stars" else f.dataType,
+            f.nullable,
+        )
+        for f in table.snapshot().schema.fields
+    ])
+    with pytest.raises(ValueError, match="stars"):
+        table.update_schema(narrow)
