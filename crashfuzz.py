@@ -52,10 +52,10 @@ stages run over the accumulated debris of earlier crashes. Race cycles
 (--race-cycles) fuzz the ONLINE-maintenance surface with two real
 Spark-owning processes on one table: a replaying ingest and a
 maintenance cron (compact loop + one mid-stream rebucket) committing
-concurrently — half the cycles also SIGKILL the ingest mid-race and
-resume it while the cron keeps running; the cron must land >=1
-compaction during the ingest, resume accounting must stay exact, and
-the final state must match the oracle.
+concurrently — half the cycles (every cycle with --race-kill-bias) also
+SIGKILL the ingest mid-race and resume it while the cron keeps running;
+the cron must land >=1 compaction during the ingest, resume accounting
+must stay exact, and the final state must match the oracle.
 
 The orchestrator is pure Python; Spark runs only in worker subprocesses
 (modes: gen / replay / stream / compact / rebucket / promote / expire /
@@ -603,7 +603,7 @@ def _promote_cycle(base: str, log_path: str, c: int,
 
 
 def _race_cycle(base: str, log_path: str, c: int, rng: random.Random,
-                n_offsets: int) -> dict:
+                n_offsets: int, kill_bias: bool = False) -> dict:
     """TWO real Spark-owning processes on one table: a replaying ingest and
     a maintenance cron (compact loop + one mid-stream rebucket) — the
     online-maintenance concurrency surface. Half the cycles also SIGKILL
@@ -613,7 +613,7 @@ def _race_cycle(base: str, log_path: str, c: int, rng: random.Random,
     the final state equals the independent DuckDB column-LWW oracle."""
     interval = rng.choice([250, 500])
     total = -(-n_offsets // interval)
-    kill_ingest = rng.random() < 0.5
+    kill_ingest = kill_bias or rng.random() < 0.5
     kill_epoch = rng.randrange(1, max(2, total - 2)) if kill_ingest else None
     grace = rng.choice([0.0, 0.2])
     table_path = os.path.join(base, f"race{c}")
@@ -1048,7 +1048,7 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
                 promote_cycles: int, expire_cycles: int,
                 replicate_cycles: int, mutable_cycles: int,
                 lifecycle_cycles: int, patch_fraction: float,
-                race_cycles: int = 0) -> int:
+                race_cycles: int = 0, race_kill_bias: bool = False) -> int:
     rng = random.Random(seed)
     base = tempfile.mkdtemp(prefix="crashfuzz-")
     log_path = os.path.join(base, "log")
@@ -1180,7 +1180,8 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
             print(json.dumps(rec), flush=True)
         race_real = 0
         for c in range(race_cycles):
-            rec = _race_cycle(base, log_path, c, rng, n_offsets)
+            rec = _race_cycle(base, log_path, c, rng, n_offsets,
+                              kill_bias=race_kill_bias)
             if not rec["ok"]:
                 failures += 1
             if rec.get("crash_real"):
@@ -1231,6 +1232,9 @@ def main() -> int:
     ap.add_argument("--mutable-cycles", type=int, default=2)
     ap.add_argument("--lifecycle-cycles", type=int, default=1)
     ap.add_argument("--race-cycles", type=int, default=2)
+    ap.add_argument("--race-kill-bias", action="store_true",
+                    help="SIGKILL the ingest in EVERY race cycle (the "
+                    "resume-under-running-cron path), instead of half")
     ap.add_argument("--stop-file")
     ap.add_argument("--events", type=int, default=5000)
     ap.add_argument("--seed", type=int, default=1)
@@ -1285,7 +1289,7 @@ def main() -> int:
                        a.compact_cycles, a.rebucket_cycles, a.promote_cycles,
                        a.expire_cycles, a.replicate_cycles,
                        a.mutable_cycles, a.lifecycle_cycles,
-                       a.patch_fraction, a.race_cycles)
+                       a.patch_fraction, a.race_cycles, a.race_kill_bias)
 
 
 if __name__ == "__main__":

@@ -208,6 +208,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     mt.add_argument("table")
     mt.add_argument("--keep-last", type=int, default=10)
+    mt.add_argument(
+        "--older-than", type=float, default=None,
+        help="time-based retention for the expire half of the pass "
+        "(seconds; --keep-last stays the retain-last floor)",
+    )
     mt.add_argument("--min-age", type=float, default=3600.0,
                     help="orphan-GC age guard in seconds")
     mt.add_argument(
@@ -290,6 +295,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     ex.add_argument("table")
     ex.add_argument("--keep-last", type=int, default=10)
+    ex.add_argument(
+        "--older-than", type=float, default=None,
+        help="also require expired versions to be at least this many "
+        "seconds old (Iceberg older_than; --keep-last stays the "
+        "retain-last floor)",
+    )
 
     go = sub.add_parser(
         "gc-orphans",
@@ -852,7 +863,9 @@ def _dispatch(spark, args) -> int:
             ),
             max_records_per_file=args.max_records_per_file,
         )
-        expired = table.expire_snapshots(keep_last=args.keep_last)
+        expired = table.expire_snapshots(
+            keep_last=args.keep_last, older_than_seconds=args.older_than
+        )
         gc = table.gc_orphan_files(min_age_seconds=args.min_age)
         print(json.dumps({
             "version": m.version,
@@ -939,7 +952,9 @@ def _dispatch(spark, args) -> int:
 
     if args.cmd == "expire":
         table = LakeTable(spark, args.table)
-        out = table.expire_snapshots(keep_last=args.keep_last)
+        out = table.expire_snapshots(
+            keep_last=args.keep_last, older_than_seconds=args.older_than
+        )
         print(json.dumps(out))
         return 0
 

@@ -2033,10 +2033,21 @@ class LakeTable:
             },
         )
 
-    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
+    def expire_snapshots(
+        self,
+        keep_last: int = 10,
+        older_than_seconds: float | None = None,
+    ) -> dict[str, int]:
         """Retention maintenance (Iceberg analog: expire_snapshots + orphan
         file cleanup): drop manifests older than the newest ``keep_last``
         versions and delete data files referenced by NO retained manifest.
+
+        ``older_than_seconds`` adds Iceberg's time-based retention
+        (``expire_snapshots(older_than=...)``): a version expires only if
+        it is BOTH outside the newest ``keep_last`` AND committed more
+        than this many seconds ago — ``keep_last`` is the retain-last
+        floor, the age bound is the policy ("keep a week of time travel").
+        Left ``None``, retention is purely count-based as before.
 
         Without this, a 10^10-event replay accumulates one manifest per
         epoch plus every superseded delta/base file forever — compaction
@@ -2048,6 +2059,8 @@ class LakeTable:
         file nor lose a new one."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        if older_than_seconds is not None and older_than_seconds < 0:
+            raise ValueError("older_than_seconds must be >= 0")
         lock_path = os.path.join(self.root, _MANIFEST_DIR, "_commit.lock")
         lock_fd = os.open(lock_path, os.O_CREAT | os.O_WRONLY)
         try:
@@ -2059,7 +2072,14 @@ class LakeTable:
             )
             cutoff = self.current_version() - keep_last + 1
             expired = [v for v in versions if v < cutoff]
-            retained = [v for v in versions if v >= cutoff]
+            if older_than_seconds is not None:
+                age_cutoff = time.time() - older_than_seconds
+                expired = [
+                    v
+                    for v in expired
+                    if self.snapshot(v).committed_at < age_cutoff
+                ]
+            retained = [v for v in versions if v not in set(expired)]
             keep_paths = {
                 f["path"] for v in retained for f in self.snapshot(v).files
             }

@@ -353,3 +353,62 @@ def test_promotion_falls_back_to_copy_across_filesystems(spark, tmp_path, monkey
 
     with _pytest.raises(OSError, match="boom"):
         main.promote_from(staging)
+
+
+def test_expire_snapshots_time_based_retention(spark, tmp_path):
+    """Iceberg older_than semantics: a version outside keep_last expires
+    only once it is also OLDER than the age bound — keep_last is the
+    retain-last floor, the age is the policy. Backdating manifests makes
+    them eligible; fresh ones survive a tight keep_last."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from multiversx_etl_spark.lake.table import LakeTable
+    from multiversx_etl_spark.operators.merge import merge_batch
+    from multiversx_etl_spark.schemas import REPOS
+
+    def batch(rows):
+        cols = (
+            "offset long, seq long, op string, repo string, path string, "
+            "commit string, lang string, content string"
+        )
+        return spark.createDataFrame(rows, cols)
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), REPOS, key_columns=["repo", "path"],
+        num_buckets=4,
+    )
+    for e in range(4):
+        merge_batch(
+            table,
+            batch([(e, e, "insert" if e == 0 else "update",
+                    "r", "a.py", "c", "py", f"v{e}")]),
+            "m", e, e, e + 1,
+        )
+    before_rows = table.read().collect()
+
+    # everything is freshly committed: a 1-hour age bound expires NOTHING
+    out = table.expire_snapshots(keep_last=1, older_than_seconds=3600)
+    assert out["expired_manifests"] == 0 and out["deleted_files"] == 0
+    assert table.snapshot(0) is not None  # time travel intact
+
+    # backdate the two oldest manifests only: they (and only they) expire
+    import time as _time
+
+    stale = _time.time() - 7200
+    for v in (0, 1):
+        p = table._manifest_path(v)
+        m = _json.load(open(p))
+        m["committed_at"] = stale
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    out = table.expire_snapshots(keep_last=1, older_than_seconds=3600)
+    assert out["expired_manifests"] == 2
+    with _pytest.raises(FileNotFoundError):
+        table.snapshot(0)
+    table.snapshot(2)  # younger-than-bound versions retained past keep_last
+    assert table.read().collect() == before_rows
+
+    with _pytest.raises(ValueError, match="older_than_seconds"):
+        table.expire_snapshots(keep_last=1, older_than_seconds=-1)
