@@ -55,7 +55,11 @@ maintenance cron (compact loop + one mid-stream rebucket) committing
 concurrently — half the cycles (every cycle with --race-kill-bias) also
 SIGKILL the ingest mid-race and resume it while the cron keeps running;
 the cron must land >=1 compaction during the ingest, resume accounting
-must stay exact, and the final state must match the oracle.
+must stay exact, and the final state must match the oracle. Race-stream
+cycles (--race-stream-cycles) run the same two-process race on the
+CHECKPOINTED STREAMING ingest — kill the stream mid-race, restart it
+from the same checkpoint while the cron keeps committing, then (cron
+stopped) a pure-idempotence rerun must leave the version untouched.
 
 The orchestrator is pure Python; Spark runs only in worker subprocesses
 (modes: gen / replay / stream / compact / rebucket / promote / expire /
@@ -191,6 +195,41 @@ def worker_maintain(table_path: str, stop_file: str, rebucket_to: int) -> None:
         time.sleep(0.2)
     print(f"MAINTAINED compactions={compactions} rebucketed={rebucketed}",
           flush=True)
+    spark.stop()
+
+
+def worker_readloop(table_path: str, stop_file: str) -> None:
+    """Concurrent READER racing the ingest + maintenance writers: every
+    snapshot read must succeed (the _current pointer swap is atomic — a
+    reader must never observe a torn manifest or vanished files), and the
+    version sequence it observes must be non-decreasing. Reports reads,
+    errors, and the version range."""
+    from multiversx_etl_spark.lake.table import LakeTable
+
+    spark = _spark("fuzz-read")
+    while not glob.glob(os.path.join(table_path, "_manifests", "_current")):
+        if os.path.exists(stop_file):
+            print("READS 0 ERRORS 0 V -1 -1", flush=True)
+            spark.stop()
+            return
+        time.sleep(0.1)
+    table = LakeTable(spark, table_path)
+    reads = errors = 0
+    v_first = v_prev = -1
+    while not os.path.exists(stop_file):
+        try:
+            m = table.snapshot()
+            if v_first < 0:
+                v_first = m.version
+            if m.version < v_prev:
+                errors += 1  # version went BACKWARDS under a reader
+            v_prev = m.version
+            table.read(version=m.version).count()
+            reads += 1
+        except Exception:
+            errors += 1
+        time.sleep(0.05)
+    print(f"READS {reads} ERRORS {errors} V {v_first} {v_prev}", flush=True)
     spark.stop()
 
 
@@ -604,13 +643,16 @@ def _promote_cycle(base: str, log_path: str, c: int,
 
 def _race_cycle(base: str, log_path: str, c: int, rng: random.Random,
                 n_offsets: int, kill_bias: bool = False) -> dict:
-    """TWO real Spark-owning processes on one table: a replaying ingest and
-    a maintenance cron (compact loop + one mid-stream rebucket) — the
-    online-maintenance concurrency surface. Half the cycles also SIGKILL
-    the ingest mid-race and resume it WHILE the cron keeps committing.
-    Asserts: the cron landed >=1 compaction DURING the ingest, resume
-    accounting is exact despite the interleaved maintenance commits, and
-    the final state equals the independent DuckDB column-LWW oracle."""
+    """THREE real Spark-owning processes on one table: a replaying ingest,
+    a maintenance cron (compact loop + one mid-stream rebucket), and a
+    snapshot-reader loop — the online-maintenance concurrency surface.
+    Half the cycles (all, with kill_bias) also SIGKILL the ingest mid-race
+    and resume it WHILE the cron keeps committing. Asserts: the cron
+    landed >=1 compaction DURING the ingest, every concurrent read
+    succeeded with a non-decreasing version sequence (the _current swap is
+    atomic — no torn snapshots), resume accounting is exact despite the
+    interleaved maintenance commits, and the final state equals the
+    independent DuckDB column-LWW oracle."""
     interval = rng.choice([250, 500])
     total = -(-n_offsets // interval)
     kill_ingest = kill_bias or rng.random() < 0.5
@@ -622,13 +664,20 @@ def _race_cycle(base: str, log_path: str, c: int, rng: random.Random,
            "total_epochs": total, "kill_ingest": kill_ingest,
            "kill_epoch": kill_epoch, "grace": grace}
 
-    maint = None
+    maint = reader = None
 
     def start_maint() -> subprocess.Popen:
         return subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--mode", "maintain",
              "--table", table_path, "--stop-file", stop_file,
              "--buckets", "16"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+
+    def start_reader() -> subprocess.Popen:
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--mode", "readloop",
+             "--table", table_path, "--stop-file", stop_file],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
 
@@ -644,6 +693,7 @@ def _race_cycle(base: str, log_path: str, c: int, rng: random.Random,
             line = line.strip()
             if line.startswith("EPOCH_COMMITTED") and maint is None:
                 maint = start_maint()  # table exists now: start the cron
+                reader = start_reader()  # and a concurrent snapshot reader
             if line.startswith("DONE"):
                 done_line = line
             if kill_epoch is not None and line == f"EPOCH_COMMITTED {kill_epoch}":
@@ -680,6 +730,15 @@ def _race_cycle(base: str, log_path: str, c: int, rng: random.Random,
     compactions = int(mkv.get("compactions", 0))
     rec["compactions"] = compactions
     rec["rebucketed"] = mkv.get("rebucketed") == "True"
+    reads, read_errors = 0, 0
+    if reader is not None:
+        r_out, _ = reader.communicate(timeout=600)
+        r_line = next((l for l in (r_out or "").splitlines()
+                       if l.startswith("READS")), "")
+        if r_line:
+            parts = r_line.split()
+            reads, read_errors = int(parts[1]), int(parts[3])
+    rec["reads"], rec["read_errors"] = reads, read_errors
     # settle (post-race finalize must also be exact), then the oracle
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--mode", "compact",
@@ -689,8 +748,85 @@ def _race_cycle(base: str, log_path: str, c: int, rng: random.Random,
     rec["state_match"] = _state_ok(log_path, table_path)
     rec["ok"] = bool(
         rec["resume_exact"] and rec["state_match"] and compactions >= 1
+        and read_errors == 0 and reads >= 1
     )
     shutil.rmtree(table_path, ignore_errors=True)
+    return rec
+
+
+def _race_stream_cycle(base: str, log_path: str, c: int, rng: random.Random,
+                       kill_bias: bool = False) -> dict:
+    """The race surface on the CHECKPOINTED STREAMING ingest — the real
+    deployment shape: an availableNow stream (one log file per
+    micro-batch) and a maintenance cron (compact loop + one rebucket)
+    commit concurrently; half the cycles (all, with kill_bias) SIGKILL the
+    stream mid-race and restart it from the SAME checkpoint while the cron
+    keeps committing. After the cron stops, a pure-idempotence rerun must
+    leave the version untouched, and the state must match the oracle."""
+    table_path = os.path.join(base, f"rs{c}")
+    ckpt = os.path.join(base, f"rsck{c}")
+    stop_file = table_path + ".stop"
+    kill_stream = kill_bias or rng.random() < 0.5
+    kill_version = rng.randrange(2, 7) if kill_stream else None
+    rec = {"surface": "race-stream", "cycle": c, "kill_stream": kill_stream,
+           "kill_at_version": kill_version}
+    cmd = [sys.executable, os.path.abspath(__file__), "--mode", "stream",
+           "--log", log_path, "--table", table_path, "--ckpt", ckpt]
+    maint = None
+    try:
+        p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+        deadline = time.monotonic() + 600
+        killed = False
+        while time.monotonic() < deadline:
+            if p.poll() is not None:
+                break
+            n = len(glob.glob(os.path.join(table_path, "_manifests", "v*.json")))
+            if n >= 1 and maint is None:
+                maint = subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__), "--mode",
+                     "maintain", "--table", table_path,
+                     "--stop-file", stop_file, "--buckets", "16"],
+                    stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                    text=True,
+                )
+            if kill_version is not None and n >= kill_version:
+                p.kill()
+                killed = True
+                break
+            time.sleep(0.05)
+        p.wait()
+        rec["crash_real"] = killed and _manifest_epochs_through(table_path) >= 0
+        if killed:
+            # restart from the checkpoint WHILE the cron keeps committing
+            subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    finally:
+        open(stop_file, "w").close()
+    m_line = ""
+    if maint is not None:
+        m_out, _ = maint.communicate(timeout=600)
+        m_line = next((l for l in (m_out or "").splitlines()
+                       if l.startswith("MAINTAINED")), "")
+    mkv = dict(kv.split("=") for kv in m_line.split()[1:]) if m_line else {}
+    rec["compactions"] = int(mkv.get("compactions", 0))
+    rec["rebucketed"] = mkv.get("rebucketed") == "True"
+    # cron stopped: a pure-idempotence rerun must not move the version
+    v_before = _reader_version(table_path)
+    subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    v_after = _reader_version(table_path)
+    rec["noop_rerun"] = (v_before == v_after)
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "compact",
+         "--table", table_path],
+        capture_output=True, text=True,
+    )
+    rec["state_match"] = _state_ok(log_path, table_path)
+    rec["ok"] = bool(
+        rec["state_match"] and rec["noop_rerun"] and rec["compactions"] >= 1
+        and maint is not None
+    )
+    shutil.rmtree(table_path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return rec
 
 
@@ -1048,7 +1184,8 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
                 promote_cycles: int, expire_cycles: int,
                 replicate_cycles: int, mutable_cycles: int,
                 lifecycle_cycles: int, patch_fraction: float,
-                race_cycles: int = 0, race_kill_bias: bool = False) -> int:
+                race_cycles: int = 0, race_kill_bias: bool = False,
+                race_stream_cycles: int = 0) -> int:
     rng = random.Random(seed)
     base = tempfile.mkdtemp(prefix="crashfuzz-")
     log_path = os.path.join(base, "log")
@@ -1187,6 +1324,15 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
             if rec.get("crash_real"):
                 race_real += 1
             print(json.dumps(rec), flush=True)
+        race_stream_real = 0
+        for c in range(race_stream_cycles):
+            rec = _race_stream_cycle(base, log_path, c, rng,
+                                     kill_bias=race_kill_bias)
+            if not rec["ok"]:
+                failures += 1
+            if rec.get("crash_real"):
+                race_stream_real += 1
+            print(json.dumps(rec), flush=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     print(json.dumps({"cycles": cycles, "stream_cycles": stream_cycles,
@@ -1208,7 +1354,9 @@ def orchestrate(cycles: int, events: int, seed: int, stream_cycles: int,
                       "mutable_real_crashes": mutable_real,
                       "lifecycle_real_crashes": lifecycle_real,
                       "race_cycles": race_cycles,
-                      "race_real_crashes": race_real}), flush=True)
+                      "race_real_crashes": race_real,
+                      "race_stream_cycles": race_stream_cycles,
+                      "race_stream_real_crashes": race_stream_real}), flush=True)
     # the campaign is only evidence if the kills mostly landed mid-replay
     weak = (cycles > 0 and real_crashes < max(1, cycles // 2)) or (
         stream_cycles > 0 and stream_real < max(1, stream_cycles // 2)
@@ -1221,7 +1369,7 @@ def main() -> int:
     ap.add_argument("--mode", default="fuzz",
                     choices=["fuzz", "gen", "replay", "stream", "compact",
                              "rebucket", "promote", "expire", "replicate",
-                             "bootstrap", "count", "verify", "maintain"])
+                             "bootstrap", "count", "verify", "maintain", "readloop"])
     ap.add_argument("--cycles", type=int, default=6)
     ap.add_argument("--stream-cycles", type=int, default=3)
     ap.add_argument("--compact-cycles", type=int, default=2)
@@ -1232,6 +1380,7 @@ def main() -> int:
     ap.add_argument("--mutable-cycles", type=int, default=2)
     ap.add_argument("--lifecycle-cycles", type=int, default=1)
     ap.add_argument("--race-cycles", type=int, default=2)
+    ap.add_argument("--race-stream-cycles", type=int, default=2)
     ap.add_argument("--race-kill-bias", action="store_true",
                     help="SIGKILL the ingest in EVERY race cycle (the "
                     "resume-under-running-cron path), instead of half")
@@ -1285,11 +1434,15 @@ def main() -> int:
     if a.mode == "maintain":
         worker_maintain(a.table, a.stop_file, a.buckets)
         return 0
+    if a.mode == "readloop":
+        worker_readloop(a.table, a.stop_file)
+        return 0
     return orchestrate(a.cycles, a.events, a.seed, a.stream_cycles,
                        a.compact_cycles, a.rebucket_cycles, a.promote_cycles,
                        a.expire_cycles, a.replicate_cycles,
                        a.mutable_cycles, a.lifecycle_cycles,
-                       a.patch_fraction, a.race_cycles, a.race_kill_bias)
+                       a.patch_fraction, a.race_cycles, a.race_kill_bias,
+                       a.race_stream_cycles)
 
 
 if __name__ == "__main__":
