@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
         "events (NULL payload = keep; column-level LWW downstream)",
     )
     g.add_argument(
+        "--format", choices=["parquet", "ndjson", "orc", "csv"],
+        default="parquet", dest="log_format",
+        help="log file format (parquet = native; ndjson = the reference's "
+        "wire format; orc/csv = interop, csv with the \\N NULL sentinel). "
+        "Incompatible with --bucketed (bucket-aligned logs are parquet)",
+    )
+    g.add_argument(
         "--bucketed", type=int, default=None, metavar="B",
         help="write a CATALOG-BUCKETED log (bucketBy(B, key) files) instead "
         "of offset-ranged plain parquet — the input shape the zero-exchange "
@@ -122,6 +129,12 @@ def main(argv: list[str] | None = None) -> int:
         help="layout when the table does not exist yet (default: spark "
         "for --fold join or an auto-detected bucketed log, xxhash otherwise)",
     )
+    r.add_argument(
+        "--log-format", choices=["parquet", "ndjson", "orc", "csv"],
+        default="parquet",
+        help="how to read the log (declared schema, never inferred); "
+        "non-parquet formats replay with the union fold",
+    )
 
     s = sub.add_parser("stream", help="Structured Streaming tail (availableNow)")
     s.add_argument("log_dir")
@@ -133,6 +146,13 @@ def main(argv: list[str] | None = None) -> int:
         "log's _bucket_spec.json count if bucketed, else 16)",
     )
     s.add_argument("--max-files-per-trigger", type=int, default=4)
+    s.add_argument(
+        "--log-format", choices=["parquet", "ndjson", "orc", "csv"],
+        default="parquet",
+        help="file-source format to tail (an NDJSON landing zone is the "
+        "reference's wire topology); non-parquet formats stream with the "
+        "union fold",
+    )
     s.add_argument("--mode", choices=["mor", "cow"], default="mor")
     s.add_argument(
         "--trigger-interval", default=None, metavar="DURATION",
@@ -645,11 +665,22 @@ def _dispatch(spark, args) -> int:
             )
             key_columns = ("repo", "path")
         if args.bucketed:
+            if args.log_format != "parquet":
+                raise SystemExit(
+                    "gen-log: --bucketed logs are parquet (bucket-aligned "
+                    f"files + sidecar); drop --format {args.log_format}"
+                )
             write_log_bucketed(log, args.path, args.bucketed,
                                key_columns=key_columns)
+            n = spark.read.parquet(args.path).count()
         else:
-            write_log_parquet(log, args.path, files=args.files)
-        print(json.dumps({"written": spark.read.parquet(args.path).count()}))
+            from multiversx_etl_spark.sources.changelog import read_log, write_log
+
+            write_log(log, args.path, files=args.files,
+                      log_format=args.log_format)
+            n = read_log(spark, args.path, args.log_format,
+                         schema=log.schema).count()
+        print(json.dumps({"written": n}))
         return 0
 
     if args.cmd == "init":
@@ -701,7 +732,9 @@ def _dispatch(spark, args) -> int:
                 spark, args.log, m.num_buckets, table_name="mxetl_log_cli",
             )
         else:
-            log = spark.read.parquet(args.log)
+            from multiversx_etl_spark.sources.changelog import read_log
+
+            log = read_log(spark, args.log, args.log_format)
         summary = replay(
             log,
             table,
@@ -812,6 +845,7 @@ def _dispatch(spark, args) -> int:
             mode=args.mode,
             trigger_interval=args.trigger_interval,
             fold=fold,
+            log_format=args.log_format,
         )
         if q is not None:  # continuous: block until Ctrl-C / external stop
             try:

@@ -134,6 +134,12 @@ class WorkerConfig:
     #: atomic + O(files) (hard links); it runs only when the iteration's
     #: reconcile passed, so unverified staging data never reaches main.
     promote_to: str | None = None
+    #: change-log file format (sources/changelog.LOG_FORMATS): "parquet"
+    #: (native), "ndjson" (the reference's wire format — its extract stage
+    #: writes newline-delimited JSON staging files), "orc", or "csv"
+    #: (interop; NULLs as the \N sentinel). Non-parquet logs take the
+    #: union fold — bucket alignment is provable only for parquet.
+    log_format: str = "parquet"
 
     def erratum_for(self, table: str) -> int:
         """Accepted signed drift for a table (reference
@@ -175,7 +181,7 @@ _KNOWN = {
     "compact_preserve_patches", "max_files_per_trigger", "trigger_interval",
     "fail_on_counts_mismatch", "counts_checks_errata", "layout", "fold",
     "processing", "schema_folder", "stat_columns", "description",
-    "clustering", "promote_to",
+    "clustering", "promote_to", "log_format",
 }
 
 
@@ -252,6 +258,16 @@ def worker_config_from_dict(data: dict[str, Any]) -> WorkerConfig | MultiWorkerC
         )
     if cfg.fold == "join" and (cfg.layout == "xxhash" or cfg.mode != "mor"):
         raise ConfigError("fold='join' requires layout='spark' and mode='mor'")
+    if cfg.log_format not in ("parquet", "ndjson", "orc", "csv"):
+        raise ConfigError(
+            "log_format must be 'parquet', 'ndjson', 'orc' or 'csv', "
+            f"got {cfg.log_format!r}"
+        )
+    if cfg.fold == "join" and cfg.log_format != "parquet":
+        raise ConfigError(
+            "fold='join' requires a parquet bucketed log; "
+            f"log_format={cfg.log_format!r} runs with fold='union'/'auto'"
+        )
     if cfg.processing not in ("append_only", "mutable"):
         raise ConfigError(
             f"processing must be 'append_only' or 'mutable', got {cfg.processing!r}"
@@ -522,6 +538,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
 
     from multiversx_etl_spark.operators.checks import reconcile
     from multiversx_etl_spark.oracle import expected_state
+    from multiversx_etl_spark.sources.changelog import read_log
     from multiversx_etl_spark.streaming.ingest import (
         ensure_table,
         replay,
@@ -551,7 +568,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
         from multiversx_etl_spark.operators.dedup import dedup_latest
         from multiversx_etl_spark.streaming.ingest import bootstrap_snapshot
 
-        raw = spark.read.schema(log_schema).parquet(cfg.log_path)
+        raw = read_log(spark, cfg.log_path, cfg.log_format, schema=log_schema)
         # probe the RAW op column (normalizers never synthesize patches):
         # pushed-down predicate + single-column scan + limit(1), not a
         # full pass over normalized wide rows
@@ -606,6 +623,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
             normalizer=normalizer,
             log_schema=log_schema,
             fold=cfg.fold,
+            log_format=cfg.log_format,
         )
         if q is not None:
             # continuous mode: the query runs indefinitely, so the
@@ -646,7 +664,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
                 key_columns=tuple(key_columns), schema=log_schema,
             )
         else:
-            log = spark.read.schema(log_schema).parquet(cfg.log_path)
+            log = read_log(spark, cfg.log_path, cfg.log_format, schema=log_schema)
         s = replay(
             log, table,
             interval_size=cfg.interval_size,
@@ -664,7 +682,7 @@ def run_from_config(spark, cfg: "WorkerConfig | MultiWorkerConfig",
     report = reconcile(
         table,
         expected_state(
-            normalizer(spark.read.schema(log_schema).parquet(cfg.log_path)),
+            normalizer(read_log(spark, cfg.log_path, cfg.log_format, schema=log_schema)),
             key_columns=key_columns,
         ),
         key_columns=key_columns,
@@ -831,6 +849,7 @@ def stream_with_config_reload(
             normalizer=normalizer,
             log_schema=log_schema,
             fold=cfg.fold,
+            log_format=cfg.log_format,
         )
         try:
             while True:

@@ -803,3 +803,104 @@ def read_log_ndjson(spark: SparkSession, path: str) -> DataFrame:
     from multiversx_etl_spark.schemas import CHANGE_EVENTS
 
     return spark.read.schema(CHANGE_EVENTS).json(path)
+
+
+#: CSV cannot natively distinguish NULL from the empty string, and patch
+#: events RELY on that distinction (NULL payload column = keep, "" = set
+#: empty). Both sides of the CSV round trip therefore use an explicit NULL
+#: sentinel — the PostgreSQL COPY convention.
+_CSV_NULL = "\\N"
+
+#: The log source formats every log-consuming surface accepts. Parquet is
+#: the engine's native format (and the only one the zero-exchange join
+#: fold can prove bucket alignment for); ndjson is the reference's actual
+#: wire format (tasks_runner.py:61-72 writes newline-delimited JSON
+#: staging files); orc and csv are interop.
+LOG_FORMATS = ("parquet", "ndjson", "orc", "csv")
+
+
+def _csv_read_options(reader):
+    return (
+        reader.option("nullValue", _CSV_NULL)
+        .option("emptyValue", "")
+        .option("escape", '"')
+        .option("multiLine", True)
+        .option("header", False)
+    )
+
+
+def write_log_orc(log: DataFrame, path: str, files: int | None = None) -> None:
+    """ORC form of the log (Spark-native columnar interop; typed, lossless)."""
+    out = log.repartitionByRange(files, "offset") if files else log
+    out.write.mode("overwrite").orc(path)
+
+
+def read_log_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+
+    return spark.read.schema(schema or CHANGE_EVENTS).orc(path)
+
+
+def write_log_csv(log: DataFrame, path: str, files: int | None = None) -> None:
+    """CSV form of the log (interop with CSV-only producers). NULLs are
+    written as the ``\\N`` sentinel so patch semantics survive the round
+    trip; embedded quotes/commas/newlines are quoted-and-escaped and read
+    back with ``multiLine``."""
+    out = log.repartitionByRange(files, "offset") if files else log
+    (
+        out.write.mode("overwrite")
+        .option("nullValue", _CSV_NULL)
+        # empty strings write QUOTED ("") so the reader can tell them from
+        # NULL (written as the \N sentinel) — an unquoted empty field is
+        # ambiguous and univocity decodes it as null
+        .option("emptyValue", '""')
+        .option("escape", '"')
+        .option("header", False)
+        .csv(path)
+    )
+
+
+def read_log_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+
+    return _csv_read_options(spark.read.schema(schema or CHANGE_EVENTS)).csv(path)
+
+
+def write_log(
+    log: DataFrame, path: str, files: int | None = None,
+    log_format: str = "parquet",
+) -> None:
+    """Format-dispatching log writer (see ``LOG_FORMATS``)."""
+    if log_format == "parquet":
+        write_log_parquet(log, path, files)
+    elif log_format == "ndjson":
+        write_log_ndjson(log, path, files)
+    elif log_format == "orc":
+        write_log_orc(log, path, files)
+    elif log_format == "csv":
+        write_log_csv(log, path, files)
+    else:
+        raise ValueError(
+            f"unknown log format {log_format!r} (expected one of {LOG_FORMATS})"
+        )
+
+
+def read_log(
+    spark: SparkSession, path: str, log_format: str = "parquet", schema=None
+) -> DataFrame:
+    """Format-dispatching log reader with the DECLARED schema — schemas are
+    never inferred from data files, the same stance on every format."""
+    from multiversx_etl_spark.schemas import CHANGE_EVENTS
+
+    declared = schema or CHANGE_EVENTS
+    if log_format == "parquet":
+        return spark.read.schema(declared).parquet(path)
+    if log_format == "ndjson":
+        return spark.read.schema(declared).json(path)
+    if log_format == "orc":
+        return read_log_orc(spark, path, declared)
+    if log_format == "csv":
+        return read_log_csv(spark, path, declared)
+    raise ValueError(
+        f"unknown log format {log_format!r} (expected one of {LOG_FORMATS})"
+    )

@@ -336,8 +336,12 @@ def stream_ingest(
     normalizer: Callable[[DataFrame], DataFrame] | None = None,
     log_schema=None,
     fold: str = "union",
+    log_format: str = "parquet",
 ):
-    """Structured Streaming tail of a parquet log directory.
+    """Structured Streaming tail of a change-log directory (parquet by
+    default; ``log_format`` accepts every ``changelog.LOG_FORMATS`` entry —
+    an NDJSON landing zone is EXACTLY the reference's wire topology, its
+    extract stage writes newline-delimited JSON staging files).
 
     Default trigger is ``availableNow`` (drain the backlog, then stop —
     the bounded-replay/bench mode): the call blocks until done and returns
@@ -368,6 +372,20 @@ def stream_ingest(
     correctness never depends on staging being possible. ``fold='auto'``
     resolves per the log's ``_bucket_spec.json`` sidecar against the
     table, like the batch surfaces."""
+    from multiversx_etl_spark.sources.changelog import LOG_FORMATS
+
+    if log_format not in LOG_FORMATS:
+        raise ValueError(
+            f"unknown log format {log_format!r} (expected one of {LOG_FORMATS})"
+        )
+    if fold == "join" and log_format != "parquet":
+        # bucket alignment is provable only for the parquet bucketed-log
+        # writer (sidecar + file-name bucket ids); other formats take the
+        # union fold
+        raise ValueError(
+            f"fold='join' requires a parquet bucketed log; "
+            f"log_format={log_format!r} streams with fold='union'"
+        )
     m0 = table.snapshot()
     if fold == "auto":
         from multiversx_etl_spark.sources.changelog import resolve_fold_auto
@@ -411,12 +429,20 @@ def stream_ingest(
                 f"bucketed log at {log_dir} cannot serve the join fold: "
                 + "; ".join(mismatch)
             )
+    from multiversx_etl_spark.sources.changelog import _csv_read_options
+
     declared = log_schema if log_schema is not None else CHANGE_EVENTS
-    src = (
-        spark.readStream.schema(declared)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(log_dir)
+    reader = spark.readStream.schema(declared).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if log_format == "parquet":
+        src = reader.parquet(log_dir)
+    elif log_format == "ndjson":
+        src = reader.json(log_dir)
+    elif log_format == "orc":
+        src = reader.orc(log_dir)
+    else:
+        src = _csv_read_options(reader).csv(log_dir)
     if fold == "join":
         # the file lineage must be captured AT THE SCAN: foreachBatch hands
         # over a LogicalRDD whose inputFiles() is empty
