@@ -409,6 +409,13 @@ def main(argv: list[str] | None = None) -> int:
                      "downstream systems that apply deletes themselves")
     exp.add_argument("--files", type=int, default=None,
                      help="coalesce the export into this many files")
+    exp.add_argument(
+        "--format", choices=["parquet", "ndjson", "orc", "csv"],
+        default="parquet", dest="export_format",
+        help="output format — ndjson is the BigQuery-load shape (the "
+        "reference's serving round trip); csv writes NULLs as the \\N "
+        "sentinel and quotes empty strings",
+    )
 
     rp = sub.add_parser(
         "replicate",
@@ -1062,9 +1069,35 @@ def _dispatch(spark, args) -> int:
         df = table.read(version=version, include_tombstones=args.with_deleted)
         if args.files is not None:
             df = df.coalesce(args.files)
-        df.write.mode("overwrite").parquet(args.out)
-        n = spark.read.parquet(args.out).count()
-        print(json.dumps({"rows": n, "out": args.out, "version": version}))
+        fmt = args.export_format
+        if fmt == "parquet":
+            df.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+        elif fmt == "ndjson":
+            df.write.mode("overwrite").json(args.out)
+            n = spark.read.schema(df.schema).json(args.out).count()
+        elif fmt == "orc":
+            df.write.mode("overwrite").orc(args.out)
+            n = spark.read.schema(df.schema).orc(args.out).count()
+        else:
+            from multiversx_etl_spark.sources.changelog import _csv_read_options
+
+            (
+                df.write.mode("overwrite")
+                .option("nullValue", "\\N")
+                .option("emptyValue", '""')
+                .option("escape", '"')
+                .option("header", True)
+                .csv(args.out)
+            )
+            n = (
+                _csv_read_options(spark.read.schema(df.schema))
+                .option("header", True)
+                .csv(args.out)
+                .count()
+            )
+        print(json.dumps({"rows": n, "out": args.out, "version": version,
+                          "format": fmt}))
         return 0
 
     if args.cmd == "changes":

@@ -86,3 +86,44 @@ def test_export_is_engine_free_and_exact(spark, tmp_path):
     out3 = tmp_path / "out3"
     res3 = _export(tmp_path, tmp_path / "t", out3, "--with-deleted")
     assert res3["rows"] > table.read().count()
+
+
+def test_export_formats_ndjson_and_csv(spark, tmp_path):
+    """Serving formats beyond parquet: NDJSON (the BigQuery-load shape —
+    the reference's serving round trip) and CSV (NULLs as \\N, header on)
+    must carry the exact folded state to an engine-free consumer."""
+    import duckdb
+
+    log_path = str(tmp_path / "log")
+    write_log_parquet(
+        generate_change_log(spark, 400, num_repos=8, paths_per_repo=8),
+        log_path, files=2,
+    )
+    table = ensure_table(spark, str(tmp_path / "t"), num_buckets=4)
+    replay(spark.read.parquet(log_path), table, interval_size=200, mode="mor")
+    want = {
+        (r["repo"], r["path"], r["seq"], r["content"])
+        for r in table.read().select("repo", "path", "seq", "content").collect()
+    }
+    assert want
+
+    outj = tmp_path / "outj"
+    res = _export(tmp_path, tmp_path / "t", outj, "--format", "ndjson",
+                  "--files", "1")
+    assert res["rows"] == len(want) and res["format"] == "ndjson"
+    con = duckdb.connect()
+    got = set(con.execute(
+        f"SELECT repo, path, seq, content FROM read_json_auto('{outj}/*.json')"
+    ).fetchall())
+    assert got == want
+
+    outc = tmp_path / "outc"
+    res = _export(tmp_path, tmp_path / "t", outc, "--format", "csv",
+                  "--files", "1")
+    assert res["rows"] == len(want) and res["format"] == "csv"
+    got = set(con.execute(
+        f"""SELECT repo, path, seq, content
+            FROM read_csv('{outc}/*.csv', header=true, nullstr='\\N')"""
+    ).fetchall())
+    con.close()
+    assert got == want
