@@ -1547,9 +1547,13 @@ class LakeTable:
                 stat_columns=extra_stats,
             )
         else:
-            folded = self.read(buckets=buckets, include_tombstones=True).withColumn(
-                "_bucket", m.bucket_expr()
-            )
+            # pinned to m (matching _finalize_fold's pinned read): a commit
+            # landing between snapshot() and here must not leak its files
+            # into this fold — the rebase bookkeeping below assumes the
+            # rewrite consumed exactly m's files
+            folded = self.read(
+                version=m.version, buckets=buckets, include_tombstones=True
+            ).withColumn("_bucket", m.bucket_expr())
             files = self.write_data_files(
                 folded,
                 tag,
@@ -1613,9 +1617,16 @@ class LakeTable:
                 - folded_patch_debt
                 + n_preserved,
                 # the base-snapshot flag stays exact under rebase:
-                # concurrent MOR appends never write _colseq (only
-                # finalizing rewrites and cow-over-finalized merges do,
-                # and neither passes _rebase_sound)
+                # concurrent MOR appends never write _colseq. A concurrent
+                # cow-over-finalized merge CAN pass _rebase_sound for an
+                # INCREMENTAL rewrite (check (b) covers only this
+                # compaction's replaced files, not the cow's) and its
+                # rewritten files may carry _colseq — which is exactly why
+                # colseq_flag is sticky: it is 1 whenever colseq_out and
+                # not rewrote_all, and when rewrote_all every file was
+                # replaced so a cow race necessarily consumed a replaced
+                # file and fails check (b). Hence a live _colseq file
+                # always implies colseq_flag == 1 on the commit below.
                 "colseq": colseq_flag,
             }
             if extra_stats:
@@ -1693,6 +1704,28 @@ class LakeTable:
 
         m = self.snapshot()
         merged = merge_widening(m.schema, new_schema, allow_missing_in_new=rebase)
+        # Key columns feed bucket_expr, and BOTH bucket hash functions are
+        # type-sensitive (xxhash64(7 as int) != xxhash64(7 as long); same
+        # for Murmur3) — unlike Iceberg's bucket transform, which hashes
+        # int as long and is therefore promotion-safe. A metadata-only
+        # type promotion on a key column would leave existing files placed
+        # under the OLD type's hash while every recomputed bucket_expr
+        # (read post-filter, lookup, merge routing, compaction bucket
+        # sets, purity asserts) hashes the NEW type — silently dropping
+        # live rows from bucket-scoped reads. Reject any key-column type
+        # change, promotions included.
+        merged_by_name = {f.name: f for f in merged.fields}
+        for k in m.key_columns:
+            old_t = m.schema[k].dataType
+            new_t = merged_by_name[k].dataType
+            if new_t != old_t:
+                raise ValueError(
+                    f"schema update changes the type of key column {k!r} "
+                    f"({old_t.simpleString()} -> {new_t.simpleString()}): "
+                    "bucket placement hashes the column type, so promoting "
+                    "a key column would re-route existing keys across "
+                    "buckets; rewrite the table (rebucket) instead"
+                )
         reserved = [
             p
             for p in schema_added_paths(m.schema, merged)

@@ -673,3 +673,52 @@ def test_type_promotion_via_update_schema_rejects_narrowing_live(spark, tmp_path
     ])
     with pytest.raises(ValueError, match="stars"):
         table.update_schema(narrow)
+
+
+def test_type_promotion_rejected_on_key_columns(spark, tmp_path):
+    """A type promotion on a KEY column must be refused even though it is
+    Iceberg-legal for payload columns: bucket placement hashes the column
+    type (xxhash64(7 as int) != xxhash64(7 as long); Murmur3 likewise), so
+    a metadata-only key promotion would leave existing files placed under
+    the old type's hash while every recomputed bucket_expr hashes the new
+    type — dropping live rows from bucket-scoped reads. Iceberg is only
+    safe here because its bucket transform hashes int as long; this
+    engine's layouts do not."""
+    from pyspark.sql.types import IntegerType
+
+    schema = StructType([
+        StructField("id", IntegerType(), False),
+        StructField("seq", LongType(), False),
+        StructField("deleted", BooleanType(), True),
+        StructField("v", LongType(), True),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key_columns=["id"], num_buckets=4
+    )
+    table.commit(
+        table.write_data_files(
+            spark.createDataFrame(
+                [(7, 0, False, 1)], schema
+            ).withColumn("_bucket", table.snapshot().bucket_expr()),
+            "seed",
+        ),
+        replaced_pids=set(),
+        operation="merge-seed",
+    )
+    wide = StructType([
+        StructField(
+            f.name,
+            LongType() if f.name == "id" else f.dataType,
+            f.nullable,
+        )
+        for f in schema.fields
+    ])
+    with pytest.raises(ValueError, match="key column 'id'"):
+        table.update_schema(wide)
+    # the payload promotion alone (v is already long; promote nothing on
+    # the key) still commits — the guard is key-specific
+    v_before = table.current_version()
+    same = table.update_schema(schema)  # no-op push stays cron-safe
+    assert same.version == v_before
+    # and the pre-reject table still reads its row through the bucket path
+    assert table.lookup(id=7).count() == 1
