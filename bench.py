@@ -233,6 +233,33 @@ def run_cdc_stream(spark, workdir: str, tag: str = "", fold: str = "union") -> d
     }
 
 
+def run_canary(spark, workdir: str, tag: str) -> dict[str, float]:
+    """Fixed trivial probe, run at suite start AND end: a 1-row-parquet
+    count (pure job-scheduling fixed cost) and a 10^7-row ``spark.range``
+    aggregation (pure CPU throughput, no I/O). Neither touches engine code,
+    so round-over-round drift in these numbers is MACHINE noise (vCPU
+    steal, fabric contention), not engine change — per-query deltas get
+    divided by the canary before anyone calls them regressions
+    (BENCH/BASELINE.md records the canary-normalized deltas)."""
+    import pyspark.sql.functions as F
+
+    one = os.path.join(workdir, "canary-one.parquet")
+    if not os.path.exists(one):
+        spark.createDataFrame([(1,)], "x long").coalesce(1).write.parquet(one)
+    t0 = time.perf_counter()
+    spark.read.parquet(one).count()
+    tiny = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.range(10_000_000).select(
+        F.sum(F.col("id") % 7).alias("s")
+    ).collect()
+    rng = time.perf_counter() - t0
+    return {
+        f"canary_{tag}_tiny_count_sec": round(tiny, 4),
+        f"canary_{tag}_range_agg_sec": round(rng, 4),
+    }
+
+
 def main() -> None:
     from multiversx_etl_spark.session import get_spark
 
@@ -257,6 +284,7 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="mxetl-bench-")
     try:
         t_total = time.perf_counter()
+        canary = run_canary(spark, workdir, "start")
         timings, construct, suite_samples = run_query_suite(spark, SF_DIR)
         cdc = run_cdc_replay(spark, workdir)
         # per-query ledger entry = the measured best replay itself (NOT the
@@ -282,6 +310,7 @@ def main() -> None:
         # the join fold's streaming twin
         jstream = run_cdc_stream(spark, workdir, tag="j", fold="join")
         timings["cdc_join_stream"] = jstream["stream_sec"]
+        canary.update(run_canary(spark, workdir, "end"))
         harness = round(time.perf_counter() - t_total, 3)
         # headline value = sum of the recorded per-query timings (each the
         # fastest pass), NOT the harness wall — the harness runs the suite
@@ -304,6 +333,9 @@ def main() -> None:
             "sf": _sf_of(SF_DIR),
             "cpus": CPUS,
             "repeats": NUM_REPEATS,
+            # machine-noise canary (see run_canary): identical probes at
+            # suite start + end; cross-round comparisons normalize by this
+            **canary,
             "cdc_events": cdc["events"],
             "cdc_events_per_sec": cdc["events_per_sec"],
             "cdc_replay_sec": cdc["replay_sec"],

@@ -1024,7 +1024,7 @@ def _dispatch(spark, args) -> int:
                 {
                     "version": m.version,
                     "operation": m.operation,
-                    "files": len(m.files),
+                    "files": m.total_files(),
                     "buckets": m.num_buckets,
                     "description": m.properties.get("description"),
                     "clustering": (
@@ -1288,8 +1288,8 @@ def _dispatch(spark, args) -> int:
         m = _LT.promote_into(spark, args.table, staging)
         print(json.dumps({
             "version": m.version,
-            "files": len(m.files),
-            "rows": int(sum(f["rows"] for f in m.files)),
+            "files": m.total_files(),
+            "rows": m.total_rows(),
         }))
         return 0
 

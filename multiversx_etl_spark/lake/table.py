@@ -44,13 +44,13 @@ from __future__ import annotations
 import contextlib
 import errno
 import fcntl
+import hashlib
 import json
 import os
 import re
 import shutil
 import time
 import uuid
-from dataclasses import dataclass, field
 from typing import Any
 
 import pyspark.sql.functions as F
@@ -59,6 +59,8 @@ from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
 _CURRENT = "_current"
+#: content-addressed per-pid file-group docs (format-2 sharded manifests)
+_GROUP_DIR = "groups"
 
 _PART_RE = re.compile(r"part-(\d+)-")
 
@@ -185,24 +187,81 @@ def bucket_to_pid(
     return m
 
 
-@dataclass
 class Manifest:
-    """One immutable snapshot of the table."""
+    """One immutable snapshot of the table.
 
-    version: int
-    schema_json: str
-    num_buckets: int
-    key_columns: list[str]
-    files: list[dict[str, Any]] = field(default_factory=list)  # {path, pid, rows}
-    streams: dict[str, dict[str, Any]] = field(default_factory=dict)
-    parent: int | None = None
-    operation: str = "create"
-    committed_at: float = 0.0
-    properties: dict[str, Any] = field(default_factory=dict)
-    #: bucket-hash layout: "xxhash" (historical default) or "spark"
-    #: (Murmur3, catalog-bucketed-scan compatible — see bucket_expr).
-    #: Dataclass default keeps pre-layout manifests readable.
-    layout: str = "xxhash"
+    Physically SHARDED since format 2 (the Iceberg manifest-list analog):
+    the root document carries everything O(1)-or-O(recent) — schema, stream
+    epoch markers, properties — plus one small *group ref* per occupied pid
+    (path, file count, row count, outstanding-delta count). The per-file
+    entries (with their zone-map stats) live in immutable, content-addressed
+    *file-group* documents under ``_manifests/groups/``, one per pid. A
+    commit rewrites only the groups whose pids changed (unchanged pids carry
+    the parent's ref — same content hash, doc already on disk) and a
+    bucket-pruned read parses only the groups for its pids, so commit cost
+    and plan-time manifest bytes are O(touched buckets), not O(total files).
+    At 10^6 files over B buckets the root doc stays a few KB where the
+    format-1 inline list was a multi-hundred-MB rewrite per commit.
+
+    Format 1 (inline ``files`` list) manifests remain fully readable: the
+    constructor materializes them eagerly, exactly as before.
+
+    In memory each pid maps to a *slot*: either ``{"files": [...]}``
+    (materialized — freshly committed or lazily loaded) or ``{"ref": {...}}``
+    (unloaded group; ``_load_pid`` materializes on demand). ``_seal`` (called
+    by the commit path) converts materialized slots to refs by writing their
+    group docs; refs are reused verbatim, which is what makes the commit
+    O(touched).
+    """
+
+    def __init__(
+        self,
+        version: int,
+        schema_json: str,
+        num_buckets: int,
+        key_columns: list[str],
+        files: list[dict[str, Any]] | None = None,
+        streams: dict[str, dict[str, Any]] | None = None,
+        parent: int | None = None,
+        operation: str = "create",
+        committed_at: float = 0.0,
+        properties: dict[str, Any] | None = None,
+        #: bucket-hash layout: "xxhash" (historical default) or "spark"
+        #: (Murmur3, catalog-bucketed-scan compatible — see bucket_expr).
+        #: Keyword default keeps pre-layout manifests readable.
+        layout: str = "xxhash",
+        groups: list[dict[str, Any]] | None = None,
+        format: int | None = None,  # noqa: A002 — serialized field name
+        root: str | None = None,
+        slots: dict[int, dict[str, Any]] | None = None,
+    ):
+        self.version = version
+        self.schema_json = schema_json
+        self.num_buckets = num_buckets
+        self.key_columns = key_columns
+        self.streams = streams if streams is not None else {}
+        self.parent = parent
+        self.operation = operation
+        self.committed_at = committed_at
+        self.properties = properties if properties is not None else {}
+        self.layout = layout
+        self._root = root
+        self._files_cache: list[dict[str, Any]] | None = None
+        if slots is not None:
+            # internal: carry a parent/target's slots verbatim (rollback,
+            # commit) — refs stay refs, O(1) regardless of table size
+            self._slots = slots
+        elif groups is not None:
+            self._slots = {int(g["pid"]): {"ref": g} for g in groups}
+        else:
+            self._slots = {}
+            if files:
+                for f in files:
+                    self._slots.setdefault(int(f["pid"]), {"files": []})[
+                        "files"
+                    ].append(f)
+                # preserve the inline (format-1) list order for `.files`
+                self._files_cache = list(files)
 
     @property
     def schema(self) -> StructType:
@@ -212,10 +271,123 @@ class Manifest:
         """This snapshot's bucket assignment (layout- and B-aware)."""
         return bucket_expr(self.key_columns, self.num_buckets, self.layout)
 
+    # ---------- file-group slots ----------
+
+    def _load_pid(self, pid: int) -> list[dict[str, Any]]:
+        slot = self._slots.get(pid)
+        if slot is None:
+            return []
+        if "files" not in slot:
+            ref = slot["ref"]
+            if self._root is None:
+                raise RuntimeError(
+                    f"manifest v{self.version}: cannot load file group for "
+                    f"pid {pid} without a table root"
+                )
+            with open(os.path.join(self._root, ref["path"])) as fh:
+                doc = json.load(fh)
+            slot["files"] = doc["files"]
+        return slot["files"]
+
+    def slot_pids(self) -> list[int]:
+        """Occupied pids, ascending (no group docs touched)."""
+        return sorted(self._slots)
+
+    def carry_slots(self) -> dict[int, dict[str, Any]]:
+        """Slot map for building a child manifest: refs carried verbatim
+        (O(1)), materialized slots shallow-copied."""
+        out: dict[int, dict[str, Any]] = {}
+        for pid, slot in self._slots.items():
+            if "ref" in slot and "files" not in slot:
+                out[pid] = {"ref": slot["ref"]}
+            else:
+                out[pid] = {"files": list(slot["files"])}
+        return out
+
+    def group_paths(self) -> set[str]:
+        """Relative paths of the group docs this snapshot references
+        (empty for format-1 inline manifests) — the GC reference set."""
+        return {
+            s["ref"]["path"] for s in self._slots.values() if "ref" in s
+        }
+
+    def ref_for(self, pid: int) -> dict[str, Any] | None:
+        """The pid's group ref, or None if the slot is materialized-only
+        (pre-seal) or the pid is empty."""
+        slot = self._slots.get(pid)
+        return slot.get("ref") if slot else None
+
+    def delta_pids(self) -> set[int]:
+        """Pids with outstanding non-base (delta) files — from the refs'
+        ``nd`` counts where available, so the maintenance cron's trigger
+        scan reads NO group docs on an all-compacted table."""
+        out = set()
+        for pid, slot in self._slots.items():
+            ref = slot.get("ref")
+            if ref is not None and "nd" in ref and "files" not in slot:
+                if ref["nd"]:
+                    out.add(pid)
+            elif any(not f.get("base", False) for f in self._load_pid(pid)):
+                out.add(pid)
+        return out
+
+    def total_rows(self) -> int:
+        """Live physical row count — ref metadata only where possible."""
+        total = 0
+        for pid, slot in self._slots.items():
+            ref = slot.get("ref")
+            if ref is not None and "rows" in ref and "files" not in slot:
+                total += ref["rows"]
+            else:
+                total += sum(f["rows"] for f in self._load_pid(pid))
+        return total
+
+    def total_files(self) -> int:
+        """Live data-file count — ref metadata only where possible."""
+        total = 0
+        for pid, slot in self._slots.items():
+            ref = slot.get("ref")
+            if ref is not None and "n" in ref and "files" not in slot:
+                total += ref["n"]
+            else:
+                total += len(self._load_pid(pid))
+        return total
+
+    @property
+    def files(self) -> list[dict[str, Any]]:
+        """ALL live file entries (materializes every group — whole-table
+        consumers only; bucket-scoped paths use ``files_for_pids``)."""
+        if self._files_cache is None:
+            self._files_cache = [
+                f for pid in sorted(self._slots) for f in self._load_pid(pid)
+            ]
+        return self._files_cache
+
     def files_for_pids(self, pids: set[int] | None) -> list[dict[str, Any]]:
         if pids is None:
             return list(self.files)
-        return [f for f in self.files if f["pid"] in pids]
+        # loads ONLY the requested pids' group docs — the read-side half of
+        # the O(touched buckets) contract
+        return [f for pid in sorted(pids) for f in self._load_pid(pid)]
+
+    def added_files(self, prev: "Manifest") -> list[dict[str, Any]]:
+        """Files live in self but not in ``prev`` (by path) — the change
+        feed's per-version delta. Groups whose ref is IDENTICAL to prev's
+        (same content-addressed path) are skipped without loading, so a
+        replication round costs O(changed buckets), not O(table)."""
+        out: list[dict[str, Any]] = []
+        for pid in sorted(self._slots):
+            my_ref = self.ref_for(pid)
+            prev_ref = prev.ref_for(pid)
+            if (
+                my_ref is not None
+                and prev_ref is not None
+                and my_ref["path"] == prev_ref["path"]
+            ):
+                continue  # content-addressed: identical group, no delta
+            prev_paths = {f["path"] for f in prev._load_pid(pid)}
+            out += [f for f in self._load_pid(pid) if f["path"] not in prev_paths]
+        return out
 
     def epoch_info(self, stream_id: str, epoch_id: int) -> dict[str, Any] | None:
         """Info for a committed epoch, or None if the epoch never committed.
@@ -238,14 +410,63 @@ class Manifest:
         """Highest W such that ALL epochs 0..W have committed (-1 if none)."""
         return self.streams.get(stream_id, {}).get("epochs_through", -1)
 
+    def _seal(self, root: str) -> None:
+        """Write every materialized slot's file-group doc (content-addressed
+        — an existing doc with the same hash is reused byte-for-byte, which
+        is both the cross-version structural sharing and the idempotent
+        crash-recovery story: a doc left by a crashed commit is either
+        reused by an identical retry or swept by gc_orphan_files) and
+        convert the slot to a ref. After sealing, ``to_json`` emits the
+        O(buckets) format-2 root document. Group docs are immutable and
+        written tmp+rename, so concurrent writers producing the same
+        content race harmlessly."""
+        gdir = os.path.join(root, _MANIFEST_DIR, _GROUP_DIR)
+        made = False
+        for pid in sorted(self._slots):
+            slot = self._slots[pid]
+            if "ref" in slot:
+                continue
+            files = slot["files"]
+            if not files:
+                del self._slots[pid]
+                continue
+            body = json.dumps({"pid": pid, "files": files}, sort_keys=True)
+            digest = hashlib.sha256(body.encode()).hexdigest()[:32]
+            rel = os.path.join(_MANIFEST_DIR, _GROUP_DIR, f"g-{digest}.json")
+            full = os.path.join(root, rel)
+            if not os.path.exists(full):
+                if not made:
+                    os.makedirs(gdir, exist_ok=True)
+                    made = True
+                tmp = os.path.join(gdir, f".g.{uuid.uuid4().hex}")
+                with open(tmp, "w") as fh:
+                    fh.write(body)
+                os.replace(tmp, full)
+            slot["ref"] = {
+                "pid": pid,
+                "path": rel,
+                "n": len(files),
+                "rows": int(sum(f["rows"] for f in files)),
+                "nd": int(sum(1 for f in files if not f.get("base", False))),
+            }
+        self._root = root
+        self._files_cache = None  # re-materialize in canonical pid order
+
     def to_json(self) -> str:
+        unsealed = [p for p, s in self._slots.items() if "ref" not in s]
+        if unsealed:
+            raise RuntimeError(
+                f"manifest v{self.version}: to_json before _seal "
+                f"(materialized pids {sorted(unsealed)[:4]})"
+            )
         return json.dumps(
             {
+                "format": 2,
                 "version": self.version,
                 "schema_json": self.schema_json,
                 "num_buckets": self.num_buckets,
                 "key_columns": self.key_columns,
-                "files": self.files,
+                "groups": [self._slots[p]["ref"] for p in sorted(self._slots)],
                 "streams": self.streams,
                 "parent": self.parent,
                 "operation": self.operation,
@@ -256,8 +477,9 @@ class Manifest:
         )
 
     @staticmethod
-    def from_json(text: str) -> "Manifest":
-        return Manifest(**json.loads(text))
+    def from_json(text: str, root: str | None = None) -> "Manifest":
+        d = json.loads(text)
+        return Manifest(**d, root=root)
 
 
 class LakeTable:
@@ -329,7 +551,7 @@ class LakeTable:
         if version is None:
             version = self.current_version()
         with open(self._manifest_path(version)) as fh:
-            return Manifest.from_json(fh.read())
+            return Manifest.from_json(fh.read(), root=self.root)
 
     def _write_manifest(self, manifest: Manifest) -> None:
         """Atomic commit under an exclusive advisory lock: exclusive manifest
@@ -344,6 +566,10 @@ class LakeTable:
         same-version manifest that IS live (``current_version() >=
         version``) is a lost optimistic-concurrency race and raises. A crash
         between create and swap leaves the previous snapshot current."""
+        # seal OUTSIDE the lock: group docs are immutable + content-
+        # addressed, so writing them early never conflicts with a rival
+        # writer, and the lock hold time stays O(root doc), not O(groups)
+        manifest._seal(self.root)
         lock_path = os.path.join(self.root, _MANIFEST_DIR, "_commit.lock")
         lock_fd = os.open(lock_path, os.O_CREAT | os.O_WRONLY)
         try:
@@ -726,11 +952,13 @@ class LakeTable:
             raise ValueError(f"from_version {from_version} > to_version {to_version}")
         to_m = self.snapshot(to_version)
         paths: list[str] = []
-        # each iteration's manifest is the next one's parent: carry the
-        # file set forward instead of re-parsing every parent (halves the
-        # manifest I/O — this runs on every replication round)
+        # each iteration's manifest is the next one's parent: diff group
+        # REFS (added_files) instead of re-materializing every file list —
+        # groups whose content-addressed ref is unchanged are skipped
+        # without a single group-doc read, so a replication round costs
+        # O(changed buckets) per version, not O(table)
         try:
-            prev_files = {f["path"] for f in self.snapshot(from_version).files}
+            prev_m = self.snapshot(from_version)
         except FileNotFoundError:
             raise ValueError(
                 f"version {from_version} is beyond the retention window "
@@ -750,14 +978,13 @@ class LakeTable:
                     "(expire_snapshots dropped it): the delta since then is "
                     "gone — re-sync from a snapshot read instead"
                 ) from None
-            cur_files = {f["path"] for f in m.files}
             if m.operation in ("compact", "rebucket", "update-schema", "set-clustering"):
                 # compact/rebucket reorganize bytes; update-schema/
                 # set-clustering change only metadata — no logical row
                 # change either way (a mid-range widening still reads
                 # correctly: the feed projects to_version's schema, so
                 # pre-widening delta files fill the added columns as NULL)
-                prev_files = cur_files
+                prev_m = m
                 continue
             if not m.operation.startswith("merge"):
                 raise ValueError(
@@ -767,10 +994,9 @@ class LakeTable:
                 )
             paths += [
                 os.path.join(self.root, f["path"])
-                for f in m.files
-                if f["path"] not in prev_files
+                for f in m.added_files(prev_m)
             ]
-            prev_files = cur_files
+            prev_m = m
         schema = to_m.schema
         extra = [StructField("_action", StringType(), True)]
         if with_colseq:
@@ -1101,12 +1327,21 @@ class LakeTable:
         counter).
 
         ``replaced_paths`` replaces individual FILES instead of whole pid
-        groups (``replaced_pids`` is then ignored): the rebase mode online
+        groups (``replaced_pids`` then scopes which pid groups the paths may
+        live in — the liveness check and filter materialize ONLY those
+        groups; pass the pids the rewrite consumed): the rebase mode online
         compaction uses to land a rewrite on top of concurrent MOR appends —
         delta files another writer added to the same pid groups meanwhile
         must survive the commit. Every replaced path must still be live in
-        the parent, else the rewrite is stale and the commit refuses
-        (Iceberg analog: RewriteFiles validation on retry).
+        the parent (within the scope — files never migrate pids without a
+        layout change, which _rebase_sound already refuses), else the
+        rewrite is stale and the commit refuses (Iceberg analog:
+        RewriteFiles validation on retry).
+
+        Sharded-manifest contract: pid groups outside
+        ``replaced_pids ∪ pids(new_files)`` carry the parent's group refs
+        verbatim — no group doc is read or rewritten for them — so the
+        commit is O(touched buckets) in both I/O and JSON bytes.
         """
         parent = self.snapshot()
         if expected_parent is not None and parent.version != expected_parent:
@@ -1114,17 +1349,51 @@ class LakeTable:
                 f"concurrent commit: expected parent {expected_parent}, "
                 f"found {parent.version}"
             )
+        new_by_pid: dict[int, list[dict[str, Any]]] = {}
+        for f in new_files:
+            new_by_pid.setdefault(int(f["pid"]), []).append(f)
+        slots = parent.carry_slots()
         if replaced_paths is not None:
-            missing = replaced_paths - {f["path"] for f in parent.files}
+            scope = set(replaced_pids) | set(new_by_pid)
+            if not replaced_pids:
+                scope = set(parent.slot_pids()) | set(new_by_pid)  # unscoped
+            live_in_scope = {
+                f["path"]
+                for pid in scope
+                for f in parent.files_for_pids({pid})
+            }
+            missing = replaced_paths - live_in_scope
             if missing:
                 raise RuntimeError(
                     f"concurrent commit: {len(missing)} replaced file(s) no "
                     f"longer live in v{parent.version} "
                     f"(e.g. {sorted(missing)[:2]})"
                 )
-            kept = [f for f in parent.files if f["path"] not in replaced_paths]
+            for pid in scope:
+                if pid in slots:
+                    slots[pid] = {
+                        "files": [
+                            f
+                            for f in parent.files_for_pids({pid})
+                            if f["path"] not in replaced_paths
+                        ]
+                    }
         else:
-            kept = [f for f in parent.files if f["pid"] not in replaced_pids]
+            for pid in replaced_pids:
+                slots.pop(pid, None)
+            # untouched-but-appended groups must merge with the parent's
+            # files — materialize exactly those
+            for pid in new_by_pid:
+                if pid in slots and pid not in replaced_pids:
+                    slots[pid] = {"files": list(parent.files_for_pids({pid}))}
+        for pid, fs in new_by_pid.items():
+            slot = slots.get(pid)
+            if slot is None:
+                slots[pid] = {"files": list(fs)}
+            else:
+                # guaranteed materialized by the scoping above
+                slot["files"] = slot["files"] + fs
+                slot.pop("ref", None)
         streams = json.loads(json.dumps(parent.streams))  # deep copy
         if stream_id is not None and epoch_id is not None:
             entry = streams.setdefault(stream_id, {"epochs": {}, "last_epoch": None})
@@ -1165,13 +1434,14 @@ class LakeTable:
             schema_json=json.dumps(schema.jsonValue()) if schema else parent.schema_json,
             num_buckets=parent.num_buckets if num_buckets is None else num_buckets,
             key_columns=parent.key_columns,
-            files=kept + new_files,
+            slots=slots,
             streams=streams,
             parent=parent.version,
             operation=operation,
             committed_at=time.time(),
             properties=props,
             layout=parent.layout,
+            root=self.root,
         )
         self._write_manifest(manifest)
         return manifest
@@ -1323,7 +1593,11 @@ class LakeTable:
         return base_files + patch_files, n_orphans, wrote_colseq
 
     def _rebase_sound(
-        self, base: "Manifest", parent: "Manifest", replaced_paths: set[str]
+        self,
+        base: "Manifest",
+        parent: "Manifest",
+        replaced_paths: set[str],
+        scope_pids: set[int] | None = None,
     ) -> bool:
         """True iff landing a rewrite of ``replaced_paths`` (folded from the
         ``base`` snapshot) on top of ``parent`` is provably exact — the
@@ -1352,7 +1626,12 @@ class LakeTable:
             or parent.layout != base.layout
         ):
             return False
-        if replaced_paths - {f["path"] for f in parent.files}:
+        # scope_pids (the pids the rewrite consumed) keeps the liveness
+        # check O(touched groups): files never migrate pids under an
+        # unchanged layout, which the guard above already enforces
+        if replaced_paths - {
+            f["path"] for f in parent.files_for_pids(scope_pids)
+        }:
             return False
         cur = parent
         try:
@@ -1506,9 +1785,11 @@ class LakeTable:
             bad = [c for c in sort_columns if c not in known]
             if bad:
                 raise ValueError(f"sort_columns not in schema: {bad}")
-        delta_pids = {f["pid"] for f in m.files if not f.get("base", False)}
+        # ref-metadata only (`nd` counts): the maintenance cron's trigger
+        # scan reads NO group docs on an all-compacted table
+        delta_pids = m.delta_pids()
         if full:
-            delta_pids = {f["pid"] for f in m.files}
+            delta_pids = set(m.slot_pids())
         if not delta_pids:
             return m  # nothing outstanding: compaction is a no-op
         mapping = bucket_to_pid(self.spark, m.num_buckets, m.layout)
@@ -1569,7 +1850,7 @@ class LakeTable:
         # earlier finalize, so only a rewrite covering every file group can
         # clear it. A stale flag costs one extra (all-NULL) read column,
         # never correctness.
-        rewrote_all = delta_pids >= {f["pid"] for f in m.files}
+        rewrote_all = delta_pids >= set(m.slot_pids())
         colseq_flag = 1 if (wrote_colseq or (colseq_out and not rewrote_all)) else 0
         props: dict[str, Any] = {
             "mor_appends": 1 if n_preserved else 0,
@@ -1595,15 +1876,20 @@ class LakeTable:
         # commits appended on top — sound under the _rebase_sound rules,
         # where the result is file-for-file what "compact, then the same
         # merges" would have produced.
-        replaced_paths = {f["path"] for f in m.files if f["pid"] in delta_pids}
+        replaced_paths = {
+            f["path"] for f in m.files_for_pids(delta_pids)
+        }
         folded_patch_debt = int(m.properties.get("patch_deltas", 0))
         for _ in range(10):
             p = self.snapshot()
-            if not self._rebase_sound(m, p, replaced_paths):
+            if not self._rebase_sound(m, p, replaced_paths, scope_pids=delta_pids):
                 return None  # stale rewrite: the caller redoes the compaction
-            kept_delta = any(
+            # deltas surviving the rebase: outside the rewritten pids the
+            # refs' `nd` counts answer without loading a group; inside,
+            # check the materialized groups for concurrent appends
+            kept_delta = bool(p.delta_pids() - delta_pids) or any(
                 not f.get("base", False)
-                for f in p.files
+                for f in p.files_for_pids(delta_pids)
                 if f["path"] not in replaced_paths
             )
             props = {
@@ -1636,7 +1922,9 @@ class LakeTable:
             try:
                 return self.commit(
                     files,
-                    replaced_pids=set(),
+                    # scope for replaced_paths: only these pid groups are
+                    # materialized/rewritten — O(touched buckets)
+                    replaced_pids=delta_pids,
                     operation="compact",
                     expected_parent=p.version,
                     properties=props,
@@ -1923,9 +2211,12 @@ class LakeTable:
                 bucket_aligned=True,
             )
         else:
-            folded = self.read(include_tombstones=True).withColumn(
-                "_bucket", bucket_expr(key, new_buckets, m.layout)
-            )
+            # pinned to m: a commit landing mid-rewrite must not leak into
+            # the fold (the expected_parent check would catch the race, but
+            # the rewrite would have folded state the retry then redoes)
+            folded = self.read(
+                version=m.version, include_tombstones=True
+            ).withColumn("_bucket", bucket_expr(key, new_buckets, m.layout))
             files = self.write_data_files(
                 repartition_for_write(folded, new_buckets, key, m.layout),
                 tag,
@@ -1939,7 +2230,7 @@ class LakeTable:
         try:
             return self.commit(
                 files,
-                replaced_pids={f["pid"] for f in m.files},
+                replaced_pids=set(m.slot_pids()),
                 operation="rebucket",
                 expected_parent=m.version,
                 properties={
@@ -2116,9 +2407,17 @@ class LakeTable:
             keep_paths = {
                 f["path"] for v in retained for f in self.snapshot(v).files
             }
+            # group docs referenced by ANY retained manifest stay (content-
+            # addressing shares them across versions); the rest die with
+            # their last expired referrer — O(retained) root-doc parses
+            keep_groups = {
+                g for v in retained for g in self.snapshot(v).group_paths()
+            }
             deleted_files = 0
+            expired_groups: set[str] = set()
             for v in expired:
-                for f in self.snapshot(v).files:
+                m = self.snapshot(v)
+                for f in m.files:
                     if f["path"] in keep_paths:
                         continue
                     try:
@@ -2127,7 +2426,13 @@ class LakeTable:
                     except FileNotFoundError:
                         pass  # shared with an earlier-expired manifest
                     keep_paths.add(f["path"])  # only count/delete once
+                expired_groups |= m.group_paths()
                 os.remove(self._manifest_path(v))
+            # group docs last: an expired sibling may share a doc and needs
+            # it readable for its own data-file walk above
+            for g in expired_groups - keep_groups:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(self.root, g))
             return {"expired_manifests": len(expired), "deleted_files": deleted_files}
         finally:
             fcntl.flock(lock_fd, fcntl.LOCK_UN)
@@ -2149,12 +2454,13 @@ class LakeTable:
         try:
             fcntl.flock(lock_fd, fcntl.LOCK_EX)
             referenced: set[str] = set()
+            referenced_groups: set[str] = set()
             mdir = os.path.join(self.root, _MANIFEST_DIR)
             for name in os.listdir(mdir):
                 if name.startswith("v") and name.endswith(".json"):
-                    referenced |= {
-                        f["path"] for f in self.snapshot(int(name[1:-5])).files
-                    }
+                    m = self.snapshot(int(name[1:-5]))
+                    referenced |= {f["path"] for f in m.files}
+                    referenced_groups |= m.group_paths()
             deleted = scanned = 0
             cutoff = time.time() - min_age_seconds
             data_root = os.path.join(self.root, "data")
@@ -2177,6 +2483,22 @@ class LakeTable:
                 if dirpath != data_root and not dirnames and not filenames:
                     with contextlib.suppress(OSError):
                         os.rmdir(dirpath)
+            # orphan GROUP docs: left by a writer that died between _seal
+            # and the root-doc swap (or whose root doc has since expired
+            # without covering them). Same age contract: an in-flight
+            # commit's freshly-sealed docs are younger than the window.
+            group_docs_deleted = 0
+            gdir = os.path.join(self.root, _MANIFEST_DIR, _GROUP_DIR)
+            if os.path.isdir(gdir):
+                for name in os.listdir(gdir):
+                    rel = os.path.join(_MANIFEST_DIR, _GROUP_DIR, name)
+                    if rel in referenced_groups:
+                        continue
+                    full = os.path.join(gdir, name)
+                    with contextlib.suppress(FileNotFoundError):
+                        if os.path.getmtime(full) < cutoff:
+                            os.remove(full)
+                            group_docs_deleted += 1
             # stage-dir leftovers: bucketed-staging link farms (per-epoch
             # merge targets, per-micro-batch change stages) from a writer
             # that died inside the staging context — links only, no data
@@ -2198,6 +2520,7 @@ class LakeTable:
                 "scanned": scanned,
                 "deleted": deleted,
                 "stage_dirs_deleted": stage_dirs_deleted,
+                "group_docs_deleted": group_docs_deleted,
             }
         finally:
             fcntl.flock(lock_fd, fcntl.LOCK_UN)
@@ -2269,12 +2592,15 @@ class LakeTable:
             schema_json=target.schema_json,
             num_buckets=target.num_buckets,
             key_columns=target.key_columns,
-            files=target.files,
+            # carry the target's group refs verbatim: O(1) rewind even at
+            # 10^6 files — no group doc read or written
+            slots=target.carry_slots(),
             streams=target.streams,
             parent=cur.version,
             operation=f"rollback_to_{version}",
             committed_at=time.time(),
             properties=dict(target.properties),
             layout=target.layout,
+            root=self.root,
         )
         self._write_manifest(manifest)

@@ -3,15 +3,16 @@
 Design (per the build brief): media rides as an opaque ``binary`` column with
 a typed metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched ``mapInPandas`` stages. Codecs that need external libraries
-(PNG/JPEG/H.264/MP3 — none ship in this container) are STUBBED behind
+(JPEG/H.264/MP3 — none ship in this container) are STUBBED behind
 ``decode_with_real_codec`` (raises ``NotImplementedError``) with a
 deterministic fake (``_fake_decode``) carrying the same schema, batch shape,
 and partitioning, so the Spark-side plumbing is real and tested end to end.
 Container-decodable formats are decoded FOR REAL: ``decode_media`` parses
-canonical PCM WAV and 24-bit BMP payloads with numpy alone (header fields +
-sample/pixel statistics), so the real-codec path is exercised end to end for
-two formats and the stub boundary covers only genuinely library-dependent
-codecs.
+canonical PCM WAV and 24-bit BMP payloads with numpy alone, and
+non-interlaced 8-bit RGB(A) PNG with stdlib zlib + numpy (IHDR/IDAT chunk
+walk, all five scanline filters reversed), so the real-codec path is
+exercised end to end for three formats and the stub boundary covers only
+genuinely library-dependent codecs (JPEG/H.264/MP3).
 
 Reference analog: the reference treats every payload as an opaque JSON blob
 streamed through staging files (/root/reference/multiversxetl/tasks_runner.py:
@@ -112,12 +113,13 @@ def decode_with_real_codec(payload: bytes, media_type: str) -> dict:
     """The library-dependent decode step (PIL / libav / soundfile) — NOT
     available in this container. Clearly-marked stub; swap in the real
     implementation on a cluster image that ships the codec libraries.
-    Formats decodable without libraries (canonical WAV, 24-bit BMP) are NOT
-    stubbed — see ``decode_media``."""
+    Formats decodable without libraries (canonical WAV, 24-bit BMP,
+    non-interlaced 8-bit RGB(A) PNG via stdlib zlib) are NOT stubbed — see
+    ``decode_media``; the boundary covers only JPEG/H.264/MP3-class codecs."""
     raise NotImplementedError(
         "compressed-media codecs (PIL/av/soundfile) are not installed in this "
         "environment; extract_features uses the deterministic fake decode "
-        "instead, and decode_media handles WAV/BMP natively"
+        "instead, and decode_media handles WAV/BMP/PNG natively"
     )
 
 
@@ -359,7 +361,128 @@ def _decode_bmp_payload(buf) -> dict:
     }
 
 
-_NATIVE_DECODERS = {"pcm_wav": _decode_wav_payload, "bmp24": _decode_bmp_payload}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_pixels(buf):
+    """Parse one non-interlaced 8-bit RGB(A) PNG blob into (width, height,
+    channels, pixels) where pixels is a (height, width*channels) uint8 array
+    — stdlib ``zlib`` inflate + the five per-scanline filters reversed with
+    numpy (rows sequential as the spec requires; Sub is a per-lane cumsum,
+    Up a vectorized add, Average/Paeth a per-pixel step vectorized over the
+    channel lanes). No external codec library anywhere."""
+    import zlib
+
+    import numpy as np
+
+    raw = bytes(buf)
+    if len(raw) < len(_PNG_SIG) + 25 or raw[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos = len(_PNG_SIG)
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(raw):
+        clen = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("PNG chunk truncated")
+        if ctype == b"IHDR":
+            if clen != 13:
+                raise ValueError(f"malformed IHDR length {clen}")
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type = data[8], data[9]
+            compression, flt, interlace = data[10], data[11], data[12]
+            if bit_depth != 8 or color_type not in (2, 6):
+                raise ValueError(
+                    f"unsupported PNG (bit_depth={bit_depth}, "
+                    f"color_type={color_type}): 8-bit RGB(A) only"
+                )
+            if compression or flt or interlace:
+                raise ValueError(
+                    "unsupported PNG (non-zero compression/filter/interlace "
+                    "method): non-interlaced baseline only"
+                )
+            channels = 3 if color_type == 2 else 4
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    stream = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    rowlen = width * channels
+    if len(stream) < height * (rowlen + 1):
+        raise ValueError(
+            f"PNG scanline data truncated: {len(stream)} < {height * (rowlen + 1)}"
+        )
+    scan = stream[: height * (rowlen + 1)].reshape(height, rowlen + 1)
+    out = np.zeros((height, rowlen), dtype=np.uint8)
+    prev = np.zeros(rowlen, dtype=np.uint8)
+    for r in range(height):
+        ftype = int(scan[r, 0])
+        row = scan[r, 1:].copy()
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = (
+                np.cumsum(row.reshape(-1, channels), axis=0, dtype=np.uint64)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif ftype == 2:  # Up
+            rec = row + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential per pixel
+            rec = np.zeros(rowlen, dtype=np.uint8)
+            a = np.zeros(channels, dtype=np.int64)  # left recon
+            c = np.zeros(channels, dtype=np.int64)  # upper-left recon
+            for x in range(width):
+                sl = slice(x * channels, (x + 1) * channels)
+                b = prev[sl].astype(np.int64)
+                if ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                rec[sl] = (row[sl].astype(np.int64) + pred) % 256
+                a = rec[sl].astype(np.int64)
+                c = b
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = rec
+        prev = rec
+    return width, height, channels, out
+
+
+def _decode_png_payload(buf) -> dict:
+    """Parse one non-interlaced 8-bit RGB(A) PNG blob (zlib + numpy)."""
+    width, height, channels, pixels = _png_pixels(buf)
+    return {
+        "codec": "png_rgb8" if channels == 3 else "png_rgba8",
+        "channels": channels,
+        "sample_rate": None,
+        "bits_per_sample": 8 * channels,
+        "n_samples": width * height,
+        "width": width,
+        "height": height,
+        "value_mean": float(pixels.mean()) if pixels.size else 0.0,
+    }
+
+
+_NATIVE_DECODERS = {
+    "pcm_wav": _decode_wav_payload,
+    "bmp24": _decode_bmp_payload,
+    "png_rgb8": _decode_png_payload,
+    "png_rgba8": _decode_png_payload,
+}
 
 
 def decode_media(media: DataFrame) -> DataFrame:
@@ -445,6 +568,62 @@ def synthesize_bmp(documents: DataFrame, width: int = 5, height: int = 4) -> Dat
 
     raw = documents.select("doc_id", "text").mapInPandas(run, _PAYLOAD_SCHEMA)
     return _with_meta(raw, "image", "bmp24")
+
+
+def _png_bytes(pixels: bytes, width: int, height: int, channels: int = 3) -> bytes:
+    """Non-interlaced 8-bit RGB(A) PNG wrapping ``pixels`` (len ==
+    channels*width*height, top-down rows): filter-0 scanlines, one zlib
+    IDAT — a spec-legal baseline PNG any reader accepts."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    color_type = 2 if channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    rowlen = width * channels
+    scanlines = b"".join(
+        b"\x00" + pixels[r * rowlen : (r + 1) * rowlen] for r in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png(
+    documents: DataFrame, width: int = 5, height: int = 4, channels: int = 3
+) -> DataFrame:
+    """Deterministic 8-bit RGB(A) PNG per document: pixel bytes are the
+    chained-md5 bytes of the text (same chaining rule as the WAV/BMP
+    synthesizers). Same scaffolding role: the operator under test is
+    ``decode_media``'s real PNG path."""
+    if channels not in (3, 4):
+        raise ValueError("PNG synthesizer supports RGB (3) or RGBA (4) only")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _png_bytes(
+                    _chained_md5(t, channels * width * height),
+                    width, height, channels,
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    raw = documents.select("doc_id", "text").mapInPandas(run, _PAYLOAD_SCHEMA)
+    return _with_meta(
+        raw, "image", "png_rgb8" if channels == 3 else "png_rgba8"
+    )
 
 
 def _chained_md5(text: str | None, n_bytes: int) -> bytes:

@@ -1497,6 +1497,52 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media)
 
 
+@_register(
+    "q_png_decode_stats",
+    """
+    WITH media AS (
+      SELECT doc_id,
+             md5(text) || md5('b1|' || text) ||
+             md5('b2|' || text) || md5('b3|' || text) AS hx
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             list_transform(range(0, 60, 1),
+               i -> (strpos('0123456789abcdef', hx[i*2+1]) - 1) * 16
+                  + (strpos('0123456789abcdef', hx[i*2+2]) - 1)) AS bs
+      FROM media
+    )
+    SELECT doc_id,
+           'png_rgb8' AS codec,
+           CAST(5 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(20 AS BIGINT) AS n_samples,
+           CAST(list_sum(bs) AS DOUBLE) / 60 AS value_mean
+    FROM px
+    """,
+)
+def q_png_decode_stats(spark, sf_dir):
+    """REAL PNG decode end-to-end in the multimodal family: synthesize a
+    deterministic non-interlaced 8-bit RGB PNG per document (chained-md5
+    pixels — a spec-legal baseline file), then ``decode_media`` parses it
+    with stdlib zlib + numpy (IHDR/IDAT walk, scanline unfilter) inside an
+    Arrow-batched mapInPandas — partition-preserving, payload bytes never
+    shuffle. The oracle rebuilds the pixel bytes from the same md5 chain in
+    DuckDB and averages them, so width/height/channel parsing AND the
+    unfiltered pixel statistics are value-checked (the codec kernels are
+    separately verified against an independent test-side PNG encoder across
+    all five scanline filters, tests/test_operators.py)."""
+    from multiversx_etl_spark.operators.multimodal import decode_media, synthesize_png
+
+    media = synthesize_png(load(spark, sf_dir, "documents"))
+    return decode_media(media).select(
+        "doc_id", "codec", "width", "height", "channels", "n_samples",
+        "value_mean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extended relational coverage beyond the reference's published surface
 # (window frames, lag, rollup, set ops) — same exact-integer stance.
@@ -2469,6 +2515,24 @@ def q_vocab_top_tokens(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(100)
     )
+
+
+@_register("q_bpe_train")  # iterative trainer: no single-SQL oracle form;
+# exact-checked against the pure-Python reference trainer in
+# tests/test_operators.py (same pretokenizer / greedy application /
+# tie-break), plan-checked like every entry (no BatchEvalPython)
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE-merge TRAINING (operators/bpe.py): 8 merge rounds
+    over the word-frequency table. The corpus is aggregated ONCE
+    (map-side-combined word counts — the only corpus-sized shuffle); each
+    round then costs O(vocab): adjacent-pair partial aggregation, a
+    one-row driver collect of the winning pair, and a zero-shuffle HOF
+    ``aggregate`` applying the merge to every symbol array. Deterministic
+    (ties break lexicographically), so the returned merge table is stable
+    across partitionings and cluster sizes."""
+    from multiversx_etl_spark.operators.bpe import train_bpe
+
+    return train_bpe(load(spark, sf_dir, "documents"), num_merges=8)
 
 
 _TFIDF_SQL = """

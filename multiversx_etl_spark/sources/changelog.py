@@ -521,6 +521,7 @@ def write_log_bucketed(
     table_name: str = "mxetl_log",
     key_columns: tuple[str, ...] = ("repo", "path"),
     compact_files: bool = False,
+    sort_by_key: bool = True,
 ) -> str:
     """Materialize the log as a Spark catalog BUCKETED table (external at
     ``path``): ``bucketBy(B, key)`` files named with Spark's ``_NNNNN``
@@ -548,10 +549,16 @@ def write_log_bucketed(
     if compact_files:
         log = log.repartition(num_buckets, *[F.col(k) for k in key_columns])
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # sort_by_key: key-sorted runs inside each bucket file. Wins twice at
+    # scale: parquet dict/RLE pages on the sorted key columns shrink the
+    # at-rest log, and row-group key min/max stats become selective for
+    # key-scoped readers. Toggleable for the bytes-per-event A/B
+    # (scaling.py --log-variants; measured Δ in BENCH/BASELINE.md r05).
+    writer = log.write.bucketBy(num_buckets, *key_columns)
+    if sort_by_key:
+        writer = writer.sortBy(*key_columns)
     (
-        log.write.bucketBy(num_buckets, *key_columns)
-        .sortBy(*key_columns)
-        .option("path", path)
+        writer.option("path", path)
         .mode("overwrite")
         .format("parquet")
         .saveAsTable(table_name)

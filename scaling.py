@@ -66,7 +66,7 @@ import sys
 import tempfile
 
 _CHILD = """
-import json, sys, time
+import json, sys, time, urllib.request
 sys.path.insert(0, {repo!r})
 from multiversx_etl_spark.session import get_spark
 from multiversx_etl_spark.lake.table import LakeTable
@@ -75,9 +75,33 @@ from multiversx_etl_spark.sources.changelog import register_log_bucketed
 from multiversx_etl_spark.streaming.ingest import replay
 
 fold = {fold!r}
+# UI on (random port): the status REST API is the instrument for MEASURED
+# bytes moved — scan input, shuffle read/write, sink output — so the
+# fabric-ceiling evidence carries an observed GB/s, not derived arithmetic
 spark = get_spark("scaling-{label}", master={master!r},
-                  shuffle_partitions={shuffle})
+                  shuffle_partitions={shuffle},
+                  extra_conf={{"spark.ui.enabled": "true",
+                               "spark.ui.port": "0"}})
 spark.sparkContext.setLogLevel("ERROR")
+
+
+def stage_bytes():
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{{ui}}/api/v1/applications/{{app}}/stages?status=complete"
+        ) as fh:
+            stages = json.load(fh)
+    except Exception:
+        return None
+    out = {{"input": 0, "output": 0, "shuffle_read": 0, "shuffle_write": 0}}
+    for s in stages:
+        out["input"] += s.get("inputBytes", 0)
+        out["output"] += s.get("outputBytes", 0)
+        out["shuffle_read"] += s.get("shuffleReadBytes", 0)
+        out["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+    return out
 if fold == "join":
     # the catalog is per-session: re-declare the bucketed log so the scan
     # reports HashPartitioning(key, B) and the merge fold is zero-exchange
@@ -88,15 +112,24 @@ log.count()  # warm page cache before timing
 table = LakeTable.create(spark, {table_path!r}, REPOS,
                          key_columns=["repo", "path"], num_buckets={buckets},
                          layout="spark" if fold == "join" else "xxhash")
+b0 = stage_bytes()
 t0 = time.perf_counter()
 summary = replay(log, table, interval_size={interval}, total_offsets={total},
                  fold=fold)
 wall = time.perf_counter() - t0
-print(json.dumps({{"level": {label!r}, "master": {master!r}, "fold": fold,
-                  "wall_sec": round(wall, 3),
-                  "events": {total}, "events_per_sec": round({total} / wall, 1),
-                  "epochs": summary.epochs_run,
-                  "final_rows": table.read().count()}}))
+b1 = stage_bytes()
+rec = {{"level": {label!r}, "master": {master!r}, "fold": fold,
+       "wall_sec": round(wall, 3),
+       "events": {total}, "events_per_sec": round({total} / wall, 1),
+       "epochs": summary.epochs_run,
+       "final_rows": table.read().count()}}
+if b0 is not None and b1 is not None:
+    moved = {{k: b1[k] - b0[k] for k in b1}}
+    total_moved = sum(moved.values())
+    rec["bytes_moved"] = moved
+    rec["bytes_moved_total"] = total_moved
+    rec["aggregate_gbps"] = round(total_moved / wall / 1e9, 3)
+print(json.dumps(rec))
 spark.stop()
 """
 
@@ -163,6 +196,13 @@ def main() -> None:
                     "condition contrasts reverse between VM windows, so "
                     "always replicate before reading one (BENCH/BASELINE.md "
                     "round 4)")
+    ap.add_argument("--log-variants", default="sorted",
+                    help="comma-subset of 'sorted,unsorted' (join fold "
+                    "only): materialize the bucketed log with vs without "
+                    "key-sorted runs inside each bucket file and interleave "
+                    "both through every repeat — the bytes-per-event A/B "
+                    "(VERDICT r04 #4a). Reported per variant: log bytes at "
+                    "rest + the usual per-level throughput/efficiency")
     ap.add_argument("--fold", choices=["union", "join"], default="union",
                     help="'join' = the ZERO-EXCHANGE merge fold: bucketed "
                     "catalog log + layout='spark' table (VERDICT r03 #3); "
@@ -183,6 +223,16 @@ def main() -> None:
                      "integer zstd level")
         if z not in zlevels:  # dedup: repeated conditions would double-count
             zlevels.append(z)
+    variants: list[str] = []
+    for v in args.log_variants.split(","):
+        v = v.strip()
+        if v not in ("sorted", "unsorted"):
+            ap.error(f"--log-variants entry {v!r} not in (sorted, unsorted)")
+        if v not in variants:
+            variants.append(v)
+    if "unsorted" in variants and args.fold != "join":
+        ap.error("--log-variants unsorted requires --fold join (the plain "
+                 "log has no within-bucket sort to toggle)")
     if args.executors:
         levels = [int(x) for x in args.executors.split(",")]
         masters = {
@@ -204,9 +254,10 @@ def main() -> None:
     )
 
     workdir = tempfile.mkdtemp(prefix="mxetl-scaling-")
-    log_path = os.path.join(workdir, "log")
     try:
-        # one shared input, written once (64 files feed every level evenly)
+        # one shared input per variant, written once (64 files feed every
+        # level evenly); variants share the generated rows, differ only in
+        # the within-bucket sort at materialization
         gen_cores = max(levels) * (args.exec_cores if args.executors else 1)
         spark = get_spark("scaling-gen", master=f"local[{gen_cores}]")
         spark.sparkContext.setLogLevel("ERROR")
@@ -214,34 +265,61 @@ def main() -> None:
             spark, args.events, num_repos=max(100, args.events // 2000),
             paths_per_repo=200, partitions=64,
         )
-        if args.fold == "join":
-            write_log_bucketed(log, log_path, args.buckets)
-        else:
-            write_log_parquet(log, log_path, files=64)
+        log_paths: dict[str, str] = {}
+        log_bytes: dict[str, int] = {}
+        for v in variants:
+            lp = os.path.join(workdir, f"log-{v}")
+            if args.fold == "join":
+                write_log_bucketed(
+                    log, lp, args.buckets, table_name=f"mxetl_log_{v}",
+                    sort_by_key=(v == "sorted"),
+                )
+            else:
+                write_log_parquet(log, lp, files=64)
+            log_paths[v] = lp
+            log_bytes[v] = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _dn, fs in os.walk(lp) for f in fs
+            )
         total = args.events + int(args.events * 0.01)
         spark.stop()
 
         interval = -(-total // args.epochs)
+        # condition key: zstd level alone when only one log variant (the
+        # historical JSON shape), else "<z>@<variant>"
+        conds = [
+            (z, v, z if len(variants) == 1 else f"{z}@{v}")
+            for z in zlevels
+            for v in variants
+        ]
+        ckeys = [ck for _z, _v, ck in conds]
         samples: dict[str, dict[int, list[float]]] = {
-            z: {c: [] for c in levels} for z in zlevels
+            ck: {c: [] for c in levels} for ck in ckeys
+        }
+        gbps: dict[str, dict[int, list[float]]] = {
+            ck: {c: [] for c in levels} for ck in ckeys
         }
         by_sweep: list[dict[str, dict[int, list[float]]]] = []
         for sweep in range(args.sweeps):
             sw: dict[str, dict[int, list[float]]] = {
-                z: {c: [] for c in levels} for z in zlevels
+                ck: {c: [] for c in levels} for ck in ckeys
             }
             for rep in range(args.repeats):
                 for n in levels:  # interleaved: a load spike hits all levels
-                    for z in zlevels:  # ... and all codec-effort conditions
+                    for z, v, ck in conds:  # ... and all conditions
                         r = run_level(
-                            repo, str(n), masters[n], shuffles[n], log_path,
-                            os.path.join(workdir, f"t{n}s{sweep}r{rep}z{z}"),
+                            repo, str(n), masters[n], shuffles[n],
+                            log_paths[v],
+                            os.path.join(workdir, f"t{n}s{sweep}r{rep}c{ck}"),
                             args.buckets, interval, total, fold=args.fold,
                             zstd_level=z,
                         )
                         r["zstd_level"] = z
-                        samples[z][n].append(r["events_per_sec"])
-                        sw[z][n].append(r["events_per_sec"])
+                        r["log_variant"] = v
+                        samples[ck][n].append(r["events_per_sec"])
+                        if r.get("aggregate_gbps") is not None:
+                            gbps[ck][n].append(r["aggregate_gbps"])
+                        sw[ck][n].append(r["events_per_sec"])
                         print(json.dumps(r), flush=True)
             by_sweep.append(sw)
 
@@ -275,13 +353,26 @@ def main() -> None:
                 ],
                 "levels": {str(c): round(med[c], 1) for c in levels},
                 "samples": {str(c): samples[z][c] for c in levels},
+                # MEASURED per-level aggregate data movement (scan input +
+                # shuffle read/write + sink output, Spark status REST API)
+                # — the fabric-ceiling evidence's central quantity, observed
+                "aggregate_gbps": {
+                    str(c): (round(median(gbps[z][c]), 3) if gbps[z][c] else None)
+                    for c in levels
+                },
+                "aggregate_gbps_samples": {
+                    str(c): gbps[z][c] for c in levels
+                },
             }
 
-        reports = {z: condition_report(z) for z in zlevels}
+        reports = {ck: condition_report(ck) for ck in ckeys}
         # the headline metric must describe the DEFAULT config whenever it was
         # measured — a manipulated condition listed first must not become the
         # recorded scaling number
-        base_z = "default" if "default" in reports else zlevels[0]
+        default_keys = [
+            ck for z, v, ck in conds if z == "default" and v == "sorted"
+        ]
+        base_z = default_keys[0] if default_keys else ckeys[0]
         base = reports[base_z]
         out = {
             "metric": "scaling_efficiency",
@@ -293,14 +384,16 @@ def main() -> None:
             "masters": {str(c): masters[c] for c in levels},
             **base,  # headline condition's numbers (back-compat keys)
             "zstd_levels": zlevels,
+            "log_variants": variants,
+            "log_bytes_at_rest": log_bytes,
             "events": total,
             "epochs": args.epochs,
             "buckets": args.buckets,
             "repeats": args.repeats,
             "sweeps": args.sweeps,
         }
-        if len(zlevels) > 1:
-            out["by_zstd_level"] = reports
+        if len(conds) > 1:
+            out["by_condition"] = reports
         print(json.dumps(out))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -160,3 +160,24 @@ def test_no_row_at_a_time_python(spark, name):
     node (per-row Python UDF) anywhere is a regression."""
     text = plan_text(Q.QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in text, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_bpe_pair_counts_map_side_partial(spark):
+    """BPE training's per-round pair-count aggregate must be map-side
+    partial (|pairs|-sized shuffle, never word-table-sized), and the merge
+    application is pure HOF column work — no Python anywhere in the loop."""
+    import pyspark.sql.functions as F
+
+    from multiversx_etl_spark.operators.bpe import pair_counts
+    from multiversx_etl_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("n"))
+        .select(F.split("w", "").alias("sym"), "n")
+    )
+    text = plan_text(pair_counts(wf))
+    assert "partial" in text.lower()
+    assert "BatchEvalPython" not in text
