@@ -102,6 +102,50 @@ def stage_bytes():
         out["shuffle_read"] += s.get("shuffleReadBytes", 0)
         out["shuffle_write"] += s.get("shuffleWriteBytes", 0)
     return out
+
+
+def proc_tree_io():
+    # Actual syscall I/O (rchar/wchar) summed over THIS process and every
+    # descendant — driver JVM, local-cluster worker + executor JVMs. The
+    # REST inputBytes metric under-counts vectorized local parquet scans
+    # (measured: 11 KB reported for a 53 MB read), so the observed
+    # bytes-moved quantity comes from the kernel instead; REST still
+    # supplies the trustworthy output/shuffle split.
+    import os
+    me = os.getpid()
+    ppids = {{}}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{{d}}/stat") as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+            ppids[int(d)] = int(parts[1])
+        except Exception:
+            pass
+    tree = {{me}}
+    grew = True
+    while grew:
+        grew = False
+        for pid, pp in ppids.items():
+            if pp in tree and pid not in tree:
+                tree.add(pid)
+                grew = True
+    rchar = wchar = rbytes = wbytes = 0
+    for pid in tree:
+        try:
+            with open(f"/proc/{{pid}}/io") as fh:
+                kv = dict(
+                    line.strip().split(": ") for line in fh if ": " in line
+                )
+            rchar += int(kv.get("rchar", 0))
+            wchar += int(kv.get("wchar", 0))
+            rbytes += int(kv.get("read_bytes", 0))
+            wbytes += int(kv.get("write_bytes", 0))
+        except Exception:
+            pass
+    return {{"rchar": rchar, "wchar": wchar,
+            "read_bytes": rbytes, "write_bytes": wbytes}}
 if fold == "join":
     # the catalog is per-session: re-declare the bucketed log so the scan
     # reports HashPartitioning(key, B) and the merge fold is zero-exchange
@@ -113,10 +157,12 @@ table = LakeTable.create(spark, {table_path!r}, REPOS,
                          key_columns=["repo", "path"], num_buckets={buckets},
                          layout="spark" if fold == "join" else "xxhash")
 b0 = stage_bytes()
+io0 = proc_tree_io()
 t0 = time.perf_counter()
 summary = replay(log, table, interval_size={interval}, total_offsets={total},
                  fold=fold)
 wall = time.perf_counter() - t0
+io1 = proc_tree_io()
 b1 = stage_bytes()
 rec = {{"level": {label!r}, "master": {master!r}, "fold": fold,
        "wall_sec": round(wall, 3),
@@ -125,10 +171,12 @@ rec = {{"level": {label!r}, "master": {master!r}, "fold": fold,
        "final_rows": table.read().count()}}
 if b0 is not None and b1 is not None:
     moved = {{k: b1[k] - b0[k] for k in b1}}
-    total_moved = sum(moved.values())
     rec["bytes_moved"] = moved
-    rec["bytes_moved_total"] = total_moved
-    rec["aggregate_gbps"] = round(total_moved / wall / 1e9, 3)
+io = {{k: io1[k] - io0[k] for k in io1}}
+rec["proc_io"] = io
+# the measured aggregate-movement rate: kernel-observed read+write
+# syscall bytes across the whole JVM tree during the timed replay
+rec["aggregate_gbps"] = round((io["rchar"] + io["wchar"]) / wall / 1e9, 3)
 print(json.dumps(rec))
 spark.stop()
 """
